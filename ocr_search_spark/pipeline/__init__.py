@@ -1,0 +1,19 @@
+"""Spark-side extraction pipeline: salting, vectorized dispatch, lineage."""
+
+from .extract import (
+    SPANS_OUT_SCHEMA,
+    add_partition_salt,
+    extract_documents,
+    explode_spans,
+)
+from .checkpoint import run_extraction, read_audit, read_ledger
+
+__all__ = [
+    "SPANS_OUT_SCHEMA",
+    "add_partition_salt",
+    "extract_documents",
+    "explode_spans",
+    "run_extraction",
+    "read_audit",
+    "read_ledger",
+]

@@ -1,0 +1,148 @@
+"""End-to-end Spark pipeline tests: span-sequence equality vs the scalar
+golden-truth implementation (the BASELINE.json invariant), plus skew,
+lineage, and checkpoint-resume behavior."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_search_spark.corpus import (
+    SPANS_IN_SCHEMA,
+    build_document,
+    build_local,
+    corpus_df,
+)
+from ocr_search_spark.kernels import extract_document_spans
+from ocr_search_spark.pipeline import (
+    explode_spans,
+    extract_documents,
+    run_extraction,
+)
+from ocr_search_spark.pipeline.checkpoint import SimulatedFailure, read_audit
+
+from conftest import SF_DIR
+
+N_DOCS = 400
+
+
+def _golden(docs):
+    """doc_id -> golden span tuple sequence (kind, text, media_ref, order)."""
+    return {
+        d["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["order"])
+            for s in extract_document_spans(d["spans"])
+        ]
+        for d in docs
+    }
+
+
+def _collected(extracted_df):
+    rows = extracted_df.select("doc_id", "spans").collect()
+    return {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.order) for s in r.spans]
+        for r in rows
+    }
+
+
+@pytest.fixture(scope="module")
+def docs(base_texts):
+    return build_local(base_texts, N_DOCS)
+
+
+@pytest.fixture(scope="module")
+def input_df(spark, docs):
+    pdf = pd.DataFrame({"doc_id": [d["doc_id"] for d in docs],
+                        "spans": [d["spans"] for d in docs]})
+    return spark.createDataFrame(pdf, schema=SPANS_IN_SCHEMA)
+
+
+class TestSpanEquality:
+    def test_spark_output_equals_golden(self, spark, docs, input_df):
+        got = _collected(extract_documents(input_df, num_partitions=16))
+        want = _golden(docs)
+        assert set(got) == set(want)
+        mismatches = [d for d in want if got[d] != want[d]]
+        assert mismatches == [], f"span mismatch for {mismatches[:3]}"
+
+    def test_distributed_corpus_matches_local(self, spark, docs):
+        df = corpus_df(spark, SF_DIR, n_docs=N_DOCS, partitions=8)
+        rows = df.orderBy("doc_id").collect()
+        assert len(rows) == N_DOCS
+        for r, d in zip(rows, docs):
+            assert r.doc_id == d["doc_id"]
+            got = [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
+            want = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]]
+            assert got == want
+
+    def test_offset_order_preserved_after_shuffle(self, spark, base_texts):
+        # feed spans in reverse offset order; output must be offset-sorted
+        doc = build_document(7, base_texts)
+        rev = {"doc_id": doc["doc_id"], "spans": list(reversed(doc["spans"]))}
+        pdf = pd.DataFrame({"doc_id": [rev["doc_id"]], "spans": [rev["spans"]]})
+        df = spark.createDataFrame(pdf, schema=SPANS_IN_SCHEMA)
+        got = _collected(extract_documents(df, num_partitions=4))
+        want = _golden([doc])
+        assert got == want
+
+
+class TestLineage:
+    def test_skew_tail_exists_and_is_spread(self, docs):
+        # corpus recipe guarantees a giant-PDF tail at this scale
+        sizes = [len(d["spans"]) for d in docs]
+        assert max(sizes) >= 64, "expected 1% giant-PDF documents"
+
+    def test_flat_view_counts(self, spark, docs, input_df):
+        extracted = extract_documents(input_df, num_partitions=16)
+        flat = explode_spans(extracted)
+        assert flat.count() == sum(len(d["spans"]) for d in docs)
+        assert flat.columns == ["doc_id", "kind", "text", "media_ref", "order"]
+
+    def test_failure_metric_counts_uns(self, spark, docs, input_df):
+        extracted = extract_documents(input_df, num_partitions=16)
+        total_failures = extracted.agg(F.sum("n_failures")).collect()[0][0]
+        want = sum(
+            1 for d in docs for s in d["spans"] if s["kind"] == "uns"
+        )
+        assert total_failures == want
+
+
+class TestResume:
+    def test_kill_and_resume_equals_single_run(self, spark, docs, input_df, tmp_path):
+        golden = _golden(docs)
+
+        # uninterrupted run
+        full_dir = str(tmp_path / "full")
+        run_extraction(spark, input_df, full_dir, "rgA", num_partitions=8, num_groups=4)
+        full = _collected(spark.read.parquet(f"{full_dir}/spans"))
+        assert full == golden
+
+        # killed after the second group, then resumed
+        part_dir = str(tmp_path / "resumed")
+        with pytest.raises(SimulatedFailure):
+            run_extraction(
+                spark, input_df, part_dir, "rgB",
+                num_partitions=8, num_groups=4, fail_after_group=1,
+            )
+        partial = spark.read.parquet(f"{part_dir}/spans").count()
+        assert 0 < partial < len(docs)
+
+        stats = run_extraction(
+            spark, input_df, part_dir, "rgB", num_partitions=8, num_groups=4
+        )
+        assert stats["groups_skipped"] == 2  # committed groups not reprocessed
+        resumed = _collected(spark.read.parquet(f"{part_dir}/spans"))
+        assert resumed == golden  # no loss, no double-processing
+
+    def test_audit_rows(self, spark, input_df, docs, tmp_path):
+        out = str(tmp_path / "audit_run")
+        run_extraction(spark, input_df, out, "rgC", num_partitions=8, num_groups=2)
+        audit = read_audit(spark, out)
+        pdf = audit.toPandas()
+        assert set(pdf.columns) == {
+            "run_id", "partition_id", "docs", "spans", "failures",
+            "wall_ms", "committed_at",
+        }
+        assert pdf["docs"].sum() == len(docs)
+        assert pdf["spans"].sum() == sum(len(d["spans"]) for d in docs)
