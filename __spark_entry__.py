@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction pipeline at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
+training-data ops); each callable takes (spark, sf_dir) → DataFrame.
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
+(tables region nation customer supplier part orders lineitem events
+documents embeddings are pre-registered views).
+
+Column names are aliased identically on both sides; floats are either
+avoided (integer numerator/denominator pairs) or rounded so the two engines
+produce bit-identical doubles.
 """
 
 from __future__ import annotations
@@ -12,27 +17,546 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# ---------------------------------------------------------------------------
+# shared constants (must match the SQL text below)
+# ---------------------------------------------------------------------------
+
+FTS_TERMS = ["spark", "join"]  # Q1 websearch-style AND terms
+TRIGRAM_QUERY = "spark table join"
+SNIPPET_TERM = "spark"
+DATE_FROM, DATE_TO = "2024-01-08 00:00:00", "2024-01-21 00:00:00"
+ILIKE_PAT = "%rc1%"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _tokens(c):
+    from ocr_search_spark.search.analysis import tokens_expr
+
+    return tokens_expr(c)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: interleaved corpus (sf0.001) → salted vectorized extraction
+    → flat extracted spans. The driver checks rows > 0 and a stable schema."""
+    from ocr_search_spark.corpus import corpus_df
+    from ocr_search_spark.pipeline import explode_spans, extract_documents
+
+    docs = corpus_df(spark, "/root/testdata/sf0.001", n_docs=1000)
+    return explode_spans(extract_documents(docs, num_partitions=16))
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked queries (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def q_fts_count(spark, sf_dir):
+    """Q1+Q4: AND-match all terms, count (search.py:51-52,59-68)."""
+    from ocr_search_spark.search.analysis import fts_match
+
+    d = _docs(spark, sf_dir)
+    return d.filter(fts_match(_tokens("text"), FTS_TERMS)).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def q_fts_search_topk(spark, sf_dir):
+    """Q1+Q6+Q7+Q8+Q9: match, rank, trigram sim, combined order, top-k
+    (search.py:71-87). Integer (inter, union) keeps floats engine-exact."""
+    from ocr_search_spark.search.analysis import fts_match, trigrams_expr
+
+    d = _docs(spark, sf_dir)
+    q = TRIGRAM_QUERY.lower()
+    q_grams = sorted({q[i : i + 3] for i in range(len(q) - 2)})
+    toks = _tokens("text")
+    grams = trigrams_expr("text")
+    terms_arr = F.array(*[F.lit(t) for t in FTS_TERMS])
+    matched = d.filter(fts_match(toks, FTS_TERMS))
+    q_lit = F.array(*[F.lit(g) for g in q_grams])
+    scored = matched.select(
+        "doc_id",
+        F.size(F.array_intersect(F.array_distinct(toks), terms_arr)).alias("rank_hits"),
+        F.size(F.array_intersect(grams, q_lit)).alias("inter"),
+        F.size(F.array_union(grams, q_lit)).alias("union_sz"),
+    )
+    score = F.greatest(
+        F.col("rank_hits") / F.lit(float(len(FTS_TERMS))),
+        F.col("inter") / F.col("union_sz"),
+    )
+    return scored.orderBy(score.desc(), F.col("doc_id")).limit(25)
+
+
+def q_ilike_source(spark, sf_dir):
+    """Q3: substring ILIKE predicate (search.py:55)."""
+    d = _docs(spark, sf_dir)
+    return d.filter(F.col("source").ilike(ILIKE_PAT)).select("doc_id", "source")
+
+
+def q_date_range_count(spark, sf_dir):
+    """Q2+Q4: date-range predicate + grouped count (search.py:53-54)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.filter(F.col("ts").between(F.lit(DATE_FROM).cast("timestamp"),
+                                     F.lit(DATE_TO).cast("timestamp")))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_latest_k(spark, sf_dir):
+    """Q10: intended empty-query semantics — latest 10 (search.py:29-31)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(10)
+        .select("event_id", "ts", "event_type")
+    )
+
+
+def q_snippet(spark, sf_dir):
+    """Q5: ts_headline-style fragment around the first term hit."""
+    d = _docs(spark, sf_dir)
+    pos = F.locate(SNIPPET_TERM, F.lower(F.col("text")))
+    start = F.greatest(pos - 30, F.lit(1))
+    frag = F.substring(F.col("text"), start, F.lit(60 + len(SNIPPET_TERM)))
+    marked = F.replace(frag, F.lit(SNIPPET_TERM), F.lit(f"<b>{SNIPPET_TERM}</b>"))
+    return d.filter(pos > 0).select("doc_id", marked.alias("snippet"))
+
+
+def q_trigram_topk(spark, sf_dir):
+    """Q7: pg_trgm similarity top-20 as integer set sizes (search.py:78)."""
+    from ocr_search_spark.search.analysis import trigrams_expr
+
+    d = _docs(spark, sf_dir)
+    q = TRIGRAM_QUERY.lower()
+    q_grams = sorted({q[i : i + 3] for i in range(len(q) - 2)})
+    q_lit = F.array(*[F.lit(g) for g in q_grams])
+    grams = trigrams_expr("text")
+    scored = d.select(
+        "doc_id",
+        F.size(F.array_intersect(grams, q_lit)).alias("inter"),
+        F.size(F.array_union(grams, q_lit)).alias("union_sz"),
+    )
+    return scored.orderBy(
+        (F.col("inter") / F.col("union_sz")).desc(), F.col("doc_id")
+    ).limit(20)
+
+
+def q_normalize_chain(spark, sf_dir):
+    """E18: the normalization regex chain (bytes_xtractor.py:23-39) applied
+    to deterministically noised text, in Spark SQL built-ins.
+
+    Noise injection: ' table '->CRLF, ' value '->'-\\n' (hyphen break),
+    ' data '->4xLF, ' row '->tabs, ' big '->BEL control char. The single-
+    newline lookaround rule (RE2-incompatible) is emulated portably with
+    sentinels: runs >=3 newlines -> \\x03, pairs -> \\x02, then singles ->
+    space, then sentinels restored — provably equivalent (runs of length 1
+    -> ' ', 2 -> '\\n\\n', >=3 -> '\\n', as in the reference chain).
+    """
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    # noise
+    t = F.replace(t, F.lit(" table "), F.lit("\r\n"))
+    t = F.replace(t, F.lit(" value "), F.lit("-\n"))
+    t = F.replace(t, F.lit(" data "), F.lit("\n\n\n\n"))
+    t = F.replace(t, F.lit(" row "), F.lit("\t\t "))
+    t = F.replace(t, F.lit(" big "), F.lit("\x07 "))
+    # --- E18 chain ---
+    t = F.replace(t, F.lit("\r\n"), F.lit("\n"))
+    t = F.replace(t, F.lit("\r"), F.lit("\n"))
+    t = F.regexp_replace(t, "([A-Za-z0-9_])-[ \t\n]*\n([A-Za-z0-9_])", "$1$2")
+    t = F.regexp_replace(t, "\n{3,}", "\x03")
+    t = F.replace(t, F.lit("\n\n"), F.lit("\x02"))
+    t = F.replace(t, F.lit("\n"), F.lit(" "))
+    t = F.regexp_replace(t, "[ \t]+", " ")
+    t = F.replace(t, F.lit("\x03"), F.lit("\n"))
+    t = F.replace(t, F.lit("\x02"), F.lit("\n\n"))
+    t = F.regexp_replace(t, "[\x01-\x08\x0b\x0c\x0e-\x1f]", "")
+    norm = F.btrim(t, F.lit(" \n\t"))  # Python str.strip() analogue
+    return d.select("doc_id", norm.alias("norm_text"))
+
+
+def q_charset_score(spark, sf_dir):
+    """E9 shape: fraction of chars in a fixed charset vs 0.40 threshold
+    (looks_like_russian, pdf.py:25-29) — charset adapted to the corpus."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    hits = F.length(t) - F.length(F.regexp_replace(t, "[a-z0-9 .,;:!?()=+-]", ""))
+    return d.select(
+        "doc_id",
+        hits.alias("hits"),
+        F.length(t).alias("n_chars"),
+        (hits * 10 >= F.length(t) * 4).alias("is_match"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via md5 fingerprint groupBy."""
+    from ocr_search_spark.ops.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_minhash(spark, sf_dir):
+    """MinHash signatures (4 md5 hash families over 3-token shingles)."""
+    from ocr_search_spark.ops.dedup import minhash_signatures
+
+    sig = minhash_signatures(_docs(spark, sf_dir), "doc_id", "text", n_hashes=4)
+    return sig.withColumnRenamed("id", "doc_id")
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Near-dup candidate pairs by exact 3-token-shingle Jaccard ≥ 0.3."""
+    from ocr_search_spark.ops.dedup import jaccard_pairs_exact
+
+    return jaccard_pairs_exact(
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.3
+    ).withColumnRenamed("union", "union_sz")
+
+
+def q_token_quality(spark, sf_dir):
+    """Token counting + quality-scoring signals as integer counts."""
+    d = _docs(spark, sf_dir)
+    toks = _tokens("text")
+    en_stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in", "is")])
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length(F.regexp_replace("text", "[^.,;:!?]", "")).alias("n_punct"),
+        F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t))).alias("n_stopwords"),
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).alias("token_chars"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Heuristic language id over stopword votes (en vs other)."""
+    d = _docs(spark, sf_dir)
+    toks = F.array_distinct(_tokens("text"))
+    en = F.size(F.array_intersect(toks, F.array(F.lit("the"), F.lit("a"), F.lit("of"))))
+    return d.select(
+        "doc_id", F.when(en > 0, F.lit("en")).otherwise(F.lit("und")).alias("lang_pred")
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for query vectors vec_id < 5."""
+    from ocr_search_spark.ops.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+def q_events_hourly(spark, sf_dir):
+    """Batch windowed aggregation: per-type hourly counts."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (no SQL oracle — extraction / approximate ops)
+# ---------------------------------------------------------------------------
+
+
+def q_extract_spans(spark, sf_dir):
+    """Full extraction pipeline at this sf (rows-only; the span-equality
+    gate is pytest vs the scalar golden implementation)."""
+    from ocr_search_spark.corpus import corpus_df
+    from ocr_search_spark.pipeline import explode_spans, extract_documents
+
+    n = {"sf0.001": 1000, "sf0.01": 2000, "sf0.1": 100000}.get(
+        sf_dir.rstrip("/").rsplit("/", 1)[-1], 1000
+    )
+    docs = corpus_df(spark, sf_dir, n_docs=n)
+    return explode_spans(extract_documents(docs))
+
+
+def q_extract_kind_stats(spark, sf_dir):
+    """Per-kind extraction metrics (audit-table feed)."""
+    flat = q_extract_spans(spark, sf_dir)
+    return flat.groupBy("kind").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+def q_html_main_content(spark, sf_dir):
+    """Link-density main-content variant over the corpus html spans."""
+    from ocr_search_spark.corpus import corpus_df
+    from ocr_search_spark.kernels.html_extract import html_main_text
+    import pandas as pd
+
+    docs = corpus_df(spark, sf_dir, n_docs=500)
+    flat = docs.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).filter(F.col("s.kind") == "html").select("doc_id", F.col("s.text").alias("html"))
+
+    def kern(it):
+        for pdf in it:
+            if len(pdf):
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "main_text": pdf["html"].map(html_main_text)}
+                )
+
+    return flat.mapInPandas(kern, "doc_id string, main_text string")
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash fingerprints (32-bit) over documents."""
+    from ocr_search_spark.ops.dedup import simhash_expr
+
+    return _docs(spark, sf_dir).select("doc_id", simhash_expr(F.col("text")).alias("simhash"))
+
+
+def q_lsh_bands(spark, sf_dir):
+    """MinHash-LSH band buckets with >1 member (near-dup candidates)."""
+    from ocr_search_spark.ops.dedup import lsh_candidate_pairs, minhash_signatures
+
+    sig = minhash_signatures(_docs(spark, sf_dir), "doc_id", "text", n_hashes=8)
+    return lsh_candidate_pairs(sig, n_hashes=8, band_size=2)
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH buckets over embeddings (ANN scale path)."""
+    from ocr_search_spark.ops.similarity import hyperplane_lsh_buckets
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return hyperplane_lsh_buckets(emb, dim=64, n_planes=8)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payloads → stub-decoded features."""
+    from ocr_search_spark.ops.multimodal import extract_media_features, synth_media_df
+
+    return extract_media_features(synth_media_df(spark, n=64))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "fts_count": q_fts_count,
+        "fts_search_topk": q_fts_search_topk,
+        "ilike_source": q_ilike_source,
+        "date_range_count": q_date_range_count,
+        "latest_k": q_latest_k,
+        "snippet": q_snippet,
+        "trigram_topk": q_trigram_topk,
+        "normalize_chain": q_normalize_chain,
+        "charset_score": q_charset_score,
+        "dedup_exact": q_dedup_exact,
+        "minhash": q_minhash,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "token_quality": q_token_quality,
+        "lang_id": q_lang_id,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "events_hourly": q_events_hourly,
+        # rows-only (non-SQL-expressible: extraction kernels / approx ops)
+        "extract_spans": q_extract_spans,
+        "extract_kind_stats": q_extract_kind_stats,
+        "html_main_content": q_html_main_content,
+        "simhash": q_simhash,
+        "lsh_bands": q_lsh_bands,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "media_features": q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TOK = "list_filter(regexp_split_to_array(lower(text), '[^a-zа-яё0-9_]+'), x -> x <> '')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    q = TRIGRAM_QUERY.lower()
+    q_grams = sorted({q[i : i + 3] for i in range(len(q) - 2)})
+    q_grams_sql = "[" + ", ".join("'" + g.replace("'", "''") + "'" for g in q_grams) + "]"
+    terms_sql = "['spark', 'join']"
+    grams = (
+        "list_distinct(list_transform(range(1, greatest(length(lower(text)) - 1, 1)),"
+        " i -> substring(lower(text), i, 3)))"
+    )
+    return {
+        "fts_count": f"""
+            SELECT count(*) AS cnt FROM documents
+            WHERE list_has_all({_TOK}, {terms_sql})
+        """,
+        "fts_search_topk": f"""
+            WITH scored AS (
+              SELECT doc_id,
+                     len(list_intersect(list_distinct({_TOK}), {terms_sql})) AS rank_hits,
+                     len(list_intersect({grams}, {q_grams_sql})) AS inter,
+                     len(list_distinct(list_concat({grams}, {q_grams_sql}))) AS union_sz
+              FROM documents
+              WHERE list_has_all({_TOK}, {terms_sql})
+            )
+            SELECT doc_id, rank_hits, inter, union_sz FROM scored
+            ORDER BY greatest(rank_hits / 2.0, inter * 1.0 / union_sz) DESC, doc_id
+            LIMIT 25
+        """,
+        "ilike_source": """
+            SELECT doc_id, source FROM documents WHERE source ILIKE '%rc1%'
+        """,
+        "date_range_count": f"""
+            SELECT event_type, count(*) AS cnt FROM events
+            WHERE ts BETWEEN TIMESTAMP '{DATE_FROM}' AND TIMESTAMP '{DATE_TO}'
+            GROUP BY event_type
+        """,
+        "latest_k": """
+            SELECT event_id, ts, event_type FROM events
+            ORDER BY ts DESC, event_id DESC LIMIT 10
+        """,
+        "snippet": """
+            SELECT doc_id,
+                   replace(substring(text, greatest(strpos(lower(text), 'spark') - 30, 1), 65),
+                           'spark', '<b>spark</b>') AS snippet
+            FROM documents WHERE strpos(lower(text), 'spark') > 0
+        """,
+        "trigram_topk": f"""
+            SELECT doc_id,
+                   len(list_intersect({grams}, {q_grams_sql})) AS inter,
+                   len(list_distinct(list_concat({grams}, {q_grams_sql}))) AS union_sz
+            FROM documents
+            ORDER BY len(list_intersect({grams}, {q_grams_sql})) * 1.0 /
+                     len(list_distinct(list_concat({grams}, {q_grams_sql}))) DESC, doc_id
+            LIMIT 20
+        """,
+        "normalize_chain": r"""
+            WITH noised AS (
+              SELECT doc_id,
+                replace(replace(replace(replace(replace(text,
+                  ' table ', chr(13) || chr(10)),
+                  ' value ', '-' || chr(10)),
+                  ' data ', repeat(chr(10), 4)),
+                  ' row ', chr(9) || chr(9) || ' '),
+                  ' big ', chr(7) || ' ') AS t
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id,
+                     replace(replace(t, chr(13) || chr(10), chr(10)), chr(13), chr(10)) AS t
+              FROM noised
+            ), s2 AS (
+              SELECT doc_id,
+                     regexp_replace(t, '([A-Za-z0-9_])-[ \t\n]*\n([A-Za-z0-9_])', '\1\2', 'g') AS t
+              FROM s1
+            ), s3 AS (
+              SELECT doc_id, regexp_replace(t, '\n{3,}', chr(3), 'g') AS t FROM s2
+            ), s4 AS (
+              SELECT doc_id, replace(t, chr(10) || chr(10), chr(2)) AS t FROM s3
+            ), s5 AS (
+              SELECT doc_id, replace(t, chr(10), ' ') AS t FROM s4
+            ), s6 AS (
+              SELECT doc_id, regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM s5
+            ), s7 AS (
+              SELECT doc_id,
+                     replace(replace(t, chr(3), chr(10)), chr(2), chr(10) || chr(10)) AS t
+              FROM s6
+            ), s8 AS (
+              SELECT doc_id,
+                     regexp_replace(t, '[\x01-\x08\x0b\x0c\x0e-\x1f]', '', 'g') AS t
+              FROM s7
+            )
+            SELECT doc_id, trim(t, ' ' || chr(10) || chr(9)) AS norm_text FROM s8
+        """,
+        "charset_score": """
+            SELECT doc_id,
+                   length(text) - length(regexp_replace(text, '[a-z0-9 .,;:!?()=+-]', '', 'g')) AS hits,
+                   length(text) AS n_chars,
+                   (length(text) - length(regexp_replace(text, '[a-z0-9 .,;:!?()=+-]', '', 'g'))) * 10
+                     >= length(text) * 4 AS is_match
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS fingerprint, count(*) AS n_dups, min(doc_id) AS keeper_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "minhash": f"""
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len({_TOK}) - 1, 1)),
+                       i -> array_to_string(list_slice({_TOK}, i, i + 2), ' ')
+                     )) AS shingles
+              FROM documents
+            )
+            SELECT doc_id,
+                   list_min(list_transform(shingles, s -> md5('0:' || s))) AS mh0,
+                   list_min(list_transform(shingles, s -> md5('1:' || s))) AS mh1,
+                   list_min(list_transform(shingles, s -> md5('2:' || s))) AS mh2,
+                   list_min(list_transform(shingles, s -> md5('3:' || s))) AS mh3
+            FROM sh
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH sh AS (
+              SELECT doc_id AS id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len({_TOK}) - 1, 1)),
+                       i -> array_to_string(list_slice({_TOK}, i, i + 2), ' ')
+                     )) AS s
+              FROM documents
+            )
+            SELECT a.id AS a_id, b.id AS b_id,
+                   len(list_intersect(a.s, b.s)) AS inter,
+                   len(list_distinct(list_concat(a.s, b.s))) AS union_sz
+            FROM sh a JOIN sh b ON a.id < b.id
+            WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+              AND len(list_intersect(a.s, b.s))
+                  >= len(list_distinct(list_concat(a.s, b.s))) * 0.3
+        """,
+        "token_quality": f"""
+            SELECT doc_id,
+                   len({_TOK}) AS n_tokens,
+                   length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                   len(list_filter({_TOK},
+                       t -> list_contains(['the','a','of','and','to','in','is'], t))) AS n_stopwords,
+                   CAST(list_sum(list_transform({_TOK}, t -> length(t))) AS BIGINT) AS token_chars
+            FROM documents
+        """,
+        "lang_id": f"""
+            SELECT doc_id,
+                   CASE WHEN len(list_intersect(list_distinct({_TOK}), ['the','a','of'])) > 0
+                        THEN 'en' ELSE 'und' END AS lang_pred
+            FROM documents
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(
+                       list_sum(list_transform(range(1, 65),
+                         i -> e.embedding[i]::DOUBLE * q.qvec[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+                        * sqrt(list_sum(list_transform(range(1, 65), i -> q.qvec[i]::DOUBLE * q.qvec[i]::DOUBLE)))),
+                     6) AS cos
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id <> q.query_id
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 10
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+    }

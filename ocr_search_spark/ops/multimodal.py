@@ -1,0 +1,89 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video spans are carried as ``binary`` columns with a typed
+metadata struct. The Spark-side plumbing — schema, partition-safe batch
+iteration, Arrow-friendly UDF signatures — is real and tested; the actual
+codec work (image decode, resampling, frame sampling) is STUBBED because the
+media libraries are not present in this environment: a deterministic fake
+"decode" derives stable feature values from the payload bytes so pipelines
+and tests exercise the full path, and ``decode_real`` raises
+``NotImplementedError`` where a PIL/ffmpeg call would go.
+
+Reference lineage: the reference shells out to ExifTool for metadata
+(app/services/metadata.py:8-37) and Tesseract for pixels (pdf_fast.py:
+188-201); both are process-boundary black boxes there too.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = (
+    "media_ref string, payload binary, mime string, "
+    "meta map<string,string>"
+)
+
+FEATURES_SCHEMA = (
+    "media_ref string, n_bytes long, sha1 string, "
+    "width int, height int, feature array<float>"
+)
+
+
+def decode_real(payload: bytes, mime: str):
+    """Where a real decoder (PIL / ffmpeg) would be called."""
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "use extract_media_features (deterministic stub) instead"
+    )
+
+
+def _stub_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic fake decode: stable dims + 8-dim feature from bytes."""
+    h = hashlib.sha1(payload or b"").digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    feature = [round(b / 255.0, 6) for b in h[2:10]]
+    return width, height, feature
+
+
+def media_features_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: binary payload batch → feature rows.
+
+    Batch shape is the contract a real decoder drops into: whole Arrow
+    batches in, vectorized columns out, no Spark-level per-row Python.
+    """
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        payloads = pdf["payload"].map(lambda b: bytes(b) if b is not None else b"")
+        decoded = payloads.map(_stub_decode)
+        yield pd.DataFrame(
+            {
+                "media_ref": pdf["media_ref"],
+                "n_bytes": payloads.map(len).astype("int64"),
+                "sha1": payloads.map(lambda b: hashlib.sha1(b).hexdigest()),
+                "width": decoded.map(lambda t: t[0]).astype("int32"),
+                "height": decoded.map(lambda t: t[1]).astype("int32"),
+                "feature": decoded.map(lambda t: np.array(t[2], dtype="float32")),
+            }
+        )
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """Distributed media feature extraction over a MEDIA_SCHEMA table."""
+    return media.mapInPandas(media_features_kernel, schema=FEATURES_SCHEMA)
+
+
+def synth_media_df(spark, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media table for tests/demos."""
+    rows = []
+    for i in range(n):
+        ref = f"media://synth/{i}"
+        payload = hashlib.sha1(ref.encode()).digest() * (1 + i % 5)
+        rows.append((ref, bytearray(payload), "image/png", {"idx": str(i)}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,105 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+* :func:`cosine_topk` — brute-force exact top-k: broadcast the (small) query
+  set against the corpus, dot products via higher-order functions (JVM-side,
+  no Python), per-query top-k via window rank. At 100 TB this is the
+  baseline / re-rank stage.
+* :func:`hyperplane_lsh_buckets` — random-hyperplane LSH (sign sketch):
+  deterministic pseudo-random planes derived from a seed, bucket =
+  sign-bit string; candidate generation joins on bucket equality, so the
+  shuffle is O(n) instead of O(n·q). The scale path for ANN; exactness is
+  recovered by re-ranking candidates with :func:`cosine_topk` semantics.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for every query vector.
+
+    ``queries`` is broadcast (must be driver-small); returns
+    (query_id, neighbor_id, cos) with neighbor_id != query_id, k rows per
+    query, deterministic tie-break on neighbor_id.
+    """
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    joined = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = _dot(F.col("cvec"), F.col("qvec")) / (
+        _norm(F.col("cvec")) * _norm(F.col("qvec"))
+    )
+    scored = joined.select("query_id", "neighbor_id", F.round(cos, 6).alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: str = "ann-lsh") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (Box-Muller over SHA-1 bits)."""
+    planes = []
+    for p in range(n_planes):
+        vec = []
+        for d in range(0, dim, 2):
+            h = hashlib.sha1(f"{seed}:{p}:{d}".encode()).digest()
+            u1 = (int.from_bytes(h[:8], "big") + 1) / (2**64 + 2)
+            u2 = int.from_bytes(h[8:16], "big") / 2**64
+            r = math.sqrt(-2.0 * math.log(u1))
+            vec.append(r * math.cos(2 * math.pi * u2))
+            if d + 1 < dim:
+                vec.append(r * math.sin(2 * math.pi * u2))
+        planes.append(vec[:dim])
+    return planes
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "ann-lsh",
+) -> DataFrame:
+    """Sign-sketch bucket per vector: ``bucket`` = n_planes sign bits.
+
+    Vectors in the same bucket are ANN candidates; expected bucket
+    population n/2^n_planes keeps the within-bucket join tractable.
+    """
+    planes = _planes(dim, n_planes, seed)
+    bits = []
+    for p, plane in enumerate(planes):
+        plane_lit = F.array(*[F.lit(v) for v in plane])
+        bits.append(F.when(_dot(F.col(vec_col), plane_lit) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.select(
+        F.col(id_col).alias("id"), F.concat(*bits).alias("bucket")
+    )

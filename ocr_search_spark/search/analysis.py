@@ -1,0 +1,92 @@
+"""Column-expression building blocks for the search layer.
+
+Everything here is built-in ``pyspark.sql.functions`` / higher-order array
+functions — JVM-side, whole-stage-codegen-friendly; no Python UDFs.
+
+Reference semantics being replicated:
+
+* tokenization ≈ ``to_tsvector('simple', content)`` (alembic 0001_init.py:
+  31-53): lowercase, split on non-word chars — the 'simple' config does no
+  stemming, matching a plain regex split;
+* FTS match ≈ ``search_vector @@ websearch_to_tsquery(:q)`` (search.py:51-52)
+  under AND semantics: every query term must appear;
+* rank ≈ ``ts_rank_cd`` (search.py:77) approximated as matched-terms /
+  total-terms (a deterministic, engine-portable stand-in for cover density);
+* sim ≈ pg_trgm ``similarity(content, :q)`` (search.py:78): Jaccard over
+  3-gram sets;
+* snippet ≈ ``ts_headline(... MaxFragments=3, MinWords=3 ...)``
+  (search.py:76): a window around the first term hit with ``<b>`` marks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: token delimiter — complement of [a-zа-яё0-9_] after lowercasing
+TOKEN_PATTERN = "[^a-zа-яё0-9_]+"
+
+
+def tokens_expr(col: Column | str) -> Column:
+    """Lowercased word tokens of a text column (empty strings filtered)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), TOKEN_PATTERN), lambda t: t != "")
+
+
+def trigrams_expr(col: Column | str) -> Column:
+    """Distinct character 3-grams of the lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    lc = F.lower(c)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(lc) - 2, F.lit(0))),
+            lambda i: F.substring(lc, i, 3),
+        )
+    )
+
+
+def _terms_lit(terms: list[str]) -> Column:
+    return F.array(*[F.lit(t.lower()) for t in terms])
+
+
+def fts_match(tokens: Column, terms: list[str]) -> Column:
+    """AND-semantics full-text predicate: all ``terms`` appear as tokens."""
+    return F.size(F.array_except(_terms_lit(terms), tokens)) == 0
+
+
+def rank_expr(tokens: Column, terms: list[str]) -> Column:
+    """Matched-terms / total-terms in [0, 1] (ts_rank_cd stand-in)."""
+    n = len(terms) or 1
+    return (
+        F.size(F.array_intersect(F.array_distinct(tokens), _terms_lit(terms)))
+        / F.lit(float(n))
+    )
+
+
+def trigram_sim_expr(col: Column | str, query: str) -> Column:
+    """pg_trgm-style similarity: Jaccard of 3-gram sets vs ``query``."""
+    grams = trigrams_expr(col)
+    q = query.lower()
+    q_grams = sorted({q[i : i + 3] for i in range(max(0, len(q) - 2))})
+    q_lit = F.array(*[F.lit(g) for g in q_grams]) if q_grams else F.array().cast("array<string>")
+    inter = F.size(F.array_intersect(grams, q_lit))
+    union = F.size(F.array_union(grams, q_lit))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def snippet_expr(
+    col: Column | str, term: str, width: int = 30, mark: bool = True
+) -> Column:
+    """Fragment of ``width`` chars around the first hit of ``term``.
+
+    Emulates ``ts_headline`` (search.py:76) with a single fragment; the hit
+    is wrapped in ``<b>`` marks when ``mark`` (the reference renders
+    snippet_is_html=True items, search.py:94-98).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    pos = F.locate(term.lower(), F.lower(c))  # 1-based; 0 = no hit
+    start = F.greatest(pos - width, F.lit(1))
+    frag = F.substring(c, start, F.lit(2 * width + len(term)))
+    if mark:
+        frag = F.regexp_replace(frag, f"(?i)({term})", "<b>$1</b>")
+    return F.when(pos > 0, frag).otherwise(F.lit(""))

@@ -1,0 +1,147 @@
+"""Tests for training-data operators: dedup, similarity, text analysis,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_search_spark.ops import (
+    cosine_topk,
+    exact_dedup_groups,
+    hyperplane_lsh_buckets,
+    jaccard_pairs_exact,
+    lang_id_expr,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    quality_metrics,
+    simhash_expr,
+    token_count_expr,
+)
+from ocr_search_spark.ops.multimodal import extract_media_features, synth_media_df
+from ocr_search_spark.ops.text_analysis import fingerprint_expr
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog"),
+        ("b", "the quick brown fox jumps over the lazy dog"),  # exact dup of a
+        ("c", "the quick brown fox jumps over the lazy cat today"),  # near-dup
+        ("d", "совершенно другой текст на русском языке без общих слов"),
+        ("e", "unrelated short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+class TestDedup:
+    def test_exact_groups(self, docs):
+        groups = exact_dedup_groups(docs, "doc_id", "text").collect()
+        dup = [g for g in groups if g.n_dups > 1]
+        assert len(dup) == 1 and dup[0].n_dups == 2 and dup[0].keeper_id == "a"
+        fp = hashlib.md5(
+            "the quick brown fox jumps over the lazy dog".encode()
+        ).hexdigest()
+        assert dup[0].fingerprint == fp
+
+    def test_minhash_identical_docs_identical_sigs(self, docs):
+        sig = {r.id: (r.mh0, r.mh1) for r in minhash_signatures(docs, "doc_id", "text", 2).collect()}
+        assert sig["a"] == sig["b"]
+        assert sig["a"] != sig["d"]
+
+    def test_lsh_finds_exact_and_near_dups(self, docs):
+        sig = minhash_signatures(docs, "doc_id", "text", n_hashes=8)
+        pairs = {(r.a_id, r.b_id) for r in lsh_candidate_pairs(sig, 8, 2).collect()}
+        assert ("a", "b") in pairs  # identical docs always collide
+        assert not any("d" in p for p in pairs)
+
+    def test_jaccard_pairs(self, docs):
+        pairs = {
+            (r.a_id, r.b_id): (r.inter, r["union"])
+            for r in jaccard_pairs_exact(docs, "doc_id", "text", threshold=0.5).collect()
+        }
+        assert pairs[("a", "b")][0] == pairs[("a", "b")][1]  # jaccard 1.0
+        assert all(i >= 0.5 * u for i, u in pairs.values())
+
+    def test_simhash_near_dups_close(self, docs):
+        sh = {r.doc_id: r.sh for r in docs.select("doc_id", simhash_expr(F.col("text")).alias("sh")).collect()}
+        assert sh["a"] == sh["b"]
+        ham_near = bin(sh["a"] ^ sh["c"]).count("1")
+        ham_far = bin(sh["a"] ^ sh["d"]).count("1")
+        assert ham_near < ham_far
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rng = np.random.RandomState(7)
+        base = rng.rand(20, 16).astype("float32")
+        base[1] = base[0] + 0.001  # vec 1 ~= vec 0
+        rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_cosine_topk_exact(self, emb):
+        res = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()
+        assert len(res) == 3
+        assert res[0].query_id == 0 and res[0].neighbor_id == 1  # planted NN
+        assert res[0].cos > 0.999
+        # verify against numpy
+        pdf = emb.toPandas()
+        vecs = np.stack(pdf.sort_values("vec_id")["embedding"].map(np.array))
+        cos = vecs @ vecs[0] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+        want = [i for i in np.argsort(-cos) if i != 0][:3]
+        assert [r.neighbor_id for r in res] == want
+
+    def test_lsh_buckets_group_near_vectors(self, emb):
+        b = {r.id: r.bucket for r in hyperplane_lsh_buckets(emb, dim=16, n_planes=6).collect()}
+        assert b[0] == b[1]  # planted near-identical pair shares bucket
+        assert len(b[0]) == 6 and set(b[0]) <= {"0", "1"}
+
+
+class TestTextAnalysis:
+    def test_token_count(self, docs):
+        r = docs.filter(F.col("doc_id") == "e").select(token_count_expr("text")).collect()
+        assert r[0][0] == 3
+
+    def test_lang_id(self, docs):
+        got = {r.doc_id: r.lang for r in docs.select("doc_id", lang_id_expr("text").alias("lang")).collect()}
+        assert got["a"] == "en"
+        assert got["d"] == "ru"
+
+    def test_quality_metrics(self, spark):
+        df = spark.createDataFrame([("the cat, the dog!",)], "text string")
+        m = quality_metrics("text")
+        row = df.select(*[v.alias(k) for k, v in m.items()]).collect()[0]
+        assert row.n_tokens == 4
+        assert row.n_punct == 2
+        assert row.n_stopwords == 2
+        assert row.stopword_ratio == 0.5
+        assert row.mean_word_len == pytest.approx((3 + 3 + 3 + 3) / 4)
+
+    def test_fingerprint_is_md5(self, docs):
+        r = docs.filter(F.col("doc_id") == "e").select(fingerprint_expr("text")).collect()
+        assert r[0][0] == hashlib.md5(b"unrelated short text").hexdigest()
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark):
+        media = synth_media_df(spark, n=32)
+        feats = extract_media_features(media).collect()
+        assert len(feats) == 32
+        by_ref = {r.media_ref: r for r in feats}
+        r0 = by_ref["media://synth/0"]
+        payload = hashlib.sha1(b"media://synth/0").digest()
+        assert r0.n_bytes == len(payload)
+        assert r0.sha1 == hashlib.sha1(payload).hexdigest()
+        assert 64 <= r0.width < 256 and 64 <= r0.height < 256
+        assert len(r0.feature) == 8
+
+    def test_decode_real_is_stubbed(self):
+        from ocr_search_spark.ops.multimodal import decode_real
+
+        with pytest.raises(NotImplementedError):
+            decode_real(b"bytes", "image/png")
