@@ -32,7 +32,12 @@ ILIKE_PAT = "%rc1%"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the sandbox parquet is a single row group (one split); repartition so
+    # the plan exercises all cores — at production scale the scan itself
+    # yields many splits and this exchange is unnecessary
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,21 +83,19 @@ def q_fts_count(spark, sf_dir):
 def q_fts_search_topk(spark, sf_dir):
     """Q1+Q6+Q7+Q8+Q9: match, rank, trigram sim, combined order, top-k
     (search.py:71-87). Integer (inter, union) keeps floats engine-exact."""
-    from ocr_search_spark.search.analysis import fts_match, trigrams_expr
+    from ocr_search_spark.search.analysis import fts_match, with_search_columns
 
-    d = _docs(spark, sf_dir)
+    d = with_search_columns(_docs(spark, sf_dir), "text", grams=True)
     q = TRIGRAM_QUERY.lower()
     q_grams = sorted({q[i : i + 3] for i in range(len(q) - 2)})
-    toks = _tokens("text")
-    grams = trigrams_expr("text")
     terms_arr = F.array(*[F.lit(t) for t in FTS_TERMS])
-    matched = d.filter(fts_match(toks, FTS_TERMS))
+    matched = d.filter(fts_match(F.col("toks"), FTS_TERMS))
     q_lit = F.array(*[F.lit(g) for g in q_grams])
     scored = matched.select(
         "doc_id",
-        F.size(F.array_intersect(F.array_distinct(toks), terms_arr)).alias("rank_hits"),
-        F.size(F.array_intersect(grams, q_lit)).alias("inter"),
-        F.size(F.array_union(grams, q_lit)).alias("union_sz"),
+        F.size(F.array_intersect(F.array_distinct("toks"), terms_arr)).alias("rank_hits"),
+        F.size(F.array_intersect("grams", q_lit)).alias("inter"),
+        F.size(F.array_union("grams", q_lit)).alias("union_sz"),
     )
     score = F.greatest(
         F.col("rank_hits") / F.lit(float(len(FTS_TERMS))),
@@ -140,17 +143,16 @@ def q_snippet(spark, sf_dir):
 
 def q_trigram_topk(spark, sf_dir):
     """Q7: pg_trgm similarity top-20 as integer set sizes (search.py:78)."""
-    from ocr_search_spark.search.analysis import trigrams_expr
+    from ocr_search_spark.search.analysis import with_search_columns
 
-    d = _docs(spark, sf_dir)
+    d = with_search_columns(_docs(spark, sf_dir), "text", grams=True)
     q = TRIGRAM_QUERY.lower()
     q_grams = sorted({q[i : i + 3] for i in range(len(q) - 2)})
     q_lit = F.array(*[F.lit(g) for g in q_grams])
-    grams = trigrams_expr("text")
     scored = d.select(
         "doc_id",
-        F.size(F.array_intersect(grams, q_lit)).alias("inter"),
-        F.size(F.array_union(grams, q_lit)).alias("union_sz"),
+        F.size(F.array_intersect("grams", q_lit)).alias("inter"),
+        F.size(F.array_union("grams", q_lit)).alias("union_sz"),
     )
     return scored.orderBy(
         (F.col("inter") / F.col("union_sz")).desc(), F.col("doc_id")
@@ -231,23 +233,29 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 def q_token_quality(spark, sf_dir):
     """Token counting + quality-scoring signals as integer counts."""
-    d = _docs(spark, sf_dir)
-    toks = _tokens("text")
+    from ocr_search_spark.search.analysis import with_search_columns
+
+    d = with_search_columns(_docs(spark, sf_dir), "text")
     en_stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in", "is")])
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        F.size("toks").alias("n_tokens"),
         F.length(F.regexp_replace("text", "[^.,;:!?]", "")).alias("n_punct"),
-        F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t))).alias("n_stopwords"),
-        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).alias("token_chars"),
+        F.size(F.filter("toks", lambda t: F.array_contains(en_stop, t))).alias("n_stopwords"),
+        F.aggregate("toks", F.lit(0), lambda acc, t: acc + F.length(t)).alias("token_chars"),
     )
 
 
 def q_lang_id(spark, sf_dir):
     """Heuristic language id over stopword votes (en vs other)."""
-    d = _docs(spark, sf_dir)
-    toks = F.array_distinct(_tokens("text"))
-    en = F.size(F.array_intersect(toks, F.array(F.lit("the"), F.lit("a"), F.lit("of"))))
+    from ocr_search_spark.search.analysis import with_search_columns
+
+    d = with_search_columns(_docs(spark, sf_dir), "text")
+    en = F.size(
+        F.array_intersect(
+            F.array_distinct("toks"), F.array(F.lit("the"), F.lit("a"), F.lit("of"))
+        )
+    )
     return d.select(
         "doc_id", F.when(en > 0, F.lit("en")).otherwise(F.lit("und")).alias("lang_pred")
     )
@@ -320,9 +328,11 @@ def q_html_main_content(spark, sf_dir):
 
 def q_simhash(spark, sf_dir):
     """SimHash fingerprints (32-bit) over documents."""
-    from ocr_search_spark.ops.dedup import simhash_expr
+    from ocr_search_spark.ops.dedup import simhash_df
 
-    return _docs(spark, sf_dir).select("doc_id", simhash_expr(F.col("text")).alias("simhash"))
+    return simhash_df(_docs(spark, sf_dir), "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
 
 
 def q_lsh_bands(spark, sf_dir):

@@ -1,0 +1,132 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric (BASELINE.json): end-to-end extraction throughput —
+documents/sec and spans/sec over the interleaved corpus — measured as
+scan(parquet) → salt/shuffle → vectorized extraction → parquet write
+(the full pipeline, not a kernel microbenchmark). Secondary queries cover
+the search layer and the training-data operators.
+
+The corpus is deterministic, derived from the sf's documents.parquet
+(corpus.build_document); it is materialized once to a cache dir so the
+timed section benchmarks extraction, not corpus synthesis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE_ROOT = os.environ.get(
+    "SPARK_GRAFT_CACHE", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".data")
+)
+
+
+def sf_of(sf_dir: str) -> float:
+    tail = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    try:
+        return float(tail.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def corpus_cache_path(sf_dir: str) -> str:
+    return os.path.join(CACHE_ROOT, f"corpus_{sf_dir.rstrip('/').rsplit('/', 1)[-1]}.parquet")
+
+
+def ensure_corpus(spark, sf_dir: str) -> str:
+    """Materialize the interleaved corpus parquet once per sf."""
+    from ocr_search_spark.corpus import corpus_df, n_docs_for
+
+    path = corpus_cache_path(sf_dir)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        corpus_df(spark, sf_dir, n_docs=n_docs_for(sf_dir), partitions=CPUS * 2).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def main() -> None:
+    from ocr_search_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=max(CPUS, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    corpus_path = ensure_corpus(spark, SF_DIR)
+    corpus = spark.read.parquet(corpus_path)
+    n_docs = corpus.count()
+
+    # --- q1: flagship e2e extraction (scan -> shuffle -> extract -> write)
+    from ocr_search_spark.pipeline import extract_documents
+
+    out_dir = tempfile.mkdtemp(prefix="bench_extract_")
+    t0 = time.monotonic()
+    extracted = extract_documents(corpus, num_partitions=CPUS * 2)
+    extracted.write.mode("overwrite").parquet(out_dir)
+    t_extract = time.monotonic() - t0
+    timings["extract_e2e"] = round(t_extract, 3)
+
+    res = spark.read.parquet(out_dir).agg(
+        F.count("*").alias("docs"), F.sum("n_spans").alias("spans")
+    ).collect()[0]
+    n_spans = int(res.spans)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # --- secondary queries (search layer + training-data ops)
+    qs = entrymod.queries()
+    secondary = [
+        "fts_count",
+        "fts_search_topk",
+        "trigram_topk",
+        "normalize_chain",
+        "dedup_exact",
+        "minhash",
+        "lsh_bands",
+        "token_quality",
+        "ann_cosine_topk",
+        "events_hourly",
+    ]
+    for name in secondary:
+        t0 = time.monotonic()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    docs_per_sec = n_docs / t_extract
+    spans_per_sec = n_spans / t_extract
+    print(
+        json.dumps(
+            {
+                "metric": "extract_e2e_sec",
+                "value": timings["extract_e2e"],
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_of(SF_DIR),
+                "cpus": CPUS,
+                "docs": n_docs,
+                "spans": n_spans,
+                "docs_per_sec": round(docs_per_sec, 1),
+                "spans_per_sec": round(spans_per_sec, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -12,6 +12,7 @@ from .dedup import (
     jaccard_pairs_exact,
     lsh_candidate_pairs,
     minhash_signatures,
+    simhash_df,
     simhash_expr,
 )
 from .similarity import cosine_topk, hyperplane_lsh_buckets
@@ -25,6 +26,7 @@ __all__ = [
     "jaccard_pairs_exact",
     "lsh_candidate_pairs",
     "minhash_signatures",
+    "simhash_df",
     "simhash_expr",
     "cosine_topk",
     "hyperplane_lsh_buckets",

@@ -17,16 +17,33 @@ from pyspark.sql import functions as F
 from ..search.analysis import tokens_expr
 
 
-def _shingles(col, k: int = 3):
-    """Distinct k-token shingles of a text column."""
-    toks = tokens_expr(col)
+def _shingles_of_tokens(toks, k: int = 3):
+    """Distinct k-token shingles from a *materialized* tokens column.
+
+    PLAN-SHAPE INVARIANT: ``toks`` must be an attribute (a column produced
+    by an earlier projection), never an inline ``tokens_expr(...)`` tree —
+    interpreted higher-order functions re-evaluate outer expressions once
+    per array element, turning the shingle build O(n²·tokenize) (measured
+    62× slower at 5k docs). ``toks`` is referenced k+2 times here, which
+    also stops CollapseProject from inlining a producer projection.
+
+    element_at lookups are O(k) per shingle; the short-text case is guarded
+    (Spark's sequence(1, 0) would be a *descending* sequence).
+    """
     n = F.size(toks)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        )
-    )
+
+    def shingle_at(i):
+        return F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])
+
+    return F.when(n >= k, F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n - k + 1), shingle_at)
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def _with_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, sh) with tokens materialized in their own projection first."""
+    toked = df.select(F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("toks"))
+    return toked.select("id", _shingles_of_tokens(F.col("toks"), k).alias("sh"))
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -59,17 +76,20 @@ def minhash_signatures(
     uniformity, and bit-reproducible across engines. Documents with no
     shingles get NULL components (filtered by LSH).
     """
-    sh = _shingles(F.col(text_col), shingle_k)
-
-    def hasher(prefix: str):
-        # NB: must be a 1-arg lambda — pyspark treats 2-arg HOF lambdas as
-        # (element, index) and would inject the array index.
-        return lambda s: F.md5(F.encode(F.concat(F.lit(prefix), s), "utf-8"))
-
-    cols = [F.col(id_col).alias("id")]
-    for i in range(n_hashes):
-        cols.append(F.array_min(F.transform(sh, hasher(f"{i}:"))).alias(f"mh{i}"))
-    return df.select(*cols)
+    # Explode + partial-aggregate plan: the shingle expression is evaluated
+    # exactly once per document (a projected column feeding explode_outer),
+    # the n_hashes md5s are plain codegen'd expressions per shingle row, and
+    # the groupBy ships only n_hashes 32-byte minima per doc through the
+    # shuffle (map-side combine). A HOF formulation instead inlines the
+    # O(n·k) shingle build into every signature column.
+    flat = _with_shingles(df, id_col, text_col, shingle_k).select(
+        "id", F.explode_outer("sh").alias("s")
+    )
+    aggs = [
+        F.min(F.md5(F.encode(F.concat(F.lit(f"{i}:"), F.col("s")), "utf-8"))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return flat.groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -80,22 +100,25 @@ def lsh_candidate_pairs(
     Shuffle = one groupBy per run on (band_idx, band_key); self-join happens
     only within buckets. Returns distinct (a_id, b_id) with a_id < b_id.
     """
-    bands = []
-    for b in range(0, n_hashes, band_size):
-        key = F.md5(
-            F.encode(
-                F.concat_ws("|", *[F.col(f"mh{i}") for i in range(b, b + band_size)]),
-                "utf-8",
-            )
+    # one pass: each row explodes into its (band, bucket) keys — no N-way
+    # self-union re-evaluating the signature plan per band
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.encode(
+                    F.concat_ws("|", *[F.col(f"mh{i}") for i in range(b, b + band_size)]),
+                    "utf-8",
+                )
+            ).alias("bucket"),
         )
-        bands.append(
-            signatures.filter(F.col(f"mh{b}").isNotNull()).select(
-                F.lit(b).alias("band"), key.alias("bucket"), F.col("id")
-            )
-        )
-    all_bands = bands[0]
-    for other in bands[1:]:
-        all_bands = all_bands.unionByName(other)
+        for b in range(0, n_hashes, band_size)
+    ]
+    all_bands = (
+        signatures.filter(F.col("mh0").isNotNull())
+        .select(F.col("id"), F.explode(F.array(*band_structs)).alias("bb"))
+        .select(F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"), "id")
+    )
     left = all_bands.alias("l")
     right = all_bands.alias("r")
     return (
@@ -123,7 +146,7 @@ def jaccard_pairs_exact(
     similarity is exactly reproducible; production callers should feed
     :func:`lsh_candidate_pairs` output instead of a cross join.
     """
-    sh = df.select(F.col(id_col).alias("id"), _shingles(F.col(text_col), shingle_k).alias("sh"))
+    sh = _with_shingles(df, id_col, text_col, shingle_k)
     a, b = sh.alias("a"), sh.alias("b")
     pairs = a.join(b, F.col("a.id") < F.col("b.id"))
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
@@ -139,18 +162,8 @@ def jaccard_pairs_exact(
     )
 
 
-def simhash_expr(col, bits: int = 32):
-    """SimHash of a text column over 32-bit token hashes.
-
-    Token hash = first 8 hex chars of md5 (engine-portable); each bit
-    position is voted +1/-1 by every distinct token; the sign vector forms
-    the fingerprint. Pure higher-order-function expression.
-    """
-    toks = F.array_distinct(tokens_expr(col))
-    hashed = F.transform(
-        toks,
-        lambda t: F.conv(F.substring(F.md5(F.encode(t, "utf-8")), 1, 8), 16, 10).cast("long"),
-    )
+def _simhash_of_hashes(hashed, n, bits: int = 32):
+    """SimHash accumulator from a *materialized* token-hash array column."""
 
     def voter(bit_pos: int):
         # 2-arg aggregate merge lambda; bit_pos captured via closure factory
@@ -163,4 +176,47 @@ def simhash_expr(col, bits: int = 32):
         vote = F.aggregate(hashed, F.lit(0), voter(b))
         bit = F.when(vote > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
         acc = bit if acc is None else acc + bit
-    return F.when(F.size(toks) > 0, acc).otherwise(F.lit(0).cast("long"))
+    return F.when(n > 0, acc).otherwise(F.lit(0).cast("long"))
+
+
+def simhash_df(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint per document: (id, simhash long).
+
+    Token hash = first 8 hex chars of md5 (engine-portable); each bit
+    position is voted +1/-1 by every distinct token; the sign vector forms
+    the fingerprint.
+
+    Staged projections keep every HOF lambda referencing attributes (see
+    ``_shingles_of_tokens`` plan-shape invariant): tokens → token hashes →
+    32 bit votes. Each stage's producer column is referenced ≥2 times so
+    CollapseProject cannot inline it back into a lambda.
+    """
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens_expr(F.col(text_col))).alias("toks"),
+    )
+    hashed = toked.select(
+        "id",
+        F.size("toks").alias("n"),  # second toks reference: keeps projection
+        F.transform(
+            "toks",
+            lambda t: F.conv(F.substring(F.md5(F.encode(t, "utf-8")), 1, 8), 16, 10).cast("long"),
+        ).alias("hashed"),
+    )
+    return hashed.select(
+        "id", _simhash_of_hashes(F.col("hashed"), F.col("n"), bits).alias("simhash")
+    )
+
+
+def simhash_expr(col, bits: int = 32):
+    """Single-expression SimHash (small-data/test use only).
+
+    Prefer :func:`simhash_df` in pipelines — this inline form re-evaluates
+    the tokenizer per array element under interpreted HOF semantics.
+    """
+    toks = F.array_distinct(tokens_expr(col))
+    hashed = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(F.encode(t, "utf-8")), 1, 8), 16, 10).cast("long"),
+    )
+    return _simhash_of_hashes(hashed, F.size(toks), bits)
