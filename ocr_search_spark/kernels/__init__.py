@@ -12,8 +12,11 @@ from .pdf_extract import extract_pdf_page_text
 from .ocr_stub import ocr_stub_text
 from .decode import decode_bytes
 from .dispatch import extract_texts, KNOWN_KINDS
+from .email_extract import eml_to_text
 from .lang import looks_like_russian, russian_score, russian_score_series
 from .reference_impl import extract_document_spans, extract_span_text
+from .rtf_extract import rtf_to_text
+from .xls_extract import xls_to_text
 
 __all__ = [
     "preprocess_text_layer",
@@ -30,4 +33,7 @@ __all__ = [
     "looks_like_russian",
     "russian_score",
     "russian_score_series",
+    "rtf_to_text",
+    "xls_to_text",
+    "eml_to_text",
 ]

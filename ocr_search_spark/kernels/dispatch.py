@@ -28,15 +28,23 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from .email_extract import eml_to_text
 from .html_extract import html_to_text
 from .normalize import normalize_series
 from .ocr_stub import ocr_stub_text
 from .pdf_extract import extract_pdf_page_text
+from .rtf_extract import rtf_to_text
+from .xls_extract import xls_to_text
 
 #: kinds with a dedicated kernel; anything else falls through to ``uns``.
-KNOWN_KINDS = ("txt", "docx", "pdf", "html", "image", "uns")
+#: core kinds first (FIXTURES.md §1), then the optional kinds (rtf/xls/email
+#: — bytes_xtractor.py registry 73-83).
+KNOWN_KINDS = ("txt", "docx", "pdf", "html", "image", "rtf", "xls", "email", "uns")
 
 _PASSTHROUGH = ("txt", "docx")
+
+#: per-row scalar kernels for the optional kinds (looped inside the batch)
+_SCALAR_KERNELS = {"rtf": rtf_to_text, "xls": xls_to_text, "email": eml_to_text}
 
 
 def extract_texts(
@@ -75,6 +83,11 @@ def extract_texts(
         # OCR-stub each distinct media_ref once, then broadcast back.
         uniq = {r: ocr_stub_text(r) for r in pd.unique(refs)}
         out[mask] = refs.map(uniq)
+
+    for k, kernel in _SCALAR_KERNELS.items():
+        mask = kind == k
+        if mask.any():
+            out[mask] = text[mask].map(kernel)
 
     failed = ~kind.isin(KNOWN_KINDS[:-1])  # uns + unknown kinds
     # single vectorized normalization pass over the whole batch (E18)

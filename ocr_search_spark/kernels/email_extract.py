@@ -1,0 +1,94 @@
+"""EML message extraction (operator E15).
+
+Replicates ``EMLMSGExtractor._extract_eml`` (reference: app/services/
+extractors/email.py:56-113): stdlib ``BytesParser(policy=default)``, the
+fixed Russian header template (Тема/От  /Кому/Копия/Дата — note the literal
+``"От  : "`` double space, email.py:102-108), first text/plain part as body
+else HTML flattened with a newline separator (email.py:29-35, 94), and an
+enumerated attachment-name list (email.py:96-112).
+
+MSG (Outlook OLE) parsing needs extract_msg/msg_parser, absent here and in
+scope routed to ``uns`` (SURVEY.md E16).
+"""
+
+from __future__ import annotations
+
+import re
+from email import policy
+from email.parser import BytesParser
+from html.parser import HTMLParser
+
+
+class _AllText(HTMLParser):
+    """bs4 ``get_text(separator="\\n")`` analogue: every string node,
+    unstripped, newline-joined (the reference's email HTML cleaner has no
+    drop-tags and no strip — email.py:29-35)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.parts: list[str] = []
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self.parts.append(data)
+
+
+def _email_html_to_text(html: str) -> str:
+    if not html:
+        return ""
+    p = _AllText()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        return re.sub(r"<[^>]+>", "", html)  # reference fallback email.py:35
+    return "\n".join(p.parts)
+
+
+def eml_to_text(raw: str | bytes) -> str:
+    """Flatten one RFC-822 message to the reference's text template."""
+    if not raw:
+        return ""
+    data = raw.encode("utf-8") if isinstance(raw, str) else raw
+    try:
+        msg = BytesParser(policy=policy.default).parsebytes(data)
+    except Exception:
+        return ""  # email.py:64-66
+
+    def safe(v) -> str:
+        return "" if v is None else str(v)
+
+    text_part, html_part = "", ""
+    for part in msg.walk():
+        ctype = (part.get_content_type() or "").lower()
+        if part.get_content_disposition() == "attachment":
+            continue
+        if ctype == "text/plain" and not text_part:
+            try:
+                text_part = part.get_content()
+            except Exception:
+                pass
+        elif ctype == "text/html" and not html_part:
+            try:
+                html_part = part.get_content()
+            except Exception:
+                pass
+    body = text_part or _email_html_to_text(html_part)
+
+    try:
+        atts = [a.get_filename() or "attachment" for a in msg.iter_attachments()]
+    except Exception:
+        atts = []
+
+    lines = [
+        f"Тема: {safe(msg.get('subject'))}",
+        f"От  : {safe(msg.get('from'))}",
+        f"Кому: {safe(msg.get('to'))}",
+        f"Копия: {safe(msg.get('cc'))}",
+        f"Дата: {safe(msg.get('date'))}",
+    ]
+    if body:
+        lines.append("Тело письма:\n" + body)
+    if atts:
+        lines.append("Вложения:\n" + "\n".join(f"{i+1}. {n}" for i, n in enumerate(atts)))
+    return "\n".join(lines)

@@ -16,10 +16,13 @@ from __future__ import annotations
 
 from typing import Any
 
+from .email_extract import eml_to_text
 from .html_extract import html_to_text
 from .normalize import preprocess_text_layer
 from .ocr_stub import ocr_stub_text
 from .pdf_extract import extract_pdf_page_text
+from .rtf_extract import rtf_to_text
+from .xls_extract import xls_to_text
 
 
 def extract_span_text(kind: str, text: str, media_ref: str) -> str:
@@ -34,6 +37,12 @@ def extract_span_text(kind: str, text: str, media_ref: str) -> str:
         raw = html_to_text(text)
     elif kind == "image":
         raw = ocr_stub_text(media_ref or "")
+    elif kind == "rtf":
+        raw = rtf_to_text(text)
+    elif kind == "xls":
+        raw = xls_to_text(text)
+    elif kind == "email":
+        raw = eml_to_text(text)
     else:  # uns + unknown kinds (bytes_xtractor.py:70)
         raw = ""
     return preprocess_text_layer(raw)

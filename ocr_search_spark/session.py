@@ -39,6 +39,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if os.path.isdir("/dev/shm"):
+        # local-mode analogue of NVMe shuffle volumes: spill/shuffle to tmpfs
+        # and skip compression (shuffle fits memory; CPU better spent on
+        # kernels). On a real cluster this maps to fast local disks +
+        # spark.shuffle.compress tuned to the network/disk ratio.
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local").config(
+            "spark.shuffle.compress", "false"
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

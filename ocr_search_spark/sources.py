@@ -1,0 +1,169 @@
+"""File-system ingestion sources and sinks (operators S1-S5, S8).
+
+Spark rebuild of the reference's folder-scan ingest path
+(reference: app/services/ingest_folder.py:42-145):
+
+* S1 recursive folder scan — ``binaryFile`` source with
+  ``recursiveFileLookup`` (the glob walk at ingest_folder.py:66-67);
+* S2 hidden/temp filter — names starting ``.``/``~$`` or ending ``.tmp``
+  (ingest_folder.py:37-39), expressed as Catalyst predicates on ``path``;
+* S3 extension allowlist (ingest_folder.py:53-54,74-75);
+* S5 kind detection from the extension, mirroring ``_guess_ext``
+  (app/services/bytes_xtractor.py:50-70) with the extension authoritative
+  (the reference's MIME sets match nothing real — SURVEY.md appendix) and
+  extension-less names mapped to ``uns`` instead of crashing
+  (``None.endswith`` bug, bytes_xtractor.py:54);
+* S4/E3/E12 bytes→text via the decode cascades inside an Arrow kernel;
+* S8 text sink — one ``<doc_id>.txt`` per document
+  (app/services/save_outputs.py:84-102; collision-suffix logic dropped —
+  doc ids are unique by construction).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .kernels.decode import HTML_ENCODINGS, TXT_ENCODINGS, decode_bytes
+
+#: default extension allowlist (ingest_folder.py:53-54)
+DEFAULT_ALLOWED_EXT = ("pdf", "png", "jpg", "jpeg", "docx", "xlsx")
+
+#: extension → kind, mirroring _guess_ext (bytes_xtractor.py:50-70)
+EXT_KIND = {
+    "docx": "docx",
+    "eml": "email", "msg": "email",
+    "htm": "html", "html": "html", "xhtml": "html", "xml": "html",
+    "pdf": "pdf",
+    "png": "image", "jpg": "image", "jpeg": "image", "tif": "image",
+    "tiff": "image", "bmp": "image",
+    "rtf": "rtf",
+    "txt": "txt", "csv": "txt",
+    "xlsx": "xls", "xlsm": "xls", "xls": "xls",
+}
+
+#: kinds whose payload is text decoded from bytes (vs media routed by ref)
+_TEXTUAL_KINDS = {"txt", "html", "docx", "rtf", "xls", "email", "pdf"}
+
+
+def guess_kind_expr(filename_col) -> F.Column:
+    """Column-level ``_guess_ext``: lowercase extension → kind, 'uns' else."""
+    fname = F.element_at(F.split(filename_col, "/"), -1)
+    has_ext = fname.contains(".")
+    ext = F.lower(F.element_at(F.split(fname, r"\."), -1))
+    mapping = F.create_map(*[F.lit(x) for kv in EXT_KIND.items() for x in kv])
+    return F.when(has_ext, F.coalesce(mapping[ext], F.lit("uns"))).otherwise(
+        F.lit("uns")
+    )
+
+
+def scan_folder_df(
+    spark: SparkSession,
+    path: str,
+    allowed_ext: tuple[str, ...] | None = DEFAULT_ALLOWED_EXT,
+    recursive: bool = True,
+) -> DataFrame:
+    """S1-S5: scan a folder into (path, filename, kind, size, content).
+
+    The name filters are plain Catalyst predicates — pushed into the file
+    scan's partition/file pruning where the source supports it.
+    """
+    df = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(path)
+    )
+    fname = F.element_at(F.split(F.col("path"), "/"), -1)
+    df = df.withColumn("filename", fname).filter(
+        ~F.col("filename").startswith(".")
+        & ~F.col("filename").startswith("~$")
+        & ~F.col("filename").endswith(".tmp")
+    )
+    if allowed_ext is not None:
+        ext = F.lower(F.element_at(F.split(F.col("filename"), r"\."), -1))
+        df = df.filter(F.col("filename").contains(".") & ext.isin(list(allowed_ext)))
+    return df.select(
+        "path",
+        "filename",
+        guess_kind_expr(F.col("path")).alias("kind"),
+        F.col("length").alias("size_bytes"),
+        "content",
+    )
+
+
+def _decode_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
+    pdf = batch.to_pandas()
+    texts = []
+    media_refs = []
+    for kind, content, path in zip(pdf["kind"], pdf["content"], pdf["path"]):
+        data = bytes(content) if content is not None else b""
+        if kind in _TEXTUAL_KINDS:
+            encs = HTML_ENCODINGS if kind == "html" else TXT_ENCODINGS
+            texts.append(decode_bytes(data, encs))
+            media_refs.append("")
+        elif kind == "image":
+            texts.append("")
+            media_refs.append(path)  # media routed by reference (north_star)
+        else:
+            texts.append("")
+            media_refs.append("")
+    span_type = pa.list_(
+        pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+    )
+    spans = [
+        [{"kind": k, "text": t, "media_ref": m, "offset": 0}]
+        for k, t, m in zip(pdf["kind"], texts, media_refs)
+    ]
+    return pa.RecordBatch.from_arrays(
+        [pa.array(pdf["filename"], type=pa.string()), pa.array(spans, type=span_type)],
+        names=["doc_id", "spans"],
+    )
+
+
+def folder_to_documents(scanned: DataFrame) -> DataFrame:
+    """S4 + decode: scanned files → the interleaved documents shape
+    (one span per file; a file is a single-span document)."""
+    from .corpus import SPANS_IN_SCHEMA
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if b.num_rows:
+                yield _decode_batch(b)
+
+    return scanned.mapInArrow(kernel, schema=SPANS_IN_SCHEMA)
+
+
+def write_text_sink(flat_spans: DataFrame, out_dir: str) -> int:
+    """S8: one ``<doc_id>.txt`` per document with its concatenated span
+    texts (save_outputs.py:84-102 semantics, deterministic names).
+
+    Executor-side writes to a shared directory; returns files written.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    docs = (
+        flat_spans.groupBy("doc_id")
+        .agg(F.concat_ws("\n", F.collect_list("text")).alias("text"))
+    )
+
+    def writer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                safe = str(doc_id).replace("/", "_")
+                with open(os.path.join(out_dir, f"{safe}.txt"), "w") as f:
+                    f.write(text or "")
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    counts = docs.mapInPandas(writer, "n long").agg(F.sum("n")).collect()[0][0]
+    return int(counts or 0)

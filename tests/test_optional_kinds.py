@@ -1,0 +1,100 @@
+"""Tests for the optional extraction kinds E13 (rtf), E14 (xls), E15 (email),
+and their dispatch wiring (reference registry bytes_xtractor.py:73-83)."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+
+from ocr_search_spark.kernels.dispatch import extract_texts
+from ocr_search_spark.kernels.email_extract import eml_to_text
+from ocr_search_spark.kernels.reference_impl import extract_span_text
+from ocr_search_spark.kernels.rtf_extract import rtf_to_text
+from ocr_search_spark.kernels.xls_extract import xls_to_text
+
+
+class TestRtf:
+    def test_basic(self):
+        rtf = r"{\rtf1\ansi{\fonttbl{\f0 Arial;}}Hello \b world\b0\par second line}"
+        assert rtf_to_text(rtf) == "Hello world\nsecond line"
+
+    def test_hex_and_unicode_escapes(self):
+        assert rtf_to_text(r"{\rtf1 \'cf\'f0\'e8\'e2\'e5\'f2}") == "Привет"
+        assert rtf_to_text("{\\rtf1 \\u1055?\\u1088?}") == "Пр"
+
+    def test_starred_and_destination_groups_dropped(self):
+        rtf = r"{\rtf1{\*\generator LibreOffice}{\info{\title t}}visible\tab x}"
+        assert rtf_to_text(rtf) == "visible\tx"
+
+    def test_escaped_braces(self):
+        assert rtf_to_text(r"{\rtf1 a\{b\}c\\d}") == r"a{b}c\d"
+
+    def test_not_rtf(self):
+        assert rtf_to_text("plain text") == ""
+        assert rtf_to_text("") == ""
+
+
+class TestXls:
+    def test_template(self):
+        payload = json.dumps(
+            {"sheets": {"Лист1": [["a", 1], ["b", 2]], "S2": [["x"]]}}
+        )
+        assert xls_to_text(payload) == (
+            "=== Лист: Лист1 ===\n\na\t1\nb\t2\n\n\n=== Лист: S2 ===\n\nx"
+        )
+
+    def test_bad_payload(self):
+        assert xls_to_text("not json") == ""
+        assert xls_to_text("") == ""
+
+
+class TestEmail:
+    EML = (
+        "From: alice@corp.ru\r\n"
+        "To: bob@x.io\r\n"
+        "Cc: carol@x.io\r\n"
+        "Subject: Test subject\r\n"
+        "Date: Mon, 01 Jul 2024 10:00:00 +0300\r\n"
+        "Content-Type: text/plain; charset=utf-8\r\n"
+        "\r\n"
+        "Body line 1\r\nBody line 2\r\n"
+    )
+
+    def test_template(self):
+        out = eml_to_text(self.EML)
+        lines = out.split("\n")
+        assert lines[0] == "Тема: Test subject"
+        assert lines[1] == "От  : alice@corp.ru"  # literal double space
+        assert lines[2] == "Кому: bob@x.io"
+        assert lines[3] == "Копия: carol@x.io"
+        assert lines[4].startswith("Дата: Mon, 01 Jul 2024")
+        assert "Тело письма:\nBody line 1" in out
+
+    def test_html_body_fallback(self):
+        eml = (
+            "From: a@b.c\r\nSubject: s\r\n"
+            "Content-Type: text/html; charset=utf-8\r\n\r\n"
+            "<html><body><p>para</p></body></html>\r\n"
+        )
+        assert "para" in eml_to_text(eml)
+
+    def test_garbage(self):
+        assert eml_to_text("") == ""
+
+
+class TestDispatchWiring:
+    def test_vectorized_matches_scalar_for_optional_kinds(self):
+        rows = [
+            ("rtf", r"{\rtf1 Hello\par world}", ""),
+            ("xls", json.dumps({"sheets": {"A": [["1", "2"]]}}), ""),
+            ("email", TestEmail.EML, ""),
+        ]
+        got, failed = extract_texts(
+            pd.Series([r[0] for r in rows]),
+            pd.Series([r[1] for r in rows]),
+            pd.Series([r[2] for r in rows]),
+        )
+        assert list(got) == [extract_span_text(*r) for r in rows]
+        assert list(failed) == [False, False, False]
+        assert got[0] == "Hello\nworld" or got[0] == "Hello world"

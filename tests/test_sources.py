@@ -1,0 +1,84 @@
+"""Tests for the folder-scan source chain (S1-S5) and the text sink (S8)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_search_spark.pipeline import explode_spans, extract_documents
+from ocr_search_spark.sources import (
+    folder_to_documents,
+    scan_folder_df,
+    write_text_sink,
+)
+
+
+@pytest.fixture(scope="module")
+def folder(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ingest")
+    (root / "sub").mkdir()
+    (root / "a.txt").write_text("hello world")
+    (root / "sub" / "b.txt").write_bytes("привет мир".encode("cp1251"))
+    (root / "c.html").write_text("<p>visible</p><script>no</script>")
+    (root / "noext").write_text("no extension")
+    (root / ".hidden.txt").write_text("hidden")
+    (root / "~$lock.txt").write_text("lock")
+    (root / "tempy.tmp").write_text("tmp")
+    (root / "img.png").write_bytes(b"\x89PNG fake")
+    (root / "doc.pdf").write_bytes(b"%PDF fake")
+    return str(root)
+
+
+class TestScanFolder:
+    def test_filters_and_kinds(self, spark, folder):
+        rows = {
+            r.filename: r.kind
+            for r in scan_folder_df(spark, folder, allowed_ext=None).collect()
+        }
+        assert ".hidden.txt" not in rows  # S2
+        assert "~$lock.txt" not in rows
+        assert "tempy.tmp" not in rows
+        assert rows["a.txt"] == "txt"  # S5
+        assert rows["b.txt"] == "txt"
+        assert rows["c.html"] == "html"
+        assert rows["img.png"] == "image"
+        assert rows["doc.pdf"] == "pdf"
+        assert rows["noext"] == "uns"  # extension-less → uns (bug fixed)
+
+    def test_allowlist(self, spark, folder):
+        rows = {r.filename for r in scan_folder_df(spark, folder).collect()}
+        assert rows == {"img.png", "doc.pdf"}  # default ingest allowlist
+
+    def test_recursive(self, spark, folder):
+        rows = {r.filename for r in scan_folder_df(spark, folder, None).collect()}
+        assert "b.txt" in rows  # from sub/
+
+
+class TestFolderToDocuments:
+    def test_decode_cascade_and_spans(self, spark, folder):
+        docs = folder_to_documents(scan_folder_df(spark, folder, allowed_ext=None))
+        by_id = {r.doc_id: r.spans for r in docs.collect()}
+        assert by_id["a.txt"][0]["text"] == "hello world"
+        assert by_id["b.txt"][0]["text"] == "привет мир"  # cp1251 via cascade
+        assert by_id["img.png"][0]["media_ref"].endswith("img.png")
+        assert by_id["img.png"][0]["text"] == ""
+
+    def test_end_to_end_extraction(self, spark, folder):
+        docs = folder_to_documents(scan_folder_df(spark, folder, allowed_ext=None))
+        flat = explode_spans(extract_documents(docs, num_partitions=4))
+        texts = {r.doc_id: r.text for r in flat.collect()}
+        assert texts["c.html"] == "visible"  # html boilerplate stripped
+
+
+class TestTextSink:
+    def test_one_file_per_doc(self, spark, folder, tmp_path):
+        docs = folder_to_documents(scan_folder_df(spark, folder, allowed_ext=None))
+        flat = explode_spans(extract_documents(docs, num_partitions=4))
+        out = str(tmp_path / "texts")
+        n = write_text_sink(flat, out)
+        files = set(os.listdir(out))
+        assert n == len(files)
+        assert "a.txt.txt" in files
+        assert open(os.path.join(out, "a.txt.txt")).read() == "hello world"
