@@ -394,6 +394,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _TOK = "list_filter(regexp_split_to_array(lower(text), '[^a-zа-яё0-9_]+'), x -> x <> '')"
 
 
+def _simhash_vote_sql(bits: int = 32) -> str:
+    """Bit-vote sum matching ops.dedup._simhash_of_hashes, in DuckDB SQL."""
+    terms = [
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {2 ** b} ELSE 0 END)"
+        for b in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def oracle_sql() -> dict[str, str]:
     q = TRIGRAM_QUERY.lower()
     q_grams = sorted({q[i : i + 3] for i in range(len(q) - 2)})
@@ -545,6 +555,39 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'en' ELSE 'und' END AS lang_pred
             FROM documents
         """,
+        "simhash": f"""
+            WITH toked AS (
+              SELECT doc_id, list_distinct({_TOK}) AS toks FROM documents
+            ), hashed AS (
+              SELECT doc_id, len(toks) AS n,
+                     list_transform(toks,
+                       t -> ('0x' || substring(md5(t), 1, 8))::BIGINT) AS hs
+              FROM toked
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN n > 0 THEN {_simhash_vote_sql()} ELSE 0 END AS BIGINT)
+                     AS simhash
+            FROM hashed
+        """,
+        "lsh_bands": f"""
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len({_TOK}) - 1, 1)),
+                       i -> array_to_string(list_slice({_TOK}, i, i + 2), ' ')
+                     )) AS shingles
+              FROM documents
+            ), sig AS (
+              SELECT doc_id AS id,
+                     {", ".join(f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS mh{i}" for i in range(8))}
+              FROM sh
+            ), bands AS (
+              {" UNION ALL ".join(f"SELECT id, {b} AS band, md5(mh{b} || '|' || mh{b + 1}) AS bucket FROM sig WHERE mh{b} IS NOT NULL" for b in range(0, 8, 2))}
+            )
+            SELECT DISTINCT a.id AS a_id, b.id AS b_id
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+        """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
             scored AS (
@@ -569,4 +612,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt
             FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
+        "ann_lsh_buckets": _ann_lsh_oracle_sql(),
     }
+
+
+def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 8) -> str:
+    """Hyperplane-LSH bucket oracle: the deterministic plane constants are
+    inlined as literals; sign bits concatenated exactly like
+    ops.similarity.hyperplane_lsh_buckets."""
+    from ocr_search_spark.ops.similarity import _planes
+
+    planes = _planes(dim, n_planes)
+    bit_exprs = []
+    for plane in planes:
+        dot = " + ".join(
+            f"embedding[{i + 1}]::DOUBLE * ({v!r})" for i, v in enumerate(plane)
+        )
+        bit_exprs.append(f"(CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END)")
+    bucket = " || ".join(bit_exprs)
+    return f"SELECT vec_id AS id, {bucket} AS bucket FROM embeddings"

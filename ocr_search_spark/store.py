@@ -1,0 +1,87 @@
+"""DocumentStore: the full reference lifecycle as one facade.
+
+Upload → extract → store → search (reference flow §3.1 + §3.2 of SURVEY.md:
+app/broker/workers.py:22-126 ingestion into the ``documents`` Postgres table
+with its trigger-maintained tsvector, then app/search.py:10-99 querying it).
+
+Spark shape:
+
+* ``ingest`` runs the resumable extraction (checkpoint ledger + audit) and
+  materializes two derived tables compute-once-on-write, exactly like the
+  reference's trigger (alembic 0001_init.py:36-53): a flat per-document
+  ``content`` table (span texts joined — the ``documents.content`` analogue)
+  and the inverted ``postings`` table (the tsvector analogue);
+* ``search`` mirrors ``search_documents`` semantics over the content table,
+  using the postings semi-join scale path.
+
+Table layout notes for 100 TB: all three tables are plain parquet here
+(Iceberg runtime jars are not in this sandbox); directory layout and
+append/overwrite discipline map 1:1 onto Iceberg tables — swap
+``write.parquet`` for ``writeTo(...).append()`` with a catalog configured.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipeline import explode_spans, run_extraction
+from .pipeline.checkpoint import output_path
+from .search.engine import build_postings, search_documents
+
+
+class DocumentStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # ---- paths -----------------------------------------------------------
+    @property
+    def spans_path(self) -> str:
+        return output_path(self.root)
+
+    @property
+    def content_path(self) -> str:
+        return f"{self.root}/content"
+
+    @property
+    def postings_path(self) -> str:
+        return f"{self.root}/postings"
+
+    # ---- lifecycle -------------------------------------------------------
+    def ingest(
+        self,
+        documents: DataFrame,
+        run_group: str = "ingest",
+        num_partitions: int | None = None,
+        num_groups: int = 4,
+    ) -> dict:
+        """Extract (resumably) and materialize content + postings tables."""
+        stats = run_extraction(
+            self.spark,
+            documents,
+            self.root,
+            run_group=run_group,
+            num_partitions=num_partitions,
+            num_groups=num_groups,
+        )
+        spans = self.spark.read.parquet(self.spans_path)
+        flat = explode_spans(spans)
+        content = (
+            flat.groupBy("doc_id")
+            .agg(F.concat_ws("\n", F.collect_list("text")).alias("content"))
+        )
+        content.write.mode("overwrite").parquet(self.content_path)
+        docs = self.spark.read.parquet(self.content_path)
+        build_postings(docs, "doc_id", "content").write.mode("overwrite").parquet(
+            self.postings_path
+        )
+        return stats
+
+    def search(self, q: str | None, limit: int = 25, offset: int = 0, **filters) -> dict:
+        """Reference search semantics over the stored corpus."""
+        docs = self.spark.read.parquet(self.content_path)
+        postings = self.spark.read.parquet(self.postings_path)
+        return search_documents(
+            docs, q, limit=limit, offset=offset, postings=postings, **filters
+        )

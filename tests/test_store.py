@@ -1,0 +1,54 @@
+"""End-to-end DocumentStore lifecycle: ingest → derived tables → search."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from ocr_search_spark.corpus import SPANS_IN_SCHEMA, build_local
+from ocr_search_spark.kernels import extract_document_spans
+from ocr_search_spark.store import DocumentStore
+
+
+@pytest.fixture(scope="module")
+def store(spark, base_texts, tmp_path_factory):
+    docs = build_local(base_texts, 150)
+    pdf = pd.DataFrame(
+        {"doc_id": [d["doc_id"] for d in docs], "spans": [d["spans"] for d in docs]}
+    )
+    df = spark.createDataFrame(pdf, schema=SPANS_IN_SCHEMA)
+    s = DocumentStore(spark, str(tmp_path_factory.mktemp("store")))
+    s.ingest(df, num_partitions=8, num_groups=2)
+    return s, docs
+
+
+class TestLifecycle:
+    def test_content_table_matches_golden(self, spark, store):
+        s, docs = store
+        content = {
+            r.doc_id: r.content
+            for r in spark.read.parquet(s.content_path).collect()
+        }
+        assert len(content) == len(docs)
+        d0 = docs[0]
+        golden = "\n".join(
+            sp["text"] for sp in extract_document_spans(d0["spans"])
+        )
+        assert content[d0["doc_id"]] == golden
+
+    def test_search_round_trip(self, spark, store):
+        s, docs = store
+        # pick a term guaranteed to exist: from the extracted content
+        some = spark.read.parquet(s.content_path).first().content
+        term = next(w for w in some.split() if w.isalpha() and len(w) > 3)
+        res = s.search(term, limit=5)
+        assert res["total"] >= 1
+        items = res["items"].collect()
+        assert 1 <= len(items) <= 5
+        assert all(r.rank > 0 or r.sim >= 0 for r in items)
+
+    def test_search_empty_query_latest(self, store):
+        s, docs = store
+        res = s.search("")
+        assert res["total"] == len(docs)
+        assert len(res["items"].collect()) == 10
