@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 
 from .email_extract import eml_to_text
-from .html_extract import html_to_text
+from .html_fast import html_to_text_fast
 from .normalize import normalize_series
 from .ocr_stub import ocr_stub_text
 from .pdf_extract import extract_pdf_page_text
@@ -75,7 +75,9 @@ def extract_texts(
 
     mask = kind == "html"
     if mask.any():
-        out[mask] = text[mask].map(html_to_text)
+        # fast scanner; parity with the parser-based golden path is enforced
+        # by the span-equality suite (reference_impl uses html_to_text)
+        out[mask] = text[mask].map(html_to_text_fast)
 
     mask = kind == "image"
     if mask.any():

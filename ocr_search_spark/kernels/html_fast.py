@@ -1,0 +1,92 @@
+"""Fast-path HTML visible-text scanner (same contract as html_extract.E2).
+
+``html_to_text`` (stdlib HTMLParser) costs ~70% of the extraction kernel's
+CPU; this module implements the identical observable contract with a single
+compiled-regex scan:
+
+* DROP_TAGS subtrees removed (depth-tracked, like ``decompose()``);
+* ``script``/``style`` treated as CDATA containers (content skipped to the
+  matching close tag, as tokenizers must);
+* comments stripped; entities unescaped; each text node stripped, empties
+  skipped, nodes joined with one space — ``get_text(" ", strip=True)``.
+
+The slow parser in ``html_extract`` remains the *independent golden truth*:
+the pipeline uses this fast path, the scalar reference implementation uses
+the parser path, and the span-equality suite + a dedicated parity test keep
+them identical. Any divergence is a test failure, never silent drift.
+
+Known limitation vs the parser path: attribute values containing a literal
+``>`` (quoted) end the tag early here — not emitted by any well-formed
+serializer and absent from the corpus; the parity suite pins the behaviors
+that matter.
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+
+from .html_extract import DROP_TAGS, _VOID_TAGS
+
+_TOKEN_RE = re.compile(
+    r"<!--.*?(?:-->|$)"                 # comments
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"       # CDATA sections
+    r"|<!DOCTYPE[^>]*>"                 # doctype
+    r"|<\?[^>]*>"                       # processing instructions
+    r"|<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9:-]*)[^>]*?(/?)\s*>",  # tags
+    re.DOTALL | re.IGNORECASE,
+)
+
+_CDATA_TAGS = ("script", "style")
+
+_WS_ONLY = re.compile(r"^\s*$")
+
+
+def html_to_text_fast(html: str) -> str:
+    if not html:
+        return ""
+    parts: list[str] = []
+    drop_depth = 0
+    pos = 0
+    out = parts.append
+    lower = html.lower()
+
+    for m in _TOKEN_RE.finditer(html):
+        start = m.start()
+        if start < pos:
+            continue  # match inside a region already skipped (CDATA jump)
+        if start > pos and drop_depth == 0:
+            seg = html[pos:start]
+            if not _WS_ONLY.match(seg):
+                seg = unescape(seg).strip()
+                if seg:
+                    out(seg)
+        pos = m.end()
+
+        closing, tag, selfclose = m.group(1), m.group(2), m.group(3)
+        if tag is None:
+            continue  # comment / doctype / CDATA / PI
+        tag = tag.lower()
+        if tag in _CDATA_TAGS and not closing and not selfclose:
+            # CDATA container: skip straight to its close tag
+            close = lower.find(f"</{tag}", pos)
+            if tag in DROP_TAGS:
+                pass  # content dropped entirely
+            pos = len(html) if close == -1 else lower.find(">", close) + 1
+            if pos == 0:  # no '>' after close tag
+                pos = len(html)
+            continue
+        if tag in DROP_TAGS and tag not in _VOID_TAGS:
+            if closing:
+                if drop_depth > 0:
+                    drop_depth -= 1
+            elif not selfclose:
+                drop_depth += 1
+
+    if pos < len(html) and drop_depth == 0:
+        seg = html[pos:]
+        if not _WS_ONLY.match(seg):
+            seg = unescape(seg).strip()
+            if seg:
+                out(seg)
+    return " ".join(parts)

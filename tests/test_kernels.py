@@ -172,3 +172,47 @@ class TestDispatch:
         out = extract_document_spans(spans)
         assert [s["text"] for s in out] == ["first", "second"]
         assert [s["order"] for s in out] == [0, 1]
+
+
+class TestHtmlFastParity:
+    """The fast scanner must match the parser-based golden path exactly."""
+
+    CASES = [
+        "<html><head><script>var x='<div>';</script><style>.a{}</style></head>"
+        "<body><nav><a href='/'>Home</a> <a>About</a></nav><!-- c -->"
+        "<p>Hello <b>world</b></p><div>Дом &amp; сад &lt;3</div>"
+        "<aside>side</aside><form><input></form><iframe>if</iframe>"
+        "<footer>ft</footer></body></html>",
+        "<p>  a  </p><p></p><p>b</p>",
+        "a<br>b",
+        "<div><p>unclosed",
+        "",
+        "plain no tags &amp; entity",
+        "<script>never closed",
+        "<nav><script>x</script>dropped</nav>kept",
+        "<IFRAME>upper</IFRAME>after",
+        "<svg><circle/></svg>text",
+        "<p>&nbsp;</p><p>x</p>",
+        "<meta charset='utf-8'><link rel='x'>visible",
+        "<!DOCTYPE html><html><body>doc</body></html>",
+        "<iframe/>selfclosed",
+    ]
+
+    def test_hand_cases(self):
+        from ocr_search_spark.kernels.html_fast import html_to_text_fast
+
+        for case in self.CASES:
+            assert html_to_text_fast(case) == html_to_text(case), case
+
+    def test_corpus_parity(self, base_texts=None):
+        from ocr_search_spark.corpus import build_local, load_base_texts
+        from ocr_search_spark.kernels.html_fast import html_to_text_fast
+
+        base = load_base_texts("/root/testdata/sf0.001")
+        n = 0
+        for d in build_local(base, 300):
+            for s in d["spans"]:
+                if s["kind"] == "html":
+                    assert html_to_text_fast(s["text"]) == html_to_text(s["text"])
+                    n += 1
+        assert n > 100
