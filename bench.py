@@ -72,19 +72,27 @@ def main() -> None:
     n_docs = corpus.count()
 
     # --- q1: flagship e2e extraction (scan -> shuffle -> extract -> write)
+    # one untimed warmup pass (python-worker spawn + codegen; long-lived
+    # executors on a real cluster), then the timed steady-state pass
     from ocr_search_spark.pipeline import extract_documents
 
-    out_dir = tempfile.mkdtemp(prefix="bench_extract_")
-    t0 = time.monotonic()
-    extracted = extract_documents(corpus, num_partitions=CPUS * 2)
-    extracted.write.mode("overwrite").parquet(out_dir)
-    t_extract = time.monotonic() - t0
-    timings["extract_e2e"] = round(t_extract, 3)
-
-    res = spark.read.parquet(out_dir).agg(
+    warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
+    extract_documents(corpus, num_partitions=CPUS * 2).write.mode("overwrite").parquet(
+        warm_dir
+    )
+    res = spark.read.parquet(warm_dir).agg(
         F.count("*").alias("docs"), F.sum("n_spans").alias("spans")
     ).collect()[0]
     n_spans = int(res.spans)
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
+    out_dir = tempfile.mkdtemp(prefix="bench_extract_")
+    t0 = time.monotonic()
+    extract_documents(corpus, num_partitions=CPUS * 2).write.mode("overwrite").parquet(
+        out_dir
+    )
+    t_extract = time.monotonic() - t0
+    timings["extract_e2e"] = round(t_extract, 3)
     shutil.rmtree(out_dir, ignore_errors=True)
 
     # --- secondary queries (search layer + training-data ops)

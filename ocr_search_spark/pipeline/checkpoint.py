@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .extract import extract_documents
+from ..tables import read_table, write_table
 
 LEDGER_SCHEMA = "run_group string, group_id int, run_id string, committed_at timestamp"
 
@@ -54,14 +55,14 @@ def output_path(out_dir: str) -> str:
 
 def read_ledger(spark: SparkSession, out_dir: str) -> DataFrame | None:
     try:
-        return spark.read.parquet(_ledger_path(out_dir))
+        return read_table(spark, _ledger_path(out_dir))
     except Exception:
         return None
 
 
 def read_audit(spark: SparkSession, out_dir: str) -> DataFrame | None:
     try:
-        return spark.read.parquet(_audit_path(out_dir))
+        return read_table(spark, _audit_path(out_dir))
     except Exception:
         return None
 
@@ -112,7 +113,7 @@ def run_extraction(
         grp_input = input_df.filter(group_col == g)
         extracted = extract_documents(grp_input, num_partitions).persist()
         try:
-            extracted.write.mode("append").parquet(output_path(out_dir))
+            write_table(extracted, output_path(out_dir), mode="append")
 
             wall_ms = int((time.monotonic() - t0) * 1000)
             audit = (
@@ -132,12 +133,12 @@ def run_extraction(
                     F.current_timestamp().alias("committed_at"),
                 )
             )
-            audit.coalesce(1).write.mode("append").parquet(_audit_path(out_dir))
+            write_table(audit.coalesce(1), _audit_path(out_dir), mode="append")
 
             ledger_row = spark.createDataFrame(
                 [(run_group, g, run_id)], "run_group string, group_id int, run_id string"
             ).withColumn("committed_at", F.current_timestamp())
-            ledger_row.coalesce(1).write.mode("append").parquet(_ledger_path(out_dir))
+            write_table(ledger_row.coalesce(1), _ledger_path(out_dir), mode="append")
         finally:
             extracted.unpersist()
 

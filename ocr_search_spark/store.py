@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .pipeline import explode_spans, run_extraction
+from .tables import read_table, write_table
 from .pipeline.checkpoint import output_path
 from .search.engine import build_postings, search_documents
 
@@ -65,23 +66,25 @@ class DocumentStore:
             num_partitions=num_partitions,
             num_groups=num_groups,
         )
-        spans = self.spark.read.parquet(self.spans_path)
+        spans = read_table(self.spark, self.spans_path)
         flat = explode_spans(spans)
         content = (
             flat.groupBy("doc_id")
             .agg(F.concat_ws("\n", F.collect_list("text")).alias("content"))
         )
-        content.write.mode("overwrite").parquet(self.content_path)
-        docs = self.spark.read.parquet(self.content_path)
-        build_postings(docs, "doc_id", "content").write.mode("overwrite").parquet(
-            self.postings_path
+        write_table(content, self.content_path, mode="overwrite")
+        docs = read_table(self.spark, self.content_path)
+        write_table(
+            build_postings(docs, "doc_id", "content"),
+            self.postings_path,
+            mode="overwrite",
         )
         return stats
 
     def search(self, q: str | None, limit: int = 25, offset: int = 0, **filters) -> dict:
         """Reference search semantics over the stored corpus."""
-        docs = self.spark.read.parquet(self.content_path)
-        postings = self.spark.read.parquet(self.postings_path)
+        docs = read_table(self.spark, self.content_path)
+        postings = read_table(self.spark, self.postings_path)
         return search_documents(
             docs, q, limit=limit, offset=offset, postings=postings, **filters
         )
