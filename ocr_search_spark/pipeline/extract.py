@@ -97,9 +97,14 @@ def _extract_arrow_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     extracted, failed = extract_texts(kind_pd, text.to_pandas(), media.to_pandas())
     failed_np = failed.to_numpy(dtype="int64")
 
+    # falsy kind (null or "") normalizes to 'uns', matching the scalar path
+    # (bytes_xtractor.py:70 — unknown dispatch falls through to 'uns')
+    kind_out = pc.if_else(
+        pc.or_kleene(pc.is_null(kind), pc.equal(kind, "")), pa.scalar("uns"), kind
+    )
     out_struct = pa.StructArray.from_arrays(
         [
-            pc.fill_null(kind, "uns"),
+            kind_out,
             pa.array(extracted.tolist(), type=pa.string()),
             pc.fill_null(media, ""),
             pa.array(order_in_doc.astype("int32")),
