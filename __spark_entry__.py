@@ -269,6 +269,24 @@ def q_ann_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+def q_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact form (threshold tuned to the
+    synthetic embeddings' cosine range — testdata has no true dups)."""
+    from ocr_search_spark.ops.similarity import cosine_neardup_pairs_exact
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_neardup_pairs_exact(emb, threshold=0.42)
+
+
+def q_cosine_neardup_lsh(spark, sf_dir):
+    """Embedding-cosine near-dup, LSH-blocked scale path (approximate
+    candidate recall — rows-only check by design)."""
+    from ocr_search_spark.ops.similarity import cosine_neardup_pairs_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_neardup_pairs_lsh(emb, dim=64, threshold=0.42)
+
+
 def q_events_hourly(spark, sf_dir):
     """Batch windowed aggregation: per-type hourly counts."""
     e = _events(spark, sf_dir)
@@ -375,6 +393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_quality": q_token_quality,
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "cosine_neardup": q_cosine_neardup,
+        "cosine_neardup_lsh": q_cosine_neardup_lsh,
         "events_hourly": q_events_hourly,
         # rows-only (non-SQL-expressible: extraction kernels / approx ops)
         "extract_spans": q_extract_spans,
@@ -611,6 +631,20 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "cosine_neardup": """
+            WITH v AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+            pairs AS (
+              SELECT a.id AS a_id, b.id AS b_id,
+                     round(
+                       list_sum(list_transform(range(1, 65),
+                         i -> a.e[i]::DOUBLE * b.e[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i]::DOUBLE * a.e[i]::DOUBLE)))
+                        * sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i]::DOUBLE * b.e[i]::DOUBLE)))),
+                     6) AS cos
+              FROM v a JOIN v b ON a.id < b.id
+            )
+            SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.42
         """,
         "ann_lsh_buckets": _ann_lsh_oracle_sql(),
     }

@@ -15,7 +15,12 @@ from .dedup import (
     simhash_df,
     simhash_expr,
 )
-from .similarity import cosine_topk, hyperplane_lsh_buckets
+from .similarity import (
+    cosine_neardup_pairs_exact,
+    cosine_neardup_pairs_lsh,
+    cosine_topk,
+    hyperplane_lsh_buckets,
+)
 
 __all__ = [
     "fingerprint_expr",
@@ -29,5 +34,7 @@ __all__ = [
     "simhash_df",
     "simhash_expr",
     "cosine_topk",
+    "cosine_neardup_pairs_exact",
+    "cosine_neardup_pairs_lsh",
     "hyperplane_lsh_buckets",
 ]

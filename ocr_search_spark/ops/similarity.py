@@ -82,6 +82,68 @@ def _planes(dim: int, n_planes: int, seed: str = "ann-lsh") -> list[list[float]]
     return planes
 
 
+def cosine_neardup_pairs_exact(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact all-pairs form.
+
+    Quadratic — validation/oracle scale only; the production path is
+    :func:`cosine_neardup_pairs_lsh`. Returns (a_id, b_id, cos) with
+    a_id < b_id and cos ≥ threshold.
+    """
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(b, F.col("a.id") < F.col("b.id"))
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+    return (
+        pairs.select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.round(cos, 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def cosine_neardup_pairs_lsh(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "ann-lsh",
+) -> DataFrame:
+    """Embedding-cosine near-dup, LSH-blocked scale path.
+
+    Candidate pairs come from hyperplane-bucket equality (shuffle O(n), join
+    only within buckets), then exact cosine re-ranks candidates. Recall is
+    bounded by the sketch: a pair at angle θ collides with probability
+    (1 − θ/π)^n_planes — near-dups (θ→0) almost always collide; report the
+    plane count with results when recall matters.
+    """
+    buckets = hyperplane_lsh_buckets(df, dim, n_planes, id_col, vec_col, seed)
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
+        buckets, "id"
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    )
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+    return (
+        pairs.select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.round(cos, 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     dim: int,

@@ -145,3 +145,25 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             decode_real(b"bytes", "image/png")
+
+
+class TestCosineNeardup:
+    def test_exact_finds_planted_pair(self, spark):
+        import numpy as np
+        from ocr_search_spark.ops.similarity import (
+            cosine_neardup_pairs_exact,
+            cosine_neardup_pairs_lsh,
+        )
+
+        rng = np.random.RandomState(11)
+        base = rng.rand(30, 16).astype("float32")
+        base[5] = base[4] * 1.01 + 0.0005  # planted near-dup (cos ~ 1)
+        rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+        exact = {(r.a_id, r.b_id) for r in cosine_neardup_pairs_exact(emb, 0.999).collect()}
+        assert exact == {(4, 5)}
+
+        lsh = {(r.a_id, r.b_id) for r in cosine_neardup_pairs_lsh(emb, dim=16, threshold=0.999, n_planes=6).collect()}
+        assert (4, 5) in lsh  # near-identical vectors share every sign bit
+        assert lsh <= exact  # LSH path never invents pairs (same re-rank)
