@@ -369,6 +369,16 @@ def q_ann_lsh_buckets(spark, sf_dir):
     return hyperplane_lsh_buckets(emb, dim=64, n_planes=8)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF probe-search ANN (coarse cells + exact re-rank within probed
+    cells; approximate by probe count — rows-only check)."""
+    from ocr_search_spark.ops.similarity import ivf_centroids_from_sample, ivf_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids_from_sample(emb, k=16)
+    return ivf_search(emb, emb.filter(F.col("vec_id") < 5), cents, k=10, n_probe=4)
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads → stub-decoded features."""
     from ocr_search_spark.ops.multimodal import extract_media_features, synth_media_df
@@ -403,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "lsh_bands": q_lsh_bands,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
     }
 

@@ -65,6 +65,108 @@ def cosine_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid.
+
+    ``centroids`` is a small driver-side list (broadcast as literals);
+    returns (id, centroid_id, cos). One corpus scan, no shuffle beyond the
+    final projection — the inverted-file layout is then a
+    ``partitionBy(centroid_id)`` write.
+    """
+    # Linear-size expression: one struct per centroid, array_max picks the
+    # best (struct ordering: cos first, centroid id as tiebreak). An
+    # iterative when-chain would nest the accumulated expression and double
+    # the tree per centroid — 2^k blowup that OOMs the analyzer at k=16.
+    cells = []
+    for cid, vec in centroids:
+        lit = F.array(*[F.lit(float(v)) for v in vec])
+        cos = _dot(F.col(vec_col), lit) / (_norm(F.col(vec_col)) * _norm(lit))
+        cells.append(F.struct(cos.alias("cos"), F.lit(cid).alias("cid")))
+    best = F.array_max(F.array(*cells))
+    return df.select(
+        F.col(id_col).alias("id"),
+        best["cid"].alias("centroid_id"),
+        F.round(best["cos"], 6).alias("cos"),
+    )
+
+
+def ivf_centroids_from_sample(
+    df: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse centroids: the k corpus vectors with the
+    smallest ``xxhash64(id)`` (a seeded uniform sample — no RNG state, no
+    kmeans iterations; adequate as the IVF cell seeding and fully
+    reproducible). Returns driver-side [(centroid_id, vector)].
+    """
+    rows = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id").cast("string")), F.col("id"))
+        .limit(k)
+        .collect()
+    )
+    return [(i, list(map(float, r.v))) for i, r in enumerate(rows)]
+
+
+def ivf_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe search: queries visit only their ``n_probe`` nearest cells.
+
+    Corpus side: one assignment pass (in production, a materialized
+    partitioned table — the scan then prunes to probed cells). Query side:
+    per-query probe list, joined on cell id, exact cosine re-rank, top-k.
+    """
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    ).join(
+        ivf_assign(corpus, centroids, id_col, vec_col).withColumnRenamed(
+            "id", "neighbor_id"
+        ).select("neighbor_id", "centroid_id"),
+        "neighbor_id",
+    )
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    probe_rows = []
+    for cid, vec in centroids:
+        lit = F.array(*[F.lit(float(v)) for v in vec])
+        cos = _dot(F.col("qvec"), lit) / (_norm(F.col("qvec")) * _norm(lit))
+        # ccos first: default struct ordering sorts by it
+        probe_rows.append(F.struct(cos.alias("ccos"), F.lit(cid).alias("centroid_id")))
+    probes = q.select(
+        "query_id",
+        "qvec",
+        F.explode(
+            F.slice(F.reverse(F.array_sort(F.array(*probe_rows))), 1, n_probe)
+        ).alias("p"),
+    ).select("query_id", "qvec", F.col("p.centroid_id").alias("centroid_id"))
+
+    cand = assigned.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("cvec"), F.col("qvec")) / (_norm(F.col("cvec")) * _norm(F.col("qvec")))
+    scored = cand.select("query_id", "neighbor_id", F.round(cos, 6).alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )
+
+
 def _planes(dim: int, n_planes: int, seed: str = "ann-lsh") -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (Box-Muller over SHA-1 bits)."""
     planes = []

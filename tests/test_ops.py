@@ -167,3 +167,43 @@ class TestCosineNeardup:
         lsh = {(r.a_id, r.b_id) for r in cosine_neardup_pairs_lsh(emb, dim=16, threshold=0.999, n_planes=6).collect()}
         assert (4, 5) in lsh  # near-identical vectors share every sign bit
         assert lsh <= exact  # LSH path never invents pairs (same re-rank)
+
+
+class TestIvf:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rng = np.random.RandomState(23)
+        base = rng.rand(60, 16).astype("float32")
+        base[7] = base[3] * 1.02 + 0.001  # planted NN for query 3
+        rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_assignment_deterministic_and_total(self, emb):
+        from ocr_search_spark.ops.similarity import ivf_assign, ivf_centroids_from_sample
+
+        cents = ivf_centroids_from_sample(emb, k=8)
+        assert len(cents) == 8
+        a1 = {r.id: r.centroid_id for r in ivf_assign(emb, cents).collect()}
+        a2 = {r.id: r.centroid_id for r in ivf_assign(emb, cents).collect()}
+        assert a1 == a2 and len(a1) == 60
+        assert set(a1.values()) <= set(range(8))
+
+    def test_probe_search_finds_planted_nn(self, emb):
+        from ocr_search_spark.ops.similarity import (
+            cosine_topk,
+            ivf_centroids_from_sample,
+            ivf_search,
+        )
+
+        cents = ivf_centroids_from_sample(emb, k=8)
+        q = emb.filter(F.col("vec_id") == 3)
+        res = ivf_search(emb, q, cents, k=5, n_probe=8).collect()
+        # n_probe = all cells -> identical to exact brute force
+        exact = cosine_topk(emb, q, k=5).collect()
+        assert [(r.neighbor_id, r.cos) for r in res] == [
+            (r.neighbor_id, r.cos) for r in exact
+        ]
+        assert res[0].neighbor_id == 7  # planted NN
+        # fewer probes: planted near-identical NN shares the query's cell
+        res2 = ivf_search(emb, q, cents, k=5, n_probe=2).collect()
+        assert res2[0].neighbor_id == 7
