@@ -287,6 +287,15 @@ def q_cosine_neardup_lsh(spark, sf_dir):
     return cosine_neardup_pairs_lsh(emb, dim=64, threshold=0.42)
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min) over events — analytic-window batch
+    form; the streaming twin (applyInPandasWithState, event-time timeout)
+    lives in streaming/sessionize.py and is pytest-equivalence-checked."""
+    from ocr_search_spark.streaming.sessionize import sessionize_batch
+
+    return sessionize_batch(_events(spark, sf_dir), gap_minutes=30)
+
+
 def q_events_hourly(spark, sf_dir):
     """Batch windowed aggregation: per-type hourly counts."""
     e = _events(spark, sf_dir)
@@ -406,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup": q_cosine_neardup,
         "cosine_neardup_lsh": q_cosine_neardup_lsh,
         "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
         # rows-only (non-SQL-expressible: extraction kernels / approx ops)
         "extract_spans": q_extract_spans,
         "extract_kind_stats": q_extract_kind_stats,
@@ -642,6 +652,24 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts,
+                     CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                            - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), idx AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts)
+                       AS session_idx
+              FROM flagged
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM idx GROUP BY user_id, session_idx
         """,
         "cosine_neardup": """
             WITH v AS (SELECT vec_id AS id, embedding AS e FROM embeddings),

@@ -95,3 +95,74 @@ class TestWindowedCounts:
         events = spark.read.parquet(f"{SF_DIR}/events.parquet")
         res = windowed_event_counts(events)
         assert res.agg(F.sum("cnt")).collect()[0][0] == events.count()
+
+
+class TestSessionize:
+    ROWS = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 10:10:00"),
+        (1, "2024-01-01 12:00:00"),  # > 30 min gap -> new session
+        (2, "2024-01-01 09:00:00"),
+    ]
+
+    def _events(self, spark):
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(self.ROWS, "user_id long, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    def test_batch_sessions(self, spark):
+        from ocr_search_spark.streaming.sessionize import sessionize_batch
+
+        got = {
+            (r.user_id, str(r.session_start)): (str(r.session_end), r.n_events)
+            for r in sessionize_batch(self._events(spark), gap_minutes=30).collect()
+        }
+        assert got == {
+            (1, "2024-01-01 10:00:00"): ("2024-01-01 10:10:00", 2),
+            (1, "2024-01-01 12:00:00"): ("2024-01-01 12:00:00", 1),
+            (2, "2024-01-01 09:00:00"): ("2024-01-01 09:00:00", 1),
+        }
+
+    def test_stream_sessions_match_batch(self, spark, tmp_path):
+        from ocr_search_spark.streaming.sessionize import (
+            sessionize_batch,
+            sessionize_stream,
+        )
+
+        src = str(tmp_path / "sess_events")
+        ev = self._events(spark)
+        # single file so the whole prefix is one microbatch — otherwise the
+        # 0-second watermark drops earlier events as late across batches
+        ev.coalesce(1).write.parquet(src)
+        # a late file far in the future advances the watermark so every
+        # earlier session's event-time timeout fires
+        spark.createDataFrame(
+            [(99, "2024-01-02 10:00:00")], "user_id long, ts string"
+        ).selectExpr("user_id", "cast(ts as timestamp) ts").write.mode("append").parquet(src)
+
+        stream = spark.readStream.schema("user_id long, ts timestamp").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = (
+            sessionize_stream(stream, gap_minutes=30, watermark="0 seconds")
+            .writeStream.format("memory")
+            .queryName("sessions")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r.user_id, str(r.session_start)): (str(r.session_end), r.n_events)
+            for r in spark.sql("SELECT * FROM sessions").collect()
+        }
+        want = {
+            (r.user_id, str(r.session_start)): (str(r.session_end), r.n_events)
+            for r in sessionize_batch(self._events(spark), gap_minutes=30).collect()
+        }
+        # every batch session is closed and emitted by the stream (the
+        # watermark-advancing user 99 session itself stays open)
+        for k, v in want.items():
+            assert got.get(k) == v, (k, v, got)
