@@ -110,9 +110,11 @@ def main() -> None:
         "events_hourly",
     ]
     for name in secondary:
+        # untimed warmup (codegen + python-worker/stage spin-up), then the
+        # timed steady-state run — same policy as the extraction headline
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         t0 = time.monotonic()
-        df = qs[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
 
     docs_per_sec = n_docs / t_extract
