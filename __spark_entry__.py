@@ -287,6 +287,22 @@ def q_cosine_neardup_lsh(spark, sf_dir):
     return cosine_neardup_pairs_lsh(emb, dim=64, threshold=0.42)
 
 
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 over the query terms — one-pass HOF term counts + scalar
+    corpus-stats broadcast (no explode, no wide shuffle)."""
+    from ocr_search_spark.search.ranking import bm25_scores
+
+    return bm25_scores(_docs(spark, sf_dir), FTS_TERMS)
+
+
+def q_rank_cd(spark, sf_dir):
+    """Cover-density proximity rank (ts_rank_cd analogue, search.py:77):
+    best window covering all query terms, n_terms/min_cover."""
+    from ocr_search_spark.search.ranking import cover_density_rank
+
+    return cover_density_rank(_docs(spark, sf_dir), FTS_TERMS)
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min) over events — analytic-window batch
     form; the streaming twin (applyInPandasWithState, event-time timeout)
@@ -416,6 +432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup_lsh": q_cosine_neardup_lsh,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
+        "bm25": q_bm25,
+        "rank_cd": q_rank_cd,
         # rows-only (non-SQL-expressible: extraction kernels / approx ops)
         "extract_spans": q_extract_spans,
         "extract_kind_stats": q_extract_kind_stats,
@@ -670,6 +688,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events
             FROM idx GROUP BY user_id, session_idx
+        """,
+        "bm25": f"""
+            WITH tfd AS (
+              SELECT doc_id, len({_TOK}) AS dl,
+                     len(list_filter({_TOK}, t -> t = 'spark')) AS tf0,
+                     len(list_filter({_TOK}, t -> t = 'join')) AS tf1
+              FROM documents
+            ), stats AS (
+              SELECT count(*) AS n, sum(dl) AS sumdl,
+                     sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                     sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+              FROM tfd
+            )
+            SELECT doc_id,
+                   round(
+                     ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+                       / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / (sumdl * 1.0 / n)))
+                   + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+                       / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / (sumdl * 1.0 / n))),
+                   6) AS bm25
+            FROM tfd, stats
+            WHERE tf0 > 0 OR tf1 > 0
+        """,
+        "rank_cd": f"""
+            WITH toked AS (
+              SELECT doc_id, {_TOK} AS toks FROM documents
+            ), pos0 AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       list_transform(range(1, len(toks) + 1),
+                                      i -> struct_pack(p := i - 1, term := toks[i])),
+                       s -> s.term IN ('join', 'spark'))) AS s
+              FROM toked
+            ), pos AS (
+              SELECT doc_id, s.p AS p, s.term AS term FROM pos0
+            ), covered AS (
+              SELECT doc_id, p,
+                     max(CASE WHEN term = 'join' THEN p END) OVER w AS l0,
+                     max(CASE WHEN term = 'spark' THEN p END) OVER w AS l1
+              FROM pos
+              WINDOW w AS (PARTITION BY doc_id ORDER BY p
+                           ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT doc_id,
+                   min(p - least(l0, l1) + 1) AS min_cover,
+                   round(2.0 / min(p - least(l0, l1) + 1), 6) AS rank_cd
+            FROM covered
+            WHERE l0 IS NOT NULL AND l1 IS NOT NULL
+            GROUP BY doc_id
         """,
         "cosine_neardup": """
             WITH v AS (SELECT vec_id AS id, embedding AS e FROM embeddings),

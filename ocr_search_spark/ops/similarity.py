@@ -214,36 +214,62 @@ def cosine_neardup_pairs_lsh(
     df: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_bands: int = 8,
+    band_size: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "ann-lsh",
 ) -> DataFrame:
-    """Embedding-cosine near-dup, LSH-blocked scale path.
+    """Embedding-cosine near-dup, banded-LSH scale path (OR amplification).
 
-    Candidate pairs come from hyperplane-bucket equality (shuffle O(n), join
-    only within buckets), then exact cosine re-ranks candidates. Recall is
-    bounded by the sketch: a pair at angle θ collides with probability
-    (1 − θ/π)^n_planes — near-dups (θ→0) almost always collide; report the
-    plane count with results when recall matters.
+    ``n_bands × band_size`` hyperplane sign bits are computed in one
+    projection; each band of ``band_size`` bits is a bucket key, candidates
+    are pairs colliding in *any* band (exploded band rows → shuffle
+    O(n_bands·n), join within buckets only), deduped, then exact cosine
+    re-ranks. A pair at angle θ collides per band with p = (1 − θ/π)^band_size
+    and overall with 1 − (1 − p)^n_bands — the defaults give ≥98% recall at
+    cos ≥ 0.42 and ≫99.9% for true near-dups (θ→0), vs ~3% for a single
+    8-bit bucket. Precision is unaffected (same exact re-rank).
     """
-    buckets = hyperplane_lsh_buckets(df, dim, n_planes, id_col, vec_col, seed)
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
-        buckets, "id"
+    planes = _planes(dim, n_bands * band_size, seed)
+    bits = []
+    for plane in planes:
+        plane_lit = F.array(*[F.lit(x) for x in plane])
+        bits.append(
+            F.when(_dot(F.col(vec_col), plane_lit) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+        )
+    band_keys = F.array(
+        *[
+            F.concat(F.lit(f"{b}:"), *bits[b * band_size : (b + 1) * band_size])
+            for b in range(n_bands)
+        ]
     )
-    a, b = v.alias("a"), v.alias("b")
-    pairs = a.join(
-        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.explode(band_keys).alias("band_key"),
     )
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
-    return (
-        pairs.select(
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
             F.col("a.id").alias("a_id"),
             F.col("b.id").alias("b_id"),
-            F.round(cos, 6).alias("cos"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
         )
-        .filter(F.col("cos") >= threshold)
+        .dropDuplicates(["a_id", "b_id"])
     )
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return cand.select(
+        "a_id", "b_id", F.round(cos, 6).alias("cos")
+    ).filter(F.col("cos") >= threshold)
 
 
 def hyperplane_lsh_buckets(

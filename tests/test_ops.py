@@ -164,7 +164,7 @@ class TestCosineNeardup:
         exact = {(r.a_id, r.b_id) for r in cosine_neardup_pairs_exact(emb, 0.999).collect()}
         assert exact == {(4, 5)}
 
-        lsh = {(r.a_id, r.b_id) for r in cosine_neardup_pairs_lsh(emb, dim=16, threshold=0.999, n_planes=6).collect()}
+        lsh = {(r.a_id, r.b_id) for r in cosine_neardup_pairs_lsh(emb, dim=16, threshold=0.999, n_bands=3, band_size=2).collect()}
         assert (4, 5) in lsh  # near-identical vectors share every sign bit
         assert lsh <= exact  # LSH path never invents pairs (same re-rank)
 

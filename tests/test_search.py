@@ -103,3 +103,63 @@ class TestSearchFlow:
         ).collect()[0]
         assert row.tf == 3
         assert sorted(row.positions) == [0, 2, 4]
+
+
+class TestRanking:
+    @pytest.fixture(scope="class")
+    def rdocs(self, spark):
+        rows = [
+            ("r1", "spark join now"),          # adjacent -> cover 2
+            ("r2", "spark aa bb cc join"),     # spread  -> cover 5
+            ("r3", "spark only here"),         # missing 'join' -> no rank row
+            ("r4", "spark spark join spark"),  # tf(spark)=3
+            ("r5", "zz zz zz zz"),             # no terms at all
+        ]
+        return spark.createDataFrame(rows, "doc_id string, text string")
+
+    def test_cover_density(self, rdocs):
+        from ocr_search_spark.search.ranking import cover_density_rank
+
+        got = {
+            r.doc_id: (r.min_cover, r.rank_cd)
+            for r in cover_density_rank(rdocs, ["spark", "join"]).collect()
+        }
+        assert got == {
+            "r1": (2, 1.0),
+            "r2": (5, 0.4),
+            "r4": (2, 1.0),  # best cover: 'join spark' at positions 2-3
+        }
+
+    def test_cover_density_single_term(self, rdocs):
+        from ocr_search_spark.search.ranking import cover_density_rank
+
+        got = {
+            r.doc_id: r.min_cover
+            for r in cover_density_rank(rdocs, ["join"]).collect()
+        }
+        assert got == {"r1": 1, "r2": 1, "r4": 1}
+
+    def test_bm25_ordering_and_match_set(self, rdocs):
+        from ocr_search_spark.search.ranking import bm25_scores
+
+        got = {r.doc_id: r.bm25 for r in bm25_scores(rdocs, ["spark", "join"]).collect()}
+        # every doc containing >=1 term scores; absent docs do not
+        assert set(got) == {"r1", "r2", "r3", "r4"}
+        assert all(v > 0 for v in got.values())
+        # same doc length as r1 but tf(spark)=3 > 1 -> strictly higher score;
+        # r2 matches both terms but is longer and gets length-penalized
+        assert got["r4"] > got["r1"] > got["r3"]
+
+    def test_bm25_hand_value(self, spark):
+        """Exact value check on a 2-doc corpus, computed by hand."""
+        import math
+
+        from ocr_search_spark.search.ranking import bm25_scores
+
+        docs = spark.createDataFrame(
+            [("a", "w spark w w"), ("b", "w w w w")], "doc_id string, text string"
+        )
+        got = {r.doc_id: r.bm25 for r in bm25_scores(docs, ["spark"]).collect()}
+        # N=2, df=1 -> idf = ln(1 + 1.5/1.5) = ln 2; dl=4, avgdl=4 -> denom
+        # tf + k1*(1-b+b) = 1 + 1.2 = 2.2 -> score = ln2 * 1 * 2.2/2.2 = ln2
+        assert got == {"a": round(math.log(2.0), 6)}
