@@ -279,12 +279,16 @@ def q_cosine_neardup(spark, sf_dir):
 
 
 def q_cosine_neardup_lsh(spark, sf_dir):
-    """Embedding-cosine near-dup, LSH-blocked scale path (approximate
-    candidate recall — rows-only check by design)."""
+    """Embedding-cosine near-dup, banded-LSH scale path (approximate
+    candidate recall — rows-only check by design). Short bands (8×2)
+    because the synthetic embeddings only reach cos ≈ 0.42; production
+    near-dup (cos ≥ 0.95) uses the long-band defaults."""
     from ocr_search_spark.ops.similarity import cosine_neardup_pairs_lsh
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return cosine_neardup_pairs_lsh(emb, dim=64, threshold=0.42)
+    return cosine_neardup_pairs_lsh(
+        emb, dim=64, threshold=0.42, n_bands=8, band_size=2
+    )
 
 
 def q_bm25(spark, sf_dir):

@@ -108,6 +108,9 @@ def main() -> None:
         "token_quality",
         "ann_cosine_topk",
         "events_hourly",
+        "bm25",
+        "rank_cd",
+        "sessionize",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then the

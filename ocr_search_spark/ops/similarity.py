@@ -214,8 +214,8 @@ def cosine_neardup_pairs_lsh(
     df: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    n_bands: int = 8,
-    band_size: int = 2,
+    n_bands: int = 16,
+    band_size: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "ann-lsh",
@@ -227,9 +227,16 @@ def cosine_neardup_pairs_lsh(
     are pairs colliding in *any* band (exploded band rows → shuffle
     O(n_bands·n), join within buckets only), deduped, then exact cosine
     re-ranks. A pair at angle θ collides per band with p = (1 − θ/π)^band_size
-    and overall with 1 − (1 − p)^n_bands — the defaults give ≥98% recall at
-    cos ≥ 0.42 and ≫99.9% for true near-dups (θ→0), vs ~3% for a single
-    8-bit bucket. Precision is unaffected (same exact re-rank).
+    and overall with 1 − (1 − p)^n_bands. Precision is unaffected (same
+    exact re-rank).
+
+    SIZE ``band_size`` TO THE THRESHOLD: bucket count per band is
+    2^band_size, so short bands at a low threshold degenerate toward the
+    all-pairs join. The defaults (16×8) give ~99.99% recall at cos ≥ 0.95
+    with 256 buckets/band — the production near-dup regime. A genuinely low
+    threshold (e.g. 0.42 on this repo's random test embeddings) needs short
+    bands (8×2, ≥98% recall) and pays quadratic-ish candidate cost — at that
+    point prefer :func:`ivf_search`-style coarse clustering.
     """
     planes = _planes(dim, n_bands * band_size, seed)
     bits = []

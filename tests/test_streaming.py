@@ -166,3 +166,39 @@ class TestSessionize:
         # watermark-advancing user 99 session itself stays open)
         for k, v in want.items():
             assert got.get(k) == v, (k, v, got)
+
+
+class TestDedupStream:
+    def test_drops_duplicates_within_watermark(self, spark, tmp_path):
+        from ocr_search_spark.streaming.dedup_stream import dedup_stream
+
+        src = str(tmp_path / "dedup_docs")
+        rows = [
+            ("a1", "hello world", "2024-01-01 10:00:00"),
+            ("a2", "hello world", "2024-01-01 10:05:00"),  # dup within window
+            ("b1", "something else", "2024-01-01 10:01:00"),
+            ("b2", "hello world", "2024-01-01 10:02:00"),  # dup within window
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id string, text string, ts string"
+        ).selectExpr("doc_id", "text", "cast(ts as timestamp) ts")
+        df.coalesce(1).write.parquet(src)
+
+        stream = spark.readStream.schema(
+            "doc_id string, text string, ts timestamp"
+        ).parquet(src)
+        q = (
+            dedup_stream(stream, watermark="1 hour")
+            .writeStream.format("memory")
+            .queryName("dedup_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.sql("SELECT fingerprint, doc_id FROM dedup_out").collect()
+        # exactly one survivor per distinct text; each fingerprint once
+        fps = [r.fingerprint for r in out]
+        assert len(fps) == 2 and len(set(fps)) == 2
+        survivors = {r.doc_id for r in out}
+        assert "b1" in survivors and len(survivors & {"a1", "a2", "b2"}) == 1
