@@ -163,3 +163,42 @@ class TestRanking:
         # N=2, df=1 -> idf = ln(1 + 1.5/1.5) = ln 2; dl=4, avgdl=4 -> denom
         # tf + k1*(1-b+b) = 1 + 1.2 = 2.2 -> score = ln2 * 1 * 2.2/2.2 = ln2
         assert got == {"a": round(math.log(2.0), 6)}
+
+    def test_cover_density_matches_bruteforce(self, spark):
+        """Randomized equivalence: window-function min-cover vs a scalar
+        two-pointer brute force over 200 seeded random docs."""
+        import random
+
+        rng = random.Random(1234)
+        terms = ["aa", "bb", "cc"]
+        vocab = terms + ["x", "y", "z", "w"]
+        docs = [
+            (f"d{i}", " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+            for i in range(200)
+        ]
+
+        def brute_min_cover(text):
+            toks = [t for t in text.split() if t]
+            best = None
+            for i in range(len(toks)):
+                seen = set()
+                for j in range(i, len(toks)):
+                    if toks[j] in terms:
+                        seen.add(toks[j])
+                    if len(seen) == len(terms):
+                        w = j - i + 1
+                        best = w if best is None or w < best else best
+                        break
+            return best
+
+        want = {d: brute_min_cover(t) for d, t in docs}
+        want = {d: c for d, c in want.items() if c is not None}
+
+        from ocr_search_spark.search.ranking import cover_density_rank
+
+        df = spark.createDataFrame(docs, "doc_id string, text string")
+        got = {
+            r.doc_id: r.min_cover
+            for r in cover_density_rank(df, terms).collect()
+        }
+        assert got == want
