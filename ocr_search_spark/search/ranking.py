@@ -128,10 +128,26 @@ def cover_density_rank(
     if not terms:
         raise ValueError("cover_density_rank needs at least one term")
     n_terms = len(set(terms))
+    term_list = sorted(set(terms))
     toked = docs.select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
-    pos = toked.select(
-        id_col, F.posexplode("__toks").alias("__pos", "__term")
-    ).filter(F.col("__term").isin(list(set(terms))))
+    # keep only matched (position, term) pairs INSIDE the array, then explode
+    # the tiny remainder — exploding all tokens first would amplify rows by
+    # ~1/selectivity before the filter could run
+    matched_arr = F.filter(
+        F.transform(
+            F.col("__toks"),
+            lambda t, i: F.struct(i.alias("p"), t.alias("term")),
+        ),
+        lambda s: s["term"].isin(term_list),
+    )
+    pos = (
+        toked.select(id_col, F.explode(matched_arr).alias("__s"))
+        .select(
+            id_col,
+            F.col("__s.p").alias("__pos"),
+            F.col("__s.term").alias("__term"),
+        )
+    )
     w = (
         Window.partitionBy(id_col)
         .orderBy("__pos")
