@@ -359,9 +359,12 @@ def q_html_main_content(spark, sf_dir):
     import pandas as pd
 
     docs = corpus_df(spark, sf_dir, n_docs=500)
+    # filter html spans inside the array before exploding (no row
+    # amplification for non-html spans)
     flat = docs.select(
-        "doc_id", F.explode("spans").alias("s")
-    ).filter(F.col("s.kind") == "html").select("doc_id", F.col("s.text").alias("html"))
+        "doc_id",
+        F.explode(F.filter("spans", lambda s: s["kind"] == "html")).alias("s"),
+    ).select("doc_id", F.col("s.text").alias("html"))
 
     def kern(it):
         for pdf in it:

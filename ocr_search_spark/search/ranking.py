@@ -122,8 +122,8 @@ def cover_density_rank(
     (AND semantics, matching websearch_to_tsquery + ts_rank_cd's matched
     set, search.py:51-52,77).
 
-    Plan: posexplode(tokens) → filter to query terms (tiny fraction) →
-    per-doc analytic windows (one shuffle by id) → min cover per doc.
+    Plan: array-filter matched (position, term) structs → explode the tiny
+    remainder → per-doc analytic windows (one shuffle by id) → min cover.
     """
     if not terms:
         raise ValueError("cover_density_rank needs at least one term")
