@@ -80,6 +80,23 @@ def q_fts_count(spark, sf_dir):
     )
 
 
+def q_fts_count_postings(spark, sf_dir):
+    """Q1+Q4 via the scale path: inverted postings table + broadcast
+    semi-join on query terms (the GIN-index access pattern, SCALE.md) —
+    must agree with q_fts_count's direct array match."""
+    from ocr_search_spark.search.engine import build_postings
+
+    p = build_postings(_docs(spark, sf_dir), id_col="doc_id", text_col="text")
+    terms = spark.createDataFrame([(t,) for t in set(FTS_TERMS)], "term string")
+    matched = (
+        p.join(F.broadcast(terms), "term")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("nt"))
+        .filter(F.col("nt") == len(set(FTS_TERMS)))
+    )
+    return matched.agg(F.count("*").alias("cnt"))
+
+
 def q_fts_search_topk(spark, sf_dir):
     """Q1+Q6+Q7+Q8+Q9: match, rank, trigram sim, combined order, top-k
     (search.py:71-87). Integer (inter, union) keeps floats engine-exact."""
@@ -421,6 +438,7 @@ def q_media_features(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_count": q_fts_count,
+        "fts_count_postings": q_fts_count_postings,
         "fts_search_topk": q_fts_search_topk,
         "ilike_source": q_ilike_source,
         "date_range_count": q_date_range_count,
@@ -481,6 +499,10 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "fts_count": f"""
+            SELECT count(*) AS cnt FROM documents
+            WHERE list_has_all({_TOK}, {terms_sql})
+        """,
+        "fts_count_postings": f"""
             SELECT count(*) AS cnt FROM documents
             WHERE list_has_all({_TOK}, {terms_sql})
         """,
