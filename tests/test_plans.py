@@ -87,3 +87,41 @@ class TestPartitionBalance:
         assert max(docs_counts) < 2 * mean_docs
         mean_spans = sum(span_counts) / len(span_counts)
         assert max(span_counts) < 3 * mean_spans  # giants spread, not clustered
+
+
+class TestRankingPlans:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [("d1", "spark join now"), ("d2", "x y z spark")],
+            "doc_id string, text string",
+        )
+
+    def test_bm25_broadcasts_scalar_stats(self, spark, docs):
+        """BM25 = one pass + a 1-row corpus-stats broadcast: the plan must
+        contain a broadcast join and NO generate/explode at all."""
+        from ocr_search_spark.search.ranking import bm25_scores
+
+        plan = plan_of(bm25_scores(docs, ["spark", "join"]))
+        assert "Broadcast" in plan
+        assert "Generate" not in plan  # HOF term counts, never explode
+
+    def test_rank_cd_explodes_only_matches(self, spark, docs):
+        """The explode input must be the array-filtered (pos, term) structs,
+        not the raw token array — no post-explode term filter remains."""
+        from ocr_search_spark.search.ranking import cover_density_rank
+
+        opt = optimized_of(cover_density_rank(docs, ["spark", "join"]))
+        gen_lines = [l for l in opt.splitlines() if "Generate explode" in l]
+        assert gen_lines and all("filter(" in l for l in gen_lines)
+
+    def test_sessionize_single_shuffle(self, spark):
+        """Both analytic windows and the session aggregate share the
+        user_id hash partitioning — exactly one exchange in the plan."""
+        from ocr_search_spark.streaming.sessionize import sessionize_batch
+
+        events = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00")], "user_id long, ts string"
+        ).selectExpr("user_id", "cast(ts as timestamp) ts")
+        plan = plan_of(sessionize_batch(events))
+        assert plan.count("Exchange") == 1
