@@ -81,6 +81,7 @@ def search_documents(
     limit: int = 25,
     offset: int = 0,
     postings: DataFrame | None = None,
+    rank_mode: str = "simple",
 ) -> dict:
     """Full search flow; returns ``{"total": int, "items": DataFrame}``.
 
@@ -88,6 +89,13 @@ def search_documents(
     count + latest 10; otherwise AND-match all terms, rank by
     ``GREATEST(rank, sim)`` desc (search.py:81), project
     (doc_id, snippet, rank, sim), paginate.
+
+    ``rank_mode`` selects the FTS rank term: ``"simple"`` (matched/total,
+    the engine-portable default), ``"cd"`` (cover-density proximity — the
+    closest analogue of the reference's ts_rank_cd, search.py:77) or
+    ``"bm25"`` (Okapi BM25; unbounded scale, so it dominates the trigram
+    ``sim`` term in the GREATEST combination — use when term relevance
+    should outrank fuzzy similarity).
     """
     q = (q or "").strip()
 
@@ -123,11 +131,29 @@ def search_documents(
 
     total = filtered.count()
 
-    tok = tokens_expr("content")
-    scored = filtered.select(
+    if rank_mode != "simple" and terms:
+        from .ranking import bm25_scores, cover_density_rank
+
+        if rank_mode == "cd":
+            ranks = cover_density_rank(
+                filtered, terms, id_col="doc_id", text_col="content"
+            ).select("doc_id", F.col("rank_cd").alias("__rank"))
+        elif rank_mode == "bm25":
+            ranks = bm25_scores(
+                filtered, terms, id_col="doc_id", text_col="content"
+            ).select("doc_id", F.col("bm25").alias("__rank"))
+        else:
+            raise ValueError(f"unknown rank_mode: {rank_mode!r}")
+        base = filtered.join(ranks, "doc_id", "left")
+        rank_col = F.coalesce(F.col("__rank"), F.lit(0.0))
+    else:
+        base = filtered
+        rank_col = rank_expr(tokens_expr("content"), terms)
+
+    scored = base.select(
         "doc_id",
         snippet_expr("content", terms[0] if terms else q).alias("snippet"),
-        F.round(rank_expr(tok, terms), 6).alias("rank"),
+        F.round(rank_col, 6).alias("rank"),
         F.round(trigram_sim_expr("content", q), 6).alias("sim"),
     ).withColumn("score", F.greatest("rank", "sim"))
 

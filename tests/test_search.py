@@ -202,3 +202,17 @@ class TestRanking:
             for r in cover_density_rank(df, terms).collect()
         }
         assert got == want
+
+    def test_search_rank_modes(self, spark, docs):
+        """rank_mode plugs the new scorers into the search flow; the match
+        set is identical across modes, only the rank term changes."""
+        from ocr_search_spark.search import search_documents
+
+        for mode in ("simple", "cd", "bm25"):
+            res = search_documents(docs, "spark join", rank_mode=mode)
+            ids = [r.doc_id for r in res["items"].collect()]
+            assert res["total"] == 2 and set(ids) == {"d2", "d4"}
+        # proximity: d2 has adjacent 'spark join' -> cd rank 1.0 tops
+        res = search_documents(docs, "spark join", rank_mode="cd")
+        top = res["items"].collect()[0]
+        assert top.doc_id == "d2" and top.rank == 1.0
