@@ -308,6 +308,25 @@ def q_cosine_neardup_lsh(spark, sf_dir):
     )
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by md5 hash range —
+    repeatable across runs/engines, disjoint and exhaustive."""
+    from ocr_search_spark.ops.sampling import hash_split
+
+    return hash_split(
+        _docs(spark, sf_dir), {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+def q_deterministic_sample(spark, sf_dir):
+    """Repeatable 25% hash sample (pure filter, no RNG, pushes to scan)."""
+    from ocr_search_spark.ops.sampling import deterministic_sample
+
+    return deterministic_sample(_docs(spark, sf_dir), 0.25, salt="s1").select(
+        "doc_id"
+    )
+
+
 def q_bm25(spark, sf_dir):
     """Okapi BM25 over the query terms — one-pass HOF term counts + scalar
     corpus-stats broadcast (no explode, no wide shuffle)."""
@@ -459,6 +478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "bm25": q_bm25,
         "rank_cd": q_rank_cd,
+        "hash_split": q_hash_split,
+        "deterministic_sample": q_deterministic_sample,
         # rows-only (non-SQL-expressible: extraction kernels / approx ops)
         "extract_spans": q_extract_spans,
         "extract_kind_stats": q_extract_kind_stats,
@@ -717,6 +738,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events
             FROM idx GROUP BY user_id, session_idx
+        """,
+        "hash_split": """
+            SELECT doc_id,
+                   CASE WHEN b < 8000 THEN 'train'
+                        WHEN b < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     ('0x' || substring(md5('split' || doc_id), 1, 8))::BIGINT
+                       % 10000 AS b
+              FROM documents
+            )
+        """,
+        "deterministic_sample": """
+            SELECT doc_id FROM documents
+            WHERE ('0x' || substring(md5('s1' || doc_id), 1, 8))::BIGINT
+                  % 10000 < 2500
         """,
         "bm25": f"""
             WITH tfd AS (

@@ -207,3 +207,43 @@ class TestIvf:
         # fewer probes: planted near-identical NN shares the query's cell
         res2 = ivf_search(emb, q, cents, k=5, n_probe=2).collect()
         assert res2[0].neighbor_id == 7
+
+
+class TestSampling:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [(f"doc-{i}", "t") for i in range(1000)], "doc_id string, text string"
+        )
+
+    def test_split_disjoint_exhaustive_repeatable(self, docs):
+        from ocr_search_spark.ops.sampling import hash_split
+
+        w = {"train": 0.8, "val": 0.1, "test": 0.1}
+        a = {r.doc_id: r.split for r in hash_split(docs, w).collect()}
+        b = {r.doc_id: r.split for r in hash_split(docs, w).collect()}
+        assert a == b and len(a) == 1000  # repeatable, every row labeled once
+        from collections import Counter
+
+        counts = Counter(a.values())
+        assert set(counts) == {"train", "val", "test"}
+        assert 700 <= counts["train"] <= 880  # ~800 of 1000
+        assert 60 <= counts["val"] <= 150 and 60 <= counts["test"] <= 150
+
+    def test_sample_rate_and_salt_independence(self, docs):
+        from ocr_search_spark.ops.sampling import deterministic_sample
+
+        s1 = {r.doc_id for r in deterministic_sample(docs, 0.25, salt="a").collect()}
+        s1b = {r.doc_id for r in deterministic_sample(docs, 0.25, salt="a").collect()}
+        s2 = {r.doc_id for r in deterministic_sample(docs, 0.25, salt="b").collect()}
+        assert s1 == s1b  # repeatable
+        assert 180 <= len(s1) <= 320  # ~250 of 1000
+        # different salts draw (near-)independent samples
+        overlap = len(s1 & s2) / max(len(s1), 1)
+        assert overlap < 0.5
+
+    def test_weights_must_sum_to_one(self, docs):
+        from ocr_search_spark.ops.sampling import hash_split
+
+        with pytest.raises(ValueError):
+            hash_split(docs, {"a": 0.5, "b": 0.4})
