@@ -158,6 +158,15 @@ def q_snippet(spark, sf_dir):
     return d.filter(pos > 0).select("doc_id", marked.alias("snippet"))
 
 
+def q_snippet_multi(spark, sf_dir):
+    """Q5 full shape: ts_headline MaxFragments=3 — up to three <b>-marked
+    fragments around consecutive hits, ' ... '-joined (search.py:76)."""
+    from ocr_search_spark.search.analysis import with_snippet_fragments
+
+    d = with_snippet_fragments(_docs(spark, sf_dir), "text", SNIPPET_TERM)
+    return d.filter(F.col("__sp1") > 0).select("doc_id", "snippet")
+
+
 def q_trigram_topk(spark, sf_dir):
     """Q7: pg_trgm similarity top-20 as integer set sizes (search.py:78)."""
     from ocr_search_spark.search.analysis import with_search_columns
@@ -463,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_range_count": q_date_range_count,
         "latest_k": q_latest_k,
         "snippet": q_snippet,
+        "snippet_multi": q_snippet_multi,
         "trigram_topk": q_trigram_topk,
         "normalize_chain": q_normalize_chain,
         "charset_score": q_charset_score,
@@ -557,6 +567,30 @@ def oracle_sql() -> dict[str, str]:
                    replace(substring(text, greatest(strpos(lower(text), 'spark') - 30, 1), 65),
                            'spark', '<b>spark</b>') AS snippet
             FROM documents WHERE strpos(lower(text), 'spark') > 0
+        """,
+        "snippet_multi": """
+            WITH base AS (
+              SELECT doc_id, text, lower(text) AS lc FROM documents
+            ), p1 AS (
+              SELECT *, strpos(lc, 'spark') AS sp1 FROM base
+            ), p2 AS (
+              SELECT *, CASE WHEN sp1 > 0 AND strpos(substring(lc, sp1 + 5), 'spark') > 0
+                             THEN sp1 + 4 + strpos(substring(lc, sp1 + 5), 'spark')
+                             ELSE 0 END AS sp2
+              FROM p1
+            ), p3 AS (
+              SELECT *, CASE WHEN sp2 > 0 AND strpos(substring(lc, sp2 + 5), 'spark') > 0
+                             THEN sp2 + 4 + strpos(substring(lc, sp2 + 5), 'spark')
+                             ELSE 0 END AS sp3
+              FROM p2
+            )
+            SELECT doc_id,
+                   array_to_string(list_filter([
+                     CASE WHEN sp1 > 0 THEN replace(substring(text, greatest(sp1 - 30, 1), 65), 'spark', '<b>spark</b>') END,
+                     CASE WHEN sp2 > 0 THEN replace(substring(text, greatest(sp2 - 30, 1), 65), 'spark', '<b>spark</b>') END,
+                     CASE WHEN sp3 > 0 THEN replace(substring(text, greatest(sp3 - 30, 1), 65), 'spark', '<b>spark</b>') END
+                   ], x -> x IS NOT NULL), ' ... ') AS snippet
+            FROM p3 WHERE sp1 > 0
         """,
         "trigram_topk": f"""
             SELECT doc_id,
