@@ -39,9 +39,6 @@ _TOKEN_RE = re.compile(
 
 _CDATA_TAGS = ("script", "style")
 
-_WS_ONLY = re.compile(r"^\s*$")
-
-
 def html_to_text_fast(html: str) -> str:
     if not html:
         return ""
@@ -49,26 +46,32 @@ def html_to_text_fast(html: str) -> str:
     drop_depth = 0
     pos = 0
     out = parts.append
-    lower = html.lower()
+    lower = None  # full-doc lowercase computed lazily (CDATA scan only)
 
     for m in _TOKEN_RE.finditer(html):
         start = m.start()
         if start < pos:
             continue  # match inside a region already skipped (CDATA jump)
         if start > pos and drop_depth == 0:
-            seg = html[pos:start]
-            if not _WS_ONLY.match(seg):
-                seg = unescape(seg).strip()
+            # strip first (C-level) as the emptiness prefilter; entities are
+            # rare, so unescape only on '&' — its output is re-stripped since
+            # entities can decode to whitespace (&nbsp;)
+            seg = html[pos:start].strip()
+            if seg:
+                if "&" in seg:
+                    seg = unescape(seg).strip()
                 if seg:
                     out(seg)
         pos = m.end()
 
-        closing, tag, selfclose = m.group(1), m.group(2), m.group(3)
+        closing, tag, selfclose = m.group(1, 2, 3)
         if tag is None:
             continue  # comment / doctype / CDATA / PI
         tag = tag.lower()
         if tag in _CDATA_TAGS and not closing and not selfclose:
             # CDATA container: skip straight to its close tag
+            if lower is None:
+                lower = html.lower()
             close = lower.find(f"</{tag}", pos)
             if tag in DROP_TAGS:
                 pass  # content dropped entirely
@@ -84,9 +87,10 @@ def html_to_text_fast(html: str) -> str:
                 drop_depth += 1
 
     if pos < len(html) and drop_depth == 0:
-        seg = html[pos:]
-        if not _WS_ONLY.match(seg):
-            seg = unescape(seg).strip()
+        seg = html[pos:].strip()
+        if seg:
+            if "&" in seg:
+                seg = unescape(seg).strip()
             if seg:
                 out(seg)
     return " ".join(parts)

@@ -64,6 +64,17 @@ class TestNormalize:
     )
     @settings(max_examples=200, deadline=None)
     def test_vectorized_matches_scalar(self, texts):
+        from ocr_search_spark.kernels.normalize import normalize_series_pandas
+
+        want = [preprocess_text_layer(t) for t in texts]
+        # Arrow/RE2 formulation (the production path)
+        assert list(normalize_series(pd.Series(texts, dtype=object))) == want
+        # pandas masked-pass formulation
+        assert list(normalize_series_pandas(pd.Series(texts, dtype=object))) == want
+
+    def test_sentinel_bytes_take_exact_path(self):
+        # input containing the \x02/\x03 sentinel bytes must not be corrupted
+        texts = ["a\x02b\nc", "x\x03\n\n\ny", "plain\ntext"]
         got = list(normalize_series(pd.Series(texts, dtype=object)))
         assert got == [preprocess_text_layer(t) for t in texts]
 
