@@ -317,6 +317,18 @@ def q_cosine_neardup_lsh(spark, sf_dir):
     )
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: term frequency + document frequency, top 50 terms
+    (the idf feed / tokenizer-audit artifact; map-side partial aggregation
+    means the shuffle carries per-partition partials, not token rows)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(_tokens("text")).alias("term"))
+    vocab = toks.groupBy("term").agg(
+        F.count("*").alias("tf"), F.count_distinct("doc_id").alias("df")
+    )
+    return vocab.orderBy(F.col("tf").desc(), F.col("term")).limit(50)
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test assignment by md5 hash range —
     repeatable across runs/engines, disjoint and exhaustive."""
@@ -488,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "bm25": q_bm25,
         "rank_cd": q_rank_cd,
+        "vocab_topk": q_vocab_topk,
         "hash_split": q_hash_split,
         "deterministic_sample": q_deterministic_sample,
         # rows-only (non-SQL-expressible: extraction kernels / approx ops)
@@ -772,6 +785,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events
             FROM idx GROUP BY user_id, session_idx
+        """,
+        "vocab_topk": f"""
+            SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+            FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+            GROUP BY term
+            ORDER BY tf DESC, term
+            LIMIT 50
         """,
         "hash_split": """
             SELECT doc_id,
