@@ -317,6 +317,28 @@ def q_cosine_neardup_lsh(spark, sf_dir):
     )
 
 
+def q_revenue_by_nation(spark, sf_dir):
+    """Classic relational path: fact⋈fact shuffle join + broadcast dims +
+    grouped aggregate (TPC-H Q5 shape). Revenue is summed in integer
+    ten-thousandths (prices/discounts have ≤4 decimals, so the rounded
+    product is integer-valued — exact and engine-identical; double sums
+    would differ by partial-aggregation order)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev_e4 = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev_e4).alias("revenue_e4"), F.count("*").alias("n_items"))
+    )
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary: term frequency + document frequency, top 50 terms
     (the idf feed / tokenizer-audit artifact; map-side partial aggregation
@@ -500,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "bm25": q_bm25,
         "rank_cd": q_rank_cd,
+        "revenue_by_nation": q_revenue_by_nation,
         "vocab_topk": q_vocab_topk,
         "hash_split": q_hash_split,
         "deterministic_sample": q_deterministic_sample,
@@ -785,6 +808,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events
             FROM idx GROUP BY user_id, session_idx
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                                 AS BIGINT)) AS BIGINT) AS revenue_e4,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         "vocab_topk": f"""
             SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df

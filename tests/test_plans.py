@@ -125,3 +125,12 @@ class TestRankingPlans:
         ).selectExpr("user_id", "cast(ts as timestamp) ts")
         plan = plan_of(sessionize_batch(events))
         assert plan.count("Exchange") == 1
+
+
+class TestRelationalJoin:
+    def test_revenue_joins_broadcast_dims(self, spark):
+        import __spark_entry__ as e
+
+        plan = plan_of(e.q_revenue_by_nation(spark, SF_DIR))
+        # customer and nation are broadcast-hinted dims
+        assert plan.count("BroadcastHashJoin") >= 2
