@@ -111,6 +111,8 @@ def main() -> None:
         "bm25",
         "rank_cd",
         "sessionize",
+        "vocab_topk",
+        "revenue_by_nation",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then the
