@@ -34,7 +34,8 @@ from .analysis import (
     rank_expr,
     snippet_expr,
     tokens_expr,
-    trigram_sim_expr,
+    trigram_sim_udf,
+    with_search_columns,
 )
 
 #: defaults from search.py:41-42
@@ -148,13 +149,20 @@ def search_documents(
         rank_col = F.coalesce(F.col("__rank"), F.lit(0.0))
     else:
         base = filtered
-        rank_col = rank_expr(tokens_expr("content"), terms)
+        rank_col = None  # from materialized toks below
 
+    # materialize toks first — inline split() inside HOF lambdas would
+    # re-evaluate per array element; and score trigram similarity with the
+    # Arrow-batched UDF: document-length content makes the interpreted
+    # gram-array transform ~100× slower (see trigram_sim_udf)
+    base = with_search_columns(base, "content")
+    if rank_col is None:
+        rank_col = rank_expr(F.col("toks"), terms)
     scored = base.select(
         "doc_id",
         snippet_expr("content", terms[0] if terms else q).alias("snippet"),
         F.round(rank_col, 6).alias("rank"),
-        F.round(trigram_sim_expr("content", q), 6).alias("sim"),
+        F.round(trigram_sim_udf(q)(F.col("content")), 6).alias("sim"),
     ).withColumn("score", F.greatest("rank", "sim"))
 
     ordered = scored.orderBy(F.col("score").desc(), F.col("doc_id"))

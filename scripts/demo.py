@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""End-to-end walkthrough: everything a reference (ocr-search) user does,
+on the Spark engine — runnable as a plain script or via spark-submit:
+
+    spark-submit --master 'local[8]' --py-files ocr_search_spark.zip \
+        scripts/demo.py [sf_dir] [workdir]
+
+Flow: build the interleaved corpus → resumable salted extraction (audit +
+ledger) → content/postings tables → searches (FTS + filters, three rank
+modes) → training-data ops (dedup report, near-dup pairs, train/val/test
+split) — printing a few rows of each.
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    workdir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="demo_store_")
+
+    spark = SparkSession.builder.appName("ocr-search-spark-demo").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from ocr_search_spark.corpus import corpus_df
+    from ocr_search_spark.ops.dedup import exact_dedup_groups
+    from ocr_search_spark.ops.sampling import hash_split
+    from ocr_search_spark.pipeline import read_audit
+    from ocr_search_spark.store import DocumentStore
+
+    print(f"== ingest ({sf_dir} -> {workdir})")
+    store = DocumentStore(spark, workdir)
+    docs = corpus_df(spark, sf_dir, n_docs=1000)
+    stats = store.ingest(docs, run_group="demo")
+    print(stats)
+    read_audit(spark, workdir).select(
+        "run_id", "partition_id", "docs", "spans", "failures"
+    ).show(4)
+
+    print("== search: FTS AND-match, three rank modes")
+    for mode in ("simple", "cd", "bm25"):
+        res = store.search("spark join", limit=3, rank_mode=mode)
+        print(f"-- rank_mode={mode}: total={res['total']}")
+        res["items"].show(3, truncate=60)
+
+    print("== search: empty query -> latest-10 semantics")
+    res = store.search(None)
+    print(f"total={res['total']}")
+    res["items"].show(3, truncate=60)
+
+    print("== dedup report (exact, md5 fingerprint)")
+    content = spark.read.parquet(store.content_path)
+    groups = exact_dedup_groups(content, "doc_id", "content")
+    groups.filter(F.col("n_dups") > 1).orderBy(F.col("n_dups").desc()).show(5)
+
+    print("== train/val/test split (deterministic hash ranges)")
+    hash_split(content, {"train": 0.8, "val": 0.1, "test": 0.1}).groupBy(
+        "split"
+    ).count().orderBy("split").show()
+
+    print("== re-ingest: checkpoint ledger skips committed groups")
+    print(store.ingest(docs, run_group="demo"))
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
