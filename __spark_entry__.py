@@ -386,6 +386,16 @@ def q_rank_cd(spark, sf_dir):
     return cover_density_rank(_docs(spark, sf_dir), FTS_TERMS)
 
 
+def q_events_rollup(spark, sf_dir):
+    """Hierarchical rollup: per-(type, day) counts plus per-type and grand
+    totals in one pass (GROUPING SETS — map-side partial aggs per set)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.rollup("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min) over events — analytic-window batch
     form; the streaming twin (applyInPandasWithState, event-time timeout)
@@ -519,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup": q_cosine_neardup,
         "cosine_neardup_lsh": q_cosine_neardup_lsh,
         "events_hourly": q_events_hourly,
+        "events_rollup": q_events_rollup,
         "sessionize": q_sessionize,
         "bm25": q_bm25,
         "rank_cd": q_rank_cd,
@@ -790,6 +801,11 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "events_rollup": """
+            SELECT event_type, date_trunc('day', ts) AS day, count(*) AS cnt
+            FROM events
+            GROUP BY ROLLUP (event_type, date_trunc('day', ts))
         """,
         "sessionize": """
             WITH flagged AS (
