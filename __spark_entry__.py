@@ -272,6 +272,25 @@ def q_token_quality(spark, sf_dir):
     )
 
 
+def q_quality_filter(spark, sf_dir):
+    """Composed training-data quality gate: min length + stopword-ratio +
+    punctuation-ratio thresholds (integer-scaled predicates, no floats).
+    Keeps ~half the synthetic corpus — a realistic pretraining filter."""
+    from ocr_search_spark.search.analysis import with_search_columns
+
+    d = with_search_columns(_docs(spark, sf_dir), "text")
+    en_stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in", "is")])
+    n_tokens = F.size("toks")
+    n_stop = F.size(F.filter("toks", lambda t: F.array_contains(en_stop, t)))
+    n_punct = F.length(F.regexp_replace("text", "[^.,;:!?]", ""))
+    keep = (
+        (n_tokens >= 30)
+        & (n_stop * 20 >= n_tokens)
+        & (n_punct * 10 <= n_tokens * 3)
+    )
+    return d.filter(keep).select("doc_id", n_tokens.alias("n_tokens"))
+
+
 def q_lang_id(spark, sf_dir):
     """Heuristic language id over stopword votes (en vs other)."""
     from ocr_search_spark.search.analysis import with_search_columns
@@ -525,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "token_quality": q_token_quality,
         "lang_id": q_lang_id,
+        "quality_filter": q_quality_filter,
         "ann_cosine_topk": q_ann_cosine_topk,
         "cosine_neardup": q_cosine_neardup,
         "cosine_neardup_lsh": q_cosine_neardup_lsh,
@@ -744,6 +764,19 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN len(list_intersect(list_distinct({_TOK}), ['the','a','of'])) > 0
                         THEN 'en' ELSE 'und' END AS lang_pred
             FROM documents
+        """,
+        "quality_filter": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     len({_TOK}) AS n_tokens,
+                     len(list_filter({_TOK},
+                         t -> list_contains(['the','a','of','and','to','in','is'], t))) AS n_stop,
+                     length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+              FROM documents
+            )
+            SELECT doc_id, n_tokens FROM t
+            WHERE n_tokens >= 30 AND n_stop * 20 >= n_tokens
+              AND n_punct * 10 <= n_tokens * 3
         """,
         "simhash": f"""
             WITH toked AS (
