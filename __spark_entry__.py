@@ -520,10 +520,23 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing: binary payloads → stub-decoded features."""
+    """Multimodal plumbing: binary payloads → stub-decoded features.
+
+    The feature array is projected to scalar f0..f7 doubles — the harness
+    canonicalizer sorts result columns with pandas, which cannot hash list
+    cells; scalars also make the DuckDB oracle exact (float32 storage of a
+    6-decimal value round-trips through round(x, 6), verified for all byte
+    values)."""
     from ocr_search_spark.ops.multimodal import extract_media_features, synth_media_df
 
-    return extract_media_features(synth_media_df(spark, n=64))
+    feats = extract_media_features(synth_media_df(spark, n=64))
+    f_cols = [
+        F.round(F.element_at(F.col("feature"), k + 1).cast("double"), 6).alias(f"f{k}")
+        for k in range(8)
+    ]
+    return feats.select(
+        "media_ref", "n_bytes", "fingerprint", "width", "height", *f_cols
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -957,7 +970,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.42
         """,
         "ann_lsh_buckets": _ann_lsh_oracle_sql(),
+        "media_features": _media_features_oracle_sql(),
     }
+
+
+def _media_features_oracle_sql(n: int = 64) -> str:
+    """Rebuilds the synthetic media table and the stub decode entirely in
+    SQL: payload = repeat(unhex(md5(ref)), 1 + i % 5); every derived value
+    is a function of md5(hex(payload)) hex pairs (ops/multimodal.py)."""
+    f_cols = ",\n                   ".join(
+        f"round(('0x' || substring(fingerprint, {5 + 2 * k}, 2))::INT / 255.0, 6) AS f{k}"
+        for k in range(8)
+    )
+    return f"""
+        WITH refs AS (
+          SELECT 'media://synth/' || i AS media_ref, 1 + i % 5 AS reps
+          FROM range({n}) t(i)
+        ), pay AS (
+          SELECT media_ref, repeat(unhex(md5(media_ref)), reps) AS payload
+          FROM refs
+        ), fp AS (
+          SELECT media_ref,
+                 CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+                 md5(hex(payload)) AS fingerprint
+          FROM pay
+        )
+        SELECT media_ref, n_bytes, fingerprint,
+               64 + (('0x' || substring(fingerprint, 1, 2))::INT % 192) AS width,
+               64 + (('0x' || substring(fingerprint, 3, 2))::INT % 192) AS height,
+               {f_cols}
+        FROM fp
+    """
 
 
 def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 8) -> str:

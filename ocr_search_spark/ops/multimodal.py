@@ -9,6 +9,11 @@ media libraries are not present in this environment: a deterministic fake
 and tests exercise the full path, and ``decode_real`` raises
 ``NotImplementedError`` where a PIL/ffmpeg call would go.
 
+The stub's hash basis is ``md5(HEX(payload))`` — the hex detour keeps every
+derived value (fingerprint, dims, feature vector) reproducible in any SQL
+engine whose md5 only accepts strings (DuckDB), so the whole operator is
+oracle-checkable end to end.
+
 Reference lineage: the reference shells out to ExifTool for metadata
 (app/services/metadata.py:8-37) and Tesseract for pixels (pdf_fast.py:
 188-201); both are process-boundary black boxes there too.
@@ -29,7 +34,7 @@ MEDIA_SCHEMA = (
 )
 
 FEATURES_SCHEMA = (
-    "media_ref string, n_bytes long, sha1 string, "
+    "media_ref string, n_bytes long, fingerprint string, "
     "width int, height int, feature array<float>"
 )
 
@@ -42,9 +47,22 @@ def decode_real(payload: bytes, mime: str):
     )
 
 
+def payload_fingerprint(payload: bytes) -> str:
+    """Engine-portable content hash: md5 over the uppercase hex encoding.
+
+    Equals ``md5(hex(payload))`` in Spark SQL and DuckDB (both emit
+    uppercase hex), so dedup/lineage joins on it are oracle-checkable.
+    """
+    return hashlib.md5((payload or b"").hex().upper().encode()).hexdigest()
+
+
 def _stub_decode(payload: bytes) -> tuple[int, int, list[float]]:
-    """Deterministic fake decode: stable dims + 8-dim feature from bytes."""
-    h = hashlib.sha1(payload or b"").digest()
+    """Deterministic fake decode: stable dims + 8-dim feature from bytes.
+
+    Derivation bytes are the fingerprint digest, so every value is a pure
+    function of the payload reproducible as SQL over hex pairs.
+    """
+    h = bytes.fromhex(payload_fingerprint(payload))
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
     feature = [round(b / 255.0, 6) for b in h[2:10]]
@@ -66,7 +84,7 @@ def media_features_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
             {
                 "media_ref": pdf["media_ref"],
                 "n_bytes": payloads.map(len).astype("int64"),
-                "sha1": payloads.map(lambda b: hashlib.sha1(b).hexdigest()),
+                "fingerprint": payloads.map(payload_fingerprint),
                 "width": decoded.map(lambda t: t[0]).astype("int32"),
                 "height": decoded.map(lambda t: t[1]).astype("int32"),
                 "feature": decoded.map(lambda t: np.array(t[2], dtype="float32")),
@@ -80,10 +98,14 @@ def extract_media_features(media: DataFrame) -> DataFrame:
 
 
 def synth_media_df(spark, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table for tests/demos."""
+    """Deterministic synthetic media table for tests/demos.
+
+    Payload = md5 digest of the ref, repeated 1 + i % 5 times — 16·reps
+    bytes, reconstructible in SQL as ``repeat(unhex(md5(ref)), reps)``.
+    """
     rows = []
     for i in range(n):
         ref = f"media://synth/{i}"
-        payload = hashlib.sha1(ref.encode()).digest() * (1 + i % 5)
+        payload = bytes.fromhex(hashlib.md5(ref.encode()).hexdigest()) * (1 + i % 5)
         rows.append((ref, bytearray(payload), "image/png", {"idx": str(i)}))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

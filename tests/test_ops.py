@@ -134,9 +134,10 @@ class TestMultimodal:
         assert len(feats) == 32
         by_ref = {r.media_ref: r for r in feats}
         r0 = by_ref["media://synth/0"]
-        payload = hashlib.sha1(b"media://synth/0").digest()
+        payload = bytes.fromhex(hashlib.md5(b"media://synth/0").hexdigest())
         assert r0.n_bytes == len(payload)
-        assert r0.sha1 == hashlib.sha1(payload).hexdigest()
+        expected_fp = hashlib.md5(payload.hex().upper().encode()).hexdigest()
+        assert r0.fingerprint == expected_fp
         assert 64 <= r0.width < 256 and 64 <= r0.height < 256
         assert len(r0.feature) == 8
 
