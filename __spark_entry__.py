@@ -970,8 +970,150 @@ def oracle_sql() -> dict[str, str]:
             SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.42
         """,
         "ann_lsh_buckets": _ann_lsh_oracle_sql(),
+        "ann_ivf_topk": _ann_ivf_oracle_sql(),
+        "cosine_neardup_lsh": _cosine_neardup_lsh_oracle_sql(),
         "media_features": _media_features_oracle_sql(),
+        "extract_spans": f"""
+            SELECT doc_id, kind, text, media_ref, "order"
+            FROM read_parquet('{_golden_spans_parquet()}')
+        """,
+        "extract_kind_stats": f"""
+            SELECT kind, count(*) AS n_spans,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars
+            FROM read_parquet('{_golden_spans_parquet()}')
+            GROUP BY kind
+        """,
     }
+
+
+def _golden_spans_parquet(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Golden flat span table for the sf0.01 correctness run, built by the
+    scalar reference implementation (kernels/reference_impl.py) — a fully
+    independent code path from the vectorized Arrow pipeline. Cached under
+    .data/ (gitignored); regenerated deterministically on demand."""
+    import os
+
+    out = "/root/repo/.data/golden_spans_sf0.01.parquet"
+    if os.path.exists(out):
+        return out
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_search_spark.corpus import build_document, load_base_texts
+    from ocr_search_spark.kernels.reference_impl import extract_document_spans
+
+    base = load_base_texts(sf_dir)
+    doc_ids, kinds, texts, refs, orders = [], [], [], [], []
+    for i in range(2000):  # must match q_extract_spans's n at sf0.01
+        doc = build_document(i, base)
+        for s in extract_document_spans(doc["spans"]):
+            doc_ids.append(doc["doc_id"])
+            kinds.append(s["kind"])
+            texts.append(s["text"])
+            refs.append(s["media_ref"])
+            orders.append(s["order"])
+    table = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "kind": pa.array(kinds, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "media_ref": pa.array(refs, pa.string()),
+            "order": pa.array(orders, pa.int32()),
+        }
+    )
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    tmp = out + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, out)
+    return out
+
+
+def _dd_cos(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB cosine between two list columns, expression-shape-identical to
+    ops.similarity._dot/_norm (sequential left fold → bit-identical doubles)."""
+    dot = f"list_sum(list_transform(range(1, {dim + 1}), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    na = f"sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
+    nb = f"sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))"
+    return f"({dot} / ({na} * {nb}))"
+
+
+def _ann_ivf_oracle_sql(k_cent: int = 16, n_probe: int = 4, k: int = 10) -> str:
+    """Full IVF probe-search oracle: centroid selection (smallest md5(id)),
+    nearest-cell assignment (ties → larger cid, matching array_max struct
+    ordering in ivf_assign), per-query probe lists, exact re-rank."""
+    return f"""
+        WITH cent AS (
+          SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cid,
+                 embedding AS cvec
+          FROM (SELECT vec_id, embedding FROM embeddings
+                ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k_cent})
+        ), corpus AS (
+          SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+        ), asg AS (
+          SELECT neighbor_id, cid,
+                 row_number() OVER (PARTITION BY neighbor_id
+                                    ORDER BY {_dd_cos("cv", "cvec")} DESC, cid DESC) AS rn
+          FROM corpus CROSS JOIN cent
+        ), assigned AS (
+          SELECT neighbor_id, cid FROM asg WHERE rn = 1
+        ), q AS (
+          SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+        ), pr AS (
+          SELECT query_id, cid,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY {_dd_cos("qvec", "cvec")} DESC, cid DESC) AS rn
+          FROM q CROSS JOIN cent
+        ), probes AS (
+          SELECT query_id, cid FROM pr WHERE rn <= {n_probe}
+        ), cand AS (
+          SELECT p.query_id, a.neighbor_id
+          FROM probes p JOIN assigned a ON p.cid = a.cid
+          WHERE a.neighbor_id <> p.query_id
+        ), scored AS (
+          SELECT c.query_id, c.neighbor_id, round({_dd_cos("co.cv", "q.qvec")}, 6) AS cos
+          FROM cand c
+          JOIN corpus co ON co.neighbor_id = c.neighbor_id
+          JOIN q ON q.query_id = c.query_id
+        )
+        SELECT query_id, neighbor_id, cos, rnk FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM scored
+        ) WHERE rnk <= {k}
+    """
+
+
+def _cosine_neardup_lsh_oracle_sql(
+    dim: int = 64, threshold: float = 0.42, n_bands: int = 8, band_size: int = 2
+) -> str:
+    """Banded-LSH near-dup oracle: the deterministic hyperplane sign bits are
+    inlined as literals (exactly like _ann_lsh_oracle_sql), band keys and the
+    exact cosine re-rank mirror ops.similarity.cosine_neardup_pairs_lsh."""
+    from ocr_search_spark.ops.similarity import _planes
+
+    planes = _planes(dim, n_bands * band_size)
+    bit_exprs = []
+    for plane in planes:
+        dot = " + ".join(
+            f"embedding[{i + 1}]::DOUBLE * ({v!r})" for i, v in enumerate(plane)
+        )
+        bit_exprs.append(f"(CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END)")
+    band_keys = ", ".join(
+        f"'{b}:' || " + " || ".join(bit_exprs[b * band_size : (b + 1) * band_size])
+        for b in range(n_bands)
+    )
+    cos = _dd_cos("va.e", "vb.e", dim)
+    return f"""
+        WITH banded AS (
+          SELECT vec_id AS id, unnest([{band_keys}]) AS band_key FROM embeddings
+        ), cand AS (
+          SELECT DISTINCT a.id AS a_id, b.id AS b_id
+          FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.id < b.id
+        ), v AS (SELECT vec_id AS id, embedding AS e FROM embeddings)
+        SELECT c.a_id, c.b_id, round({cos}, 6) AS cos
+        FROM cand c JOIN v va ON va.id = c.a_id JOIN v vb ON vb.id = c.b_id
+        WHERE round({cos}, 6) >= {threshold}
+    """
 
 
 def _media_features_oracle_sql(n: int = 64) -> str:

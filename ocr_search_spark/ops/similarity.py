@@ -102,13 +102,14 @@ def ivf_centroids_from_sample(
     vec_col: str = "embedding",
 ) -> list[tuple[int, list[float]]]:
     """Deterministic coarse centroids: the k corpus vectors with the
-    smallest ``xxhash64(id)`` (a seeded uniform sample — no RNG state, no
-    kmeans iterations; adequate as the IVF cell seeding and fully
-    reproducible). Returns driver-side [(centroid_id, vector)].
+    smallest ``md5(id)`` (a seeded uniform sample — no RNG state, no
+    kmeans iterations; adequate as the IVF cell seeding, fully reproducible,
+    and recomputable in any engine with md5 — the DuckDB oracle rebuilds the
+    same centroid set in SQL). Returns driver-side [(centroid_id, vector)].
     """
     rows = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col("id").cast("string")), F.col("id"))
+        .orderBy(F.md5(F.encode(F.col("id").cast("string"), "utf-8")), F.col("id"))
         .limit(k)
         .collect()
     )
