@@ -25,6 +25,8 @@ from pyspark.sql.window import Window
 # ---------------------------------------------------------------------------
 
 FTS_TERMS = ["spark", "join"]  # Q1 websearch-style AND terms
+PHRASE_QUERY = '"spark join"'  # websearch quoted phrase (adjacency)
+OR_NOT_QUERY = "spark, OR join -table"  # OR-groups + exclusion + punctuation
 TRIGRAM_QUERY = "spark table join"
 SNIPPET_TERM = "spark"
 DATE_FROM, DATE_TO = "2024-01-08 00:00:00", "2024-01-21 00:00:00"
@@ -119,6 +121,34 @@ def q_fts_search_topk(spark, sf_dir):
         F.col("inter") / F.col("union_sz"),
     )
     return scored.orderBy(score.desc(), F.col("doc_id")).limit(25)
+
+
+def _q_websearch(spark, sf_dir, q: str):
+    """Q1 full websearch_to_tsquery grammar (search.py:51-52): quoted
+    phrases (token adjacency), OR groups, -exclusion — compiled to one
+    Catalyst boolean filter over materialized toks + adjacency string."""
+    from ocr_search_spark.search.websearch import (
+        parse_websearch,
+        token_string_expr,
+        websearch_predicate,
+    )
+
+    d = (
+        _docs(spark, sf_dir)
+        .withColumn("toks", _tokens("text"))
+        .withColumn("tokstr", token_string_expr("toks"))
+    )
+    return d.filter(
+        websearch_predicate("toks", "tokstr", parse_websearch(q))
+    ).select("doc_id")
+
+
+def q_fts_phrase(spark, sf_dir):
+    return _q_websearch(spark, sf_dir, PHRASE_QUERY)
+
+
+def q_fts_or_not(spark, sf_dir):
+    return _q_websearch(spark, sf_dir, OR_NOT_QUERY)
 
 
 def q_ilike_source(spark, sf_dir):
@@ -303,6 +333,25 @@ def q_lang_id(spark, sf_dir):
     )
     return d.select(
         "doc_id", F.when(en > 0, F.lit("en")).otherwise(F.lit("und")).alias("lang_pred")
+    )
+
+
+def q_meta_filter(spark, sf_dir):
+    """S10: exiftool-analogue metadata map, filtered via element_at — the
+    Spark analogue of ``meta->>'Tag'`` predicates on the reference's JSON
+    column (app/services/metadata.py:8-37, models.py:14)."""
+    from ocr_search_spark.ops.metadata import with_metadata
+
+    d = with_metadata(_docs(spark, sf_dir))
+    m = F.col("meta")
+    return d.filter(
+        (F.element_at(m, "FileType") == "PDF") & (F.element_at(m, "Language") == "en")
+    ).select(
+        "doc_id",
+        F.element_at(m, "FileName").alias("file_name"),
+        F.element_at(m, "MIMEType").alias("mime"),
+        F.element_at(m, "FileSize").alias("file_size"),
+        F.element_at(m, "Checksum").alias("checksum"),
     )
 
 
@@ -543,6 +592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_count": q_fts_count,
         "fts_count_postings": q_fts_count_postings,
+        "fts_phrase": q_fts_phrase,
+        "fts_or_not": q_fts_or_not,
         "fts_search_topk": q_fts_search_topk,
         "ilike_source": q_ilike_source,
         "date_range_count": q_date_range_count,
@@ -558,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_quality": q_token_quality,
         "lang_id": q_lang_id,
         "quality_filter": q_quality_filter,
+        "meta_filter": q_meta_filter,
         "ann_cosine_topk": q_ann_cosine_topk,
         "cosine_neardup": q_cosine_neardup,
         "cosine_neardup_lsh": q_cosine_neardup_lsh,
@@ -617,6 +669,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS cnt FROM documents
             WHERE list_has_all({_TOK}, {terms_sql})
         """,
+        "fts_phrase": _websearch_oracle_sql(PHRASE_QUERY),
+        "fts_or_not": _websearch_oracle_sql(OR_NOT_QUERY),
         "fts_search_topk": f"""
             WITH scored AS (
               SELECT doc_id,
@@ -666,9 +720,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    array_to_string(list_filter([
-                     CASE WHEN sp1 > 0 THEN replace(substring(text, greatest(sp1 - 30, 1), 65), 'spark', '<b>spark</b>') END,
-                     CASE WHEN sp2 > 0 THEN replace(substring(text, greatest(sp2 - 30, 1), 65), 'spark', '<b>spark</b>') END,
-                     CASE WHEN sp3 > 0 THEN replace(substring(text, greatest(sp3 - 30, 1), 65), 'spark', '<b>spark</b>') END
+                     CASE WHEN sp1 > 0 THEN regexp_replace(substring(text, greatest(sp1 - 30, 1), 65), '(?i)(spark)', '<b>\\1</b>', 'g') END,
+                     CASE WHEN sp2 > 0 THEN regexp_replace(substring(text, greatest(sp2 - 30, 1), 65), '(?i)(spark)', '<b>\\1</b>', 'g') END,
+                     CASE WHEN sp3 > 0 THEN regexp_replace(substring(text, greatest(sp3 - 30, 1), 65), '(?i)(spark)', '<b>\\1</b>', 'g') END
                    ], x -> x IS NOT NULL), ' ... ') AS snippet
             FROM p3 WHERE sp1 > 0
         """,
@@ -984,6 +1038,21 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY kind
         """,
     }
+
+
+def _websearch_oracle_sql(q: str) -> str:
+    """The same websearch parse compiled to DuckDB SQL (search/websearch.py
+    emits both the Catalyst predicate and this SQL twin from one parse)."""
+    from ocr_search_spark.search.websearch import parse_websearch, websearch_sql
+
+    pred = websearch_sql(parse_websearch(q), "toks", "tokstr")
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+             s AS (SELECT doc_id, toks,
+                          ' ' || array_to_string(toks, ' ') || ' ' AS tokstr
+                   FROM t)
+        SELECT doc_id FROM s WHERE {pred}
+    """
 
 
 def _golden_spans_parquet(sf_dir: str = "/root/testdata/sf0.01") -> str:

@@ -201,10 +201,13 @@ def snippet_fragments_expr(
     flen = 2 * width + L
     frag_cols = []
     for k in range(1, max_fragments + 1):
+        # case-insensitive mark preserving original case ($1), mirroring
+        # ts_headline and the sibling snippet_expr — hits are located on the
+        # lowered column, so a mixed-case hit must still get its <b> marks
         frag_cols.append(
             f"CASE WHEN __sp{k} > 0 THEN "
-            f"replace(substring({text_col}, greatest(__sp{k} - {width}, 1), {flen}),"
-            f" '{t}', '<b>{t}</b>') END"
+            f"regexp_replace(substring({text_col}, greatest(__sp{k} - {width}, 1), {flen}),"
+            f" '(?i)({t})', '<b>$1</b>') END"
         )
     # positions must be materialized as columns first — the caller does:
     #   df.select(..., *snippet_hit_positions(...)) then this join expr

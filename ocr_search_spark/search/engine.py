@@ -27,20 +27,27 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
 from .analysis import (
-    fts_match,
     rank_expr,
     snippet_expr,
     tokens_expr,
     trigram_sim_udf,
     with_search_columns,
 )
+from .websearch import (
+    is_plain_and,
+    parse_websearch,
+    positive_terms,
+    token_string_expr,
+    websearch_predicate,
+)
 
 #: defaults from search.py:41-42
 DEFAULT_FROM = "2000-01-01 00:00:00"
 DEFAULT_TO = "2100-01-01 00:00:00"
+
+#: stand-in for the reference's ``settings.httpfs`` host (app/search.py:94)
+DEFAULT_HTTPFS = "files.local"
 
 
 def build_postings(docs: DataFrame, id_col: str = "doc_id", text_col: str = "content") -> DataFrame:
@@ -73,6 +80,35 @@ def _apply_common_filters(df: DataFrame, ocr_user, ocr_from, ocr_to) -> DataFram
     return df
 
 
+def _items_projection(df: DataFrame, snippet_col, rank_col, sim_col, httpfs: str):
+    """Reference item contract (app/search.py:92-98): id/filename/link/
+    snippet/snippet_is_html — ``doc_id`` is the id (our PK), ``link`` is the
+    httpfs URL composed from path_origin with backslashes normalized, and
+    ``snippet_is_html`` is constant True (the <b> marks). rank/sim ride
+    along for the API consumers that sort client-side."""
+    cols = df.columns
+    filename = F.col("filename") if "filename" in cols else F.col("doc_id")
+    if "path_origin" in cols:
+        link = F.concat(
+            F.lit(f"http://{httpfs}/"),
+            F.replace(F.col("path_origin"), F.lit("\\"), F.lit("/")),
+        )
+    else:
+        link = F.concat(F.lit(f"http://{httpfs}/"), filename)
+    out = [
+        F.col("doc_id"),
+        filename.alias("filename"),
+        link.alias("link"),
+        snippet_col.alias("snippet"),
+        F.lit(True).alias("snippet_is_html"),
+    ]
+    if rank_col is not None:
+        out.append(F.round(rank_col, 6).alias("rank"))
+    if sim_col is not None:
+        out.append(F.round(sim_col, 6).alias("sim"))
+    return df.select(*out)
+
+
 def search_documents(
     docs: DataFrame,
     q: str | None,
@@ -83,13 +119,16 @@ def search_documents(
     offset: int = 0,
     postings: DataFrame | None = None,
     rank_mode: str = "simple",
+    httpfs: str = DEFAULT_HTTPFS,
 ) -> dict:
     """Full search flow; returns ``{"total": int, "items": DataFrame}``.
 
     Mirrors ``search_documents`` (search.py:10-99): empty query → total
-    count + latest 10; otherwise AND-match all terms, rank by
-    ``GREATEST(rank, sim)`` desc (search.py:81), project
-    (doc_id, snippet, rank, sim), paginate.
+    count + latest 10; otherwise match under full websearch_to_tsquery
+    grammar (quoted phrases, OR groups, -exclusion — search.py:51-52), rank
+    by ``GREATEST(rank, sim)`` desc (search.py:81), project the reference
+    item contract (doc_id/filename/link/snippet/snippet_is_html + rank,
+    sim — search.py:92-98), paginate.
 
     ``rank_mode`` selects the FTS rank term: ``"simple"`` (matched/total,
     the engine-portable default), ``"cd"`` (cover-density proximity — the
@@ -103,32 +142,44 @@ def search_documents(
     if not (q or ocr_user or ocr_from or ocr_to):
         total = docs.count()
         order = [F.col("created_at").desc()] if "created_at" in docs.columns else []
-        items = (
-            docs.orderBy(*order, F.col("doc_id"))
-            .limit(10)
-            .select("doc_id", F.substring("content", 1, 800).alias("snippet"))
+        items = _items_projection(
+            docs.orderBy(*order, F.col("doc_id")).limit(10),
+            F.substring("content", 1, 800),
+            None,
+            None,
+            httpfs,
         )
         return {"total": total, "items": items}
 
-    terms = [t for t in q.lower().split() if t]
+    parsed = parse_websearch(q)
+    terms = positive_terms(parsed)
     filtered = _apply_common_filters(docs, ocr_user, ocr_from, ocr_to)
 
-    if terms:
-        if postings is not None:
-            # scale path: semi-join doc ids that match ALL terms
+    if parsed:
+        if postings is not None and is_plain_and(parsed):
+            # scale path (plain AND of terms): semi-join matching doc ids
+            terms_set = {it.words[0] for it in parsed[0]}
             term_df = postings.sparkSession.createDataFrame(
-                [(t,) for t in set(terms)], "term string"
+                [(t,) for t in terms_set], "term string"
             )
             matched = (
                 postings.join(F.broadcast(term_df), "term", "inner")
                 .groupBy("doc_id")
                 .agg(F.count_distinct("term").alias("nt"))
-                .filter(F.col("nt") == len(set(terms)))
+                .filter(F.col("nt") == len(terms_set))
                 .select("doc_id")
             )
             filtered = filtered.join(matched, "doc_id", "left_semi")
         else:
-            filtered = filtered.filter(fts_match(tokens_expr("content"), terms))
+            # full websearch grammar: materialize toks + the adjacency
+            # string in successive projections (plan-shape invariant), then
+            # one Catalyst boolean filter
+            filtered = (
+                filtered.withColumn("__toks", tokens_expr("content"))
+                .withColumn("__tokstr", token_string_expr("__toks"))
+                .filter(websearch_predicate("__toks", "__tokstr", parsed))
+                .drop("__toks", "__tokstr")
+            )
 
     total = filtered.count()
 
@@ -158,20 +209,21 @@ def search_documents(
     base = with_search_columns(base, "content")
     if rank_col is None:
         rank_col = rank_expr(F.col("toks"), terms)
-    scored = base.select(
-        "doc_id",
-        snippet_expr("content", terms[0] if terms else q).alias("snippet"),
-        F.round(rank_col, 6).alias("rank"),
-        F.round(trigram_sim_udf(q)(F.col("content")), 6).alias("sim"),
+    scored = _items_projection(
+        base,
+        snippet_expr("content", terms[0] if terms else q),
+        rank_col,
+        trigram_sim_udf(q)(F.col("content")),
+        httpfs,
     ).withColumn("score", F.greatest("rank", "sim"))
 
+    # Pagination via native LIMIT/OFFSET: Catalyst plans orderBy + offset +
+    # limit as a single TakeOrderedAndProject(offset+limit) — top-(o+k)
+    # partial per partition, never a global single-partition sort (the
+    # round-1 Window.orderBy formulation moved every matched row through
+    # one task; asserted gone in tests/test_plans.py).
     ordered = scored.orderBy(F.col("score").desc(), F.col("doc_id"))
     if offset:
-        w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-        ordered = (
-            ordered.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") > offset)
-            .drop("_rn")
-        )
+        ordered = ordered.offset(offset)
     items = ordered.limit(limit).drop("score")
     return {"total": total, "items": items}

@@ -104,6 +104,122 @@ class TestSearchFlow:
         assert row.tf == 3
         assert sorted(row.positions) == [0, 2, 4]
 
+    def test_items_match_reference_contract(self, docs):
+        """app/search.py:92-98: {id, filename, link, snippet,
+        snippet_is_html} — doc_id is the id; link is the httpfs URL."""
+        items = search_documents(docs, "spark join", httpfs="h.example")["items"]
+        required = {"doc_id", "filename", "link", "snippet", "snippet_is_html"}
+        assert required <= set(items.columns)
+        row = items.collect()[0]
+        assert row.snippet_is_html is True
+        assert row.link == f"http://h.example/{row.filename}"
+
+    def test_link_composes_path_origin_backslashes(self, spark):
+        df = spark.createDataFrame(
+            [("d1", "spark join text", "up.pdf", "dir\\sub\\up.pdf")],
+            "doc_id string, content string, filename string, path_origin string",
+        )
+        row = search_documents(df, "spark", httpfs="h")["items"].collect()[0]
+        assert row.link == "http://h/dir/sub/up.pdf"
+        assert row.filename == "up.pdf"
+
+    def test_offset_plan_has_no_global_sort(self, docs):
+        """Offset pagination must stay a TakeOrderedAndProject (top-(o+k)
+        partials per partition), not a single-partition global window."""
+        items = search_documents(docs, "spark", limit=2, offset=1)["items"]
+        plan = items._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "Window" not in plan
+        assert "SinglePartition" not in plan
+
+    def test_offset_pages_are_disjoint_and_ordered(self, docs):
+        full = [r.doc_id for r in search_documents(docs, "spark", limit=3)["items"].collect()]
+        p1 = [r.doc_id for r in search_documents(docs, "spark", limit=1, offset=0)["items"].collect()]
+        p2 = [r.doc_id for r in search_documents(docs, "spark", limit=1, offset=1)["items"].collect()]
+        p3 = [r.doc_id for r in search_documents(docs, "spark", limit=1, offset=2)["items"].collect()]
+        assert p1 + p2 + p3 == full
+
+
+class TestWebsearchGrammar:
+    """websearch_to_tsquery semantics (search.py:51-52)."""
+
+    def test_parse_shapes(self):
+        from ocr_search_spark.search.websearch import Item, parse_websearch
+
+        assert parse_websearch('"spark streaming" -flink') == [
+            (Item(("spark", "streaming")), Item(("flink",), negated=True))
+        ]
+        assert parse_websearch("a b OR c") == [
+            (Item(("a",)), Item(("b",))),
+            (Item(("c",)),),
+        ]
+        assert parse_websearch("") == []
+        assert parse_websearch('-"a b"') == [(Item(("a", "b"), negated=True),)]
+
+    def test_query_punctuation_tokenized_like_documents(self, docs):
+        # 'spark, join' must not produce the unmatchable term 'spark,'
+        res = search_documents(docs, "spark, join")
+        assert res["total"] == 2
+
+    def test_phrase_requires_adjacency(self, docs):
+        res = search_documents(docs, '"spark join"')
+        got = sorted(r.doc_id for r in res["items"].collect())
+        assert got == ["d2", "d4"]  # d1 has 'spark joins' (no exact phrase)
+
+    def test_phrase_order_matters(self, docs):
+        assert search_documents(docs, '"join spark"')["total"] == 1  # only d2
+
+    def test_or_groups(self, docs):
+        res = search_documents(docs, "tables OR uppercase")
+        got = sorted(r.doc_id for r in res["items"].collect())
+        assert got == ["d1", "d4"]
+
+    def test_exclusion(self, docs):
+        res = search_documents(docs, "spark -uppercase")
+        got = sorted(r.doc_id for r in res["items"].collect())
+        assert got == ["d1", "d2"]
+
+    def test_or_with_exclusion_groups_bind_tighter(self, docs):
+        # 'tables OR spark -uppercase' = tables | (spark & !uppercase)
+        res = search_documents(docs, "tables OR spark -uppercase")
+        got = sorted(r.doc_id for r in res["items"].collect())
+        assert got == ["d1", "d2"]
+
+    def test_websearch_falls_back_from_postings_path(self, docs):
+        postings = build_postings(docs, "doc_id", "content")
+        a = search_documents(docs, '"spark join" -uppercase')
+        b = search_documents(docs, '"spark join" -uppercase', postings=postings)
+        assert a["total"] == b["total"] == 1
+        assert [r.doc_id for r in b["items"].collect()] == ["d2"]
+
+    def test_predicate_sql_twin_matches(self, spark, docs):
+        """The DuckDB SQL twin of the compiled predicate selects the same
+        ids (the CORRECTNESS gate mechanism, in miniature)."""
+        import duckdb
+
+        from ocr_search_spark.search.websearch import parse_websearch, websearch_sql
+
+        q = '"spark join" OR tables -nothing'
+        parsed = parse_websearch(q)
+        pdf = docs.select("doc_id", "content").toPandas()
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        toks = (
+            "list_filter(regexp_split_to_array(lower(content), "
+            "'[^a-zа-яё0-9_]+'), x -> x <> '')"
+        )
+        sql = (
+            f"WITH t AS (SELECT doc_id, {toks} AS toks FROM documents), "
+            "s AS (SELECT doc_id, toks, ' ' || array_to_string(toks, ' ') || ' ' "
+            "AS tokstr FROM t) "
+            f"SELECT doc_id FROM s WHERE {websearch_sql(parsed, 'toks', 'tokstr')}"
+        )
+        oracle_ids = sorted(r[0] for r in con.execute(sql).fetchall())
+        spark_ids = sorted(
+            r.doc_id for r in search_documents(docs, q)["items"].collect()
+        )
+        assert spark_ids == oracle_ids
+
 
 class TestRanking:
     @pytest.fixture(scope="class")
