@@ -287,6 +287,17 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     ).withColumnRenamed("union", "union_sz")
 
 
+def q_near_dedup_survivors(spark, sf_dir):
+    """End-to-end near-dedup composition: LSH candidates → exact-Jaccard
+    verify → min-id keeper → surviving corpus (ops/dedup.py near_dedup)."""
+    from ocr_search_spark.ops.dedup import near_dedup
+
+    return near_dedup(
+        _docs(spark, sf_dir), "doc_id", "text",
+        threshold=0.3, n_hashes=8, band_size=2,
+    ).select("doc_id")
+
+
 def q_token_quality(spark, sf_dir):
     """Token counting + quality-scoring signals as integer counts."""
     from ocr_search_spark.search.analysis import with_search_columns
@@ -606,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash": q_minhash,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "near_dedup_survivors": q_near_dedup_survivors,
         "token_quality": q_token_quality,
         "lang_id": q_lang_id,
         "quality_filter": q_quality_filter,
@@ -832,6 +844,22 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'en' ELSE 'und' END AS lang_pred
             FROM documents
         """,
+        "meta_filter": """
+            WITH m AS (
+              SELECT doc_id, text, source, lang,
+                     ['docx','html','pdf','txt'][
+                       (('0x' || substring(md5('ext:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                        % 4) + 1] AS ext
+              FROM documents
+            )
+            SELECT doc_id,
+                   source || '/' || doc_id::VARCHAR || '.' || ext AS file_name,
+                   'application/pdf' AS mime,
+                   CAST(length(text) AS VARCHAR) AS file_size,
+                   md5(text) AS checksum
+            FROM m
+            WHERE upper(ext) = 'PDF' AND lang = 'en'
+        """,
         "quality_filter": f"""
             WITH t AS (
               SELECT doc_id,
@@ -877,6 +905,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.id AS a_id, b.id AS b_id
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+        """,
+        "near_dedup_survivors": f"""
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len({_TOK}) - 1, 1)),
+                       i -> array_to_string(list_slice({_TOK}, i, i + 2), ' ')
+                     )) AS shingles
+              FROM documents
+            ), sig AS (
+              SELECT doc_id AS id,
+                     {", ".join(f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS mh{i}" for i in range(8))}
+              FROM sh
+            ), bands AS (
+              {" UNION ALL ".join(f"SELECT id, {b} AS band, md5(mh{b} || '|' || mh{b + 1}) AS bucket FROM sig WHERE mh{b} IS NOT NULL" for b in range(0, 8, 2))}
+            ), cand AS (
+              SELECT DISTINCT a.id AS a_id, b.id AS b_id
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+            ), ver AS (
+              SELECT c.b_id
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.a_id
+              JOIN sh sb ON sb.doc_id = c.b_id
+              WHERE len(list_distinct(list_concat(sa.shingles, sb.shingles))) > 0
+                AND len(list_intersect(sa.shingles, sb.shingles))
+                    >= len(list_distinct(list_concat(sa.shingles, sb.shingles))) * 0.3
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT b_id FROM ver)
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),

@@ -162,6 +162,49 @@ def jaccard_pairs_exact(
     )
 
 
+def near_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """End-to-end near-duplicate removal — the composition a pipeline user
+    actually calls: MinHash signatures → LSH band candidates → exact Jaccard
+    verification on candidates only → min-id keeper → anti-join survivors.
+
+    Returns the surviving rows of ``df`` (all original columns). A row is
+    dropped when it has a *verified* near-duplicate (Jaccard ≥ threshold)
+    with a smaller id — the pairwise form of min-id-keeper selection, which
+    needs no connected-components iteration and is the standard scalable
+    approximation.
+
+    Scale shape: every stage is linear — the only joins are the
+    within-bucket candidate join (O(n·bands) shuffle), two hash joins
+    attaching shingle arrays to candidate pairs, and a broadcast-able
+    anti-join of losers; there is no all-pairs product anywhere
+    (asserted in tests/test_plans.py).
+    """
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
+    cand = lsh_candidate_pairs(sig, n_hashes, band_size)
+
+    sh = _with_shingles(df, id_col, text_col, shingle_k)
+    pairs = cand.join(
+        sh.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a")), "a_id"
+    ).join(sh.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b")), "b_id")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    verified = pairs.filter((union > 0) & (inter >= union * threshold))
+
+    # a_id < b_id by construction: the b side always loses to a smaller id
+    losers = verified.select(F.col("b_id").alias("__loser")).distinct()
+    return df.join(
+        losers, F.col(id_col) == F.col("__loser"), "left_anti"
+    )
+
+
 def _simhash_of_hashes(hashed, n, bits: int = 32):
     """SimHash accumulator from a *materialized* token-hash array column."""
 

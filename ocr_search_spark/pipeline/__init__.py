@@ -5,14 +5,17 @@ from .extract import (
     add_partition_salt,
     extract_documents,
     explode_spans,
+    ordered_text_agg,
 )
-from .checkpoint import run_extraction, read_audit, read_ledger
+from .checkpoint import committed_spans, run_extraction, read_audit, read_ledger
 
 __all__ = [
     "SPANS_OUT_SCHEMA",
     "add_partition_salt",
+    "committed_spans",
     "extract_documents",
     "explode_spans",
+    "ordered_text_agg",
     "run_extraction",
     "read_audit",
     "read_ledger",

@@ -5,18 +5,28 @@ app/broker/config.py:37-53 — ``{status, total, done, progress, ...}`` with a
 12 h TTL) and its retry path (app/web/admin_jobs.py:48-69) with batch-native
 lineage:
 
-* the input is split into ``num_groups`` deterministic *commit groups*
-  (``group_id = part_id % num_groups`` where ``part_id =
-  pmod(xxhash64(doc_id), P)`` — pure functions of doc_id, so group
-  membership is identical across runs);
-* each group is extracted and appended to the output table, then an **audit**
-  row per salt partition (run_id, partition_id, docs, spans, failures,
-  wall_ms, committed_at — FIXTURES.md §5) and a **ledger** row
-  (run_group, group_id) are committed;
-* a restarted run with the same ``run_group`` anti-joins committed groups and
+* the input is split into ``num_groups`` deterministic *commit groups*:
+  ``group_id = pmod(xxhash64(doc_id), num_groups)`` — a pure function of
+  (doc_id, num_groups) ONLY, so membership is identical across runs
+  regardless of cluster parallelism; ``num_groups`` is persisted in the
+  ledger and a resume with a different value fails fast instead of
+  silently re-partitioning the commit space;
+* each group's output is **staged** under a group-keyed attempt directory
+  ``spans/g=<group>/r=<run_id>`` and *published* only by its ledger row
+  (run_group, group_id, run_id). Readers (:func:`committed_spans`) resolve
+  the ledger and read exactly the published attempt directories — a crash
+  after the spans write but before the ledger append leaves an orphan
+  directory that is never read and is re-extracted (to a new attempt dir)
+  on resume, so the committed view never loses or double-counts a row even
+  though the three appends are not one transaction. (On Iceberg the same
+  publish step is a single atomic snapshot commit; the staging directory is
+  the parquet-filesystem equivalent.)
+* an **audit** row per salt partition (run_id, partition_id, docs, spans,
+  failures, wall_ms, committed_at — FIXTURES.md §5) records attempt-level
+  lineage: every attempt is logged, the ledger says which one is live;
+* a restarted run with the same ``run_group`` skips ledgered groups and
   processes only the remainder — a killed job never reprocesses committed
-  partitions and never double-writes (Spark's parquet job commit is atomic:
-  a group that died mid-write left no committed files).
+  groups.
 
 On a real cluster the same design holds: the commit group is the unit of
 re-work, sized so a restart loses at most 1/num_groups of progress, while
@@ -31,10 +41,13 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .extract import extract_documents
+from .extract import SPANS_OUT_SCHEMA, extract_documents
 from ..tables import read_table, write_table
 
-LEDGER_SCHEMA = "run_group string, group_id int, run_id string, committed_at timestamp"
+LEDGER_SCHEMA = (
+    "run_group string, group_id int, run_id string, num_groups int, "
+    "committed_at timestamp"
+)
 
 
 class SimulatedFailure(RuntimeError):
@@ -53,6 +66,10 @@ def output_path(out_dir: str) -> str:
     return f"{out_dir}/spans"
 
 
+def group_attempt_path(out_dir: str, group_id: int, run_id: str) -> str:
+    return f"{output_path(out_dir)}/g={group_id}/r={run_id}"
+
+
 def read_ledger(spark: SparkSession, out_dir: str) -> DataFrame | None:
     try:
         return read_table(spark, _ledger_path(out_dir))
@@ -67,17 +84,33 @@ def read_audit(spark: SparkSession, out_dir: str) -> DataFrame | None:
         return None
 
 
-def _committed_groups(spark: SparkSession, out_dir: str, run_group: str) -> set[int]:
+def _ledger_rows(spark: SparkSession, out_dir: str, run_group: str) -> list:
     ledger = read_ledger(spark, out_dir)
     if ledger is None:
-        return set()
-    rows = (
+        return []
+    return (
         ledger.filter(F.col("run_group") == run_group)
-        .select("group_id")
-        .distinct()
+        .select("group_id", "run_id", "num_groups")
         .collect()
     )
-    return {r.group_id for r in rows}
+
+
+def committed_spans(
+    spark: SparkSession, out_dir: str, run_group: str | None = None
+) -> DataFrame:
+    """The published output view: exactly the ledgered attempt directories.
+
+    Orphan attempts from crashed runs (staged but never published) are
+    invisible here. The ledger is num_groups-sized — driver-small by
+    construction."""
+    ledger = read_ledger(spark, out_dir)
+    if ledger is not None and run_group is not None:
+        ledger = ledger.filter(F.col("run_group") == run_group)
+    rows = ledger.select("group_id", "run_id").collect() if ledger is not None else []
+    if not rows:
+        return spark.createDataFrame([], SPANS_OUT_SCHEMA)
+    paths = [group_attempt_path(out_dir, r.group_id, r.run_id) for r in rows]
+    return spark.read.parquet(*paths)
 
 
 def run_extraction(
@@ -88,22 +121,30 @@ def run_extraction(
     num_partitions: int | None = None,
     num_groups: int = 4,
     fail_after_group: int | None = None,
+    fail_before_publish: int | None = None,
 ) -> dict:
     """Run (or resume) an extraction over ``input_df`` into ``out_dir``.
 
-    Returns summary stats. Idempotent per (run_group, out_dir): committed
-    commit-groups are skipped on resume.
+    Returns summary stats. Idempotent per (run_group, out_dir): ledgered
+    commit-groups are skipped on resume; read results back with
+    :func:`committed_spans`, never by globbing the staging directory.
     """
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 2
     run_id = f"{run_group}-{uuid.uuid4().hex[:8]}"
-    committed = _committed_groups(spark, out_dir, run_group)
+    prior = _ledger_rows(spark, out_dir, run_group)
+    for r in prior:
+        if r.num_groups != num_groups:
+            raise ValueError(
+                f"resume with num_groups={num_groups} but ledger for "
+                f"{run_group!r} was committed with num_groups={r.num_groups}; "
+                "group membership would change — refusing to resume"
+            )
+    committed = {r.group_id for r in prior}
 
-    # group assignment is a pure function of doc_id — identical across runs
-    group_col = F.pmod(
-        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(num_partitions)),
-        F.lit(num_groups),
-    ).cast("int")
+    # group assignment is a pure function of (doc_id, num_groups) — identical
+    # across runs and cluster sizes (never derived from partition counts)
+    group_col = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(num_groups)).cast("int")
 
     done_groups = 0
     for g in range(num_groups):
@@ -113,7 +154,10 @@ def run_extraction(
         grp_input = input_df.filter(group_col == g)
         extracted = extract_documents(grp_input, num_partitions).persist()
         try:
-            write_table(extracted, output_path(out_dir), mode="append")
+            # stage: attempt-keyed directory, invisible until published
+            write_table(
+                extracted, group_attempt_path(out_dir, g, run_id), mode="overwrite"
+            )
 
             wall_ms = int((time.monotonic() - t0) * 1000)
             audit = (
@@ -135,8 +179,13 @@ def run_extraction(
             )
             write_table(audit.coalesce(1), _audit_path(out_dir), mode="append")
 
+            if fail_before_publish is not None and g >= fail_before_publish:
+                raise SimulatedFailure(f"simulated kill before publishing group {g}")
+
+            # publish: the ledger row makes this attempt the live one
             ledger_row = spark.createDataFrame(
-                [(run_group, g, run_id)], "run_group string, group_id int, run_id string"
+                [(run_group, g, run_id, num_groups)],
+                "run_group string, group_id int, run_id string, num_groups int",
             ).withColumn("committed_at", F.current_timestamp())
             write_table(ledger_row.coalesce(1), _ledger_path(out_dir), mode="append")
         finally:

@@ -155,6 +155,27 @@ def extract_documents(df: DataFrame, num_partitions: int | None = None) -> DataF
     return salted.mapInArrow(_kernel, schema=SPANS_OUT_SCHEMA)
 
 
+def ordered_text_agg(text_col: str = "text", order_col: str = "order", sep: str = "\n"):
+    """Document-order text concatenation aggregate for grouped span rows.
+
+    ``collect_list`` order after a groupBy is non-contractual in Spark —
+    it only looks stable when each doc's spans arrive in one partition
+    row. Sorting the (order, text) structs first makes the concatenation
+    deterministic under any physical row order (multi-append outputs,
+    compaction, speculative retries)."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(order_col).alias("o"), F.col(text_col).alias("t"))
+                )
+            ),
+            lambda s: s["t"],
+        ),
+        sep,
+    )
+
+
 def explode_spans(extracted: DataFrame) -> DataFrame:
     """Flat view (doc_id, kind, text, media_ref, order) of extracted spans.
 

@@ -152,9 +152,10 @@ def write_text_sink(flat_spans: DataFrame, out_dir: str) -> int:
     Executor-side writes to a shared directory; returns files written.
     """
     os.makedirs(out_dir, exist_ok=True)
-    docs = (
-        flat_spans.groupBy("doc_id")
-        .agg(F.concat_ws("\n", F.collect_list("text")).alias("text"))
+    from .pipeline.extract import ordered_text_agg
+
+    docs = flat_spans.groupBy("doc_id").agg(
+        ordered_text_agg("text", "order").alias("text")
     )
 
     def writer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -25,10 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .ops.metadata import metadata_map_expr
 from .pipeline import explode_spans, run_extraction
-from .tables import read_table, write_table
-from .pipeline.checkpoint import output_path
+from .pipeline.checkpoint import committed_spans, output_path
+from .pipeline.extract import ordered_text_agg
 from .search.engine import build_postings, search_documents
+from .tables import read_table, write_table
 
 
 class DocumentStore:
@@ -66,11 +68,28 @@ class DocumentStore:
             num_partitions=num_partitions,
             num_groups=num_groups,
         )
-        spans = read_table(self.spark, self.spans_path)
-        flat = explode_spans(spans)
-        content = (
-            flat.groupBy("doc_id")
-            .agg(F.concat_ws("\n", F.collect_list("text")).alias("content"))
+        # read the *published* view (ledgered attempts only), concatenate in
+        # span order (collect_list order is non-contractual), and attach the
+        # reference's documents-row companions: filename / path_origin
+        # (search.py:92-98 link composition) + the exiftool-analogue meta map
+        # (models.py:14)
+        flat = explode_spans(committed_spans(self.spark, self.root, run_group))
+        ext = F.coalesce(F.min_by("kind", "order"), F.lit("txt"))
+        content = flat.groupBy("doc_id").agg(
+            ordered_text_agg("text", "order").alias("content"),
+            F.concat(F.col("doc_id"), F.lit("."), ext).alias("filename"),
+            F.concat(F.lit("store\\"), F.col("doc_id"), F.lit("."), ext).alias(
+                "path_origin"
+            ),
+        )
+        content = content.withColumn(
+            "meta",
+            metadata_map_expr(
+                "doc_id",
+                "content",
+                source_col=F.lit("store"),
+                ext=F.regexp_extract("filename", r"\.([a-z]+)$", 1),
+            ),
         )
         write_table(content, self.content_path, mode="overwrite")
         docs = read_table(self.spark, self.content_path)

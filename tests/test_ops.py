@@ -148,6 +148,37 @@ class TestMultimodal:
             decode_real(b"bytes", "image/png")
 
 
+class TestMetadata:
+    def test_meta_map_tags(self, spark):
+        from ocr_search_spark.ops.metadata import EXT_MIME, with_metadata
+
+        df = spark.createDataFrame(
+            [(7, "hello meta", "srcA", "en")],
+            "doc_id long, text string, source string, lang string",
+        )
+        meta = with_metadata(df).collect()[0].meta
+        assert set(meta) == {
+            "FileName", "FileType", "MIMEType", "FileSize", "Checksum", "Language",
+        }
+        assert meta["FileSize"] == "10"
+        assert meta["Language"] == "en"
+        ext = meta["FileType"].lower()
+        assert ext in EXT_MIME
+        assert meta["FileName"] == f"srcA/7.{ext}"
+        assert meta["MIMEType"] == EXT_MIME[ext]
+        assert meta["Checksum"] == hashlib.md5(b"hello meta").hexdigest()
+
+    def test_ext_is_deterministic_and_engine_portable(self, spark):
+        from ocr_search_spark.ops.metadata import _EXTS, ext_expr
+
+        df = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+        got = {r.doc_id: r.e for r in df.select("doc_id", ext_expr("doc_id").alias("e")).collect()}
+        for i in range(40):
+            h = int(hashlib.md5(f"ext:{i}".encode()).hexdigest()[:8], 16)
+            assert got[i] == _EXTS[h % len(_EXTS)]
+        assert len(set(got.values())) > 1  # not constant
+
+
 class TestCosineNeardup:
     def test_exact_finds_planted_pair(self, spark):
         import numpy as np

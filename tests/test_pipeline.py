@@ -20,7 +20,11 @@ from ocr_search_spark.pipeline import (
     extract_documents,
     run_extraction,
 )
-from ocr_search_spark.pipeline.checkpoint import SimulatedFailure, read_audit
+from ocr_search_spark.pipeline.checkpoint import (
+    SimulatedFailure,
+    committed_spans,
+    read_audit,
+)
 
 from conftest import SF_DIR
 
@@ -115,7 +119,7 @@ class TestResume:
         # uninterrupted run
         full_dir = str(tmp_path / "full")
         run_extraction(spark, input_df, full_dir, "rgA", num_partitions=8, num_groups=4)
-        full = _collected(spark.read.parquet(f"{full_dir}/spans"))
+        full = _collected(committed_spans(spark, full_dir, "rgA"))
         assert full == golden
 
         # killed after the second group, then resumed
@@ -125,15 +129,56 @@ class TestResume:
                 spark, input_df, part_dir, "rgB",
                 num_partitions=8, num_groups=4, fail_after_group=1,
             )
-        partial = spark.read.parquet(f"{part_dir}/spans").count()
+        partial = committed_spans(spark, part_dir, "rgB").count()
         assert 0 < partial < len(docs)
 
         stats = run_extraction(
             spark, input_df, part_dir, "rgB", num_partitions=8, num_groups=4
         )
         assert stats["groups_skipped"] == 2  # committed groups not reprocessed
-        resumed = _collected(spark.read.parquet(f"{part_dir}/spans"))
+        resumed = _collected(committed_spans(spark, part_dir, "rgB"))
         assert resumed == golden  # no loss, no double-processing
+
+    def test_crash_between_stage_and_publish_never_double_writes(
+        self, spark, docs, input_df, tmp_path
+    ):
+        """The spans write and the ledger publish are separate commits; a
+        crash between them must not surface the orphan attempt (the round-1
+        design re-appended the whole group on resume)."""
+        golden = _golden(docs)
+        out = str(tmp_path / "staged")
+        with pytest.raises(SimulatedFailure):
+            run_extraction(
+                spark, input_df, out, "rgS",
+                num_partitions=8, num_groups=4, fail_before_publish=2,
+            )
+        # groups 0-1 published, group 2 staged but orphaned
+        seen = committed_spans(spark, out, "rgS")
+        assert seen.select("doc_id").distinct().count() == seen.count()
+
+        stats = run_extraction(spark, input_df, out, "rgS",
+                               num_partitions=8, num_groups=4)
+        assert stats["groups_skipped"] == 2
+        resumed = _collected(committed_spans(spark, out, "rgS"))
+        assert resumed == golden  # orphan attempt invisible, no duplicates
+
+    def test_resume_with_changed_num_groups_fails_fast(
+        self, spark, input_df, tmp_path
+    ):
+        """Group membership is a function of num_groups — resuming with a
+        different value would silently lose/duplicate docs, so it must
+        refuse (membership is never derived from cluster parallelism)."""
+        out = str(tmp_path / "ng")
+        with pytest.raises(SimulatedFailure):
+            run_extraction(spark, input_df, out, "rgN",
+                           num_partitions=8, num_groups=4, fail_after_group=0)
+        with pytest.raises(ValueError, match="num_groups"):
+            run_extraction(spark, input_df, out, "rgN",
+                           num_partitions=8, num_groups=8)
+        # different parallelism, same num_groups: resumes cleanly
+        stats = run_extraction(spark, input_df, out, "rgN",
+                               num_partitions=3, num_groups=4)
+        assert stats["groups_skipped"] == 1
 
     def test_audit_rows(self, spark, input_df, docs, tmp_path):
         out = str(tmp_path / "audit_run")

@@ -134,3 +134,28 @@ class TestRelationalJoin:
         plan = plan_of(e.q_revenue_by_nation(spark, SF_DIR))
         # customer and nation are broadcast-hinted dims
         assert plan.count("BroadcastHashJoin") >= 2
+
+
+class TestNearDedupPlan:
+    def test_no_all_pairs_join(self, spark):
+        """The end-to-end near_dedup composition must stay O(n·bands):
+        candidate generation joins within LSH buckets, verification joins
+        on candidate ids — never a cartesian/nested-loop product."""
+        from ocr_search_spark.ops.dedup import near_dedup
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        plan = plan_of(near_dedup(docs, "doc_id", "text", threshold=0.3))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_survivors_drop_planted_duplicate(self, spark):
+        from ocr_search_spark.ops.dedup import near_dedup
+
+        rows = [
+            ("a", "alpha beta gamma delta epsilon zeta eta theta"),
+            ("b", "alpha beta gamma delta epsilon zeta eta theta"),  # dup of a
+            ("c", "totally different words in this one here now"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        got = sorted(r.doc_id for r in near_dedup(df, "doc_id", "text", 0.9).collect())
+        assert got == ["a", "c"]  # min-id keeper wins, unique doc survives
