@@ -147,6 +147,15 @@ def q_fts_phrase(spark, sf_dir):
     return _q_websearch(spark, sf_dir, PHRASE_QUERY)
 
 
+def q_fts_phrase_postings(spark, sf_dir):
+    """Phrase match via postings positions (the phraseto_tsquery/GIN access
+    pattern) — must agree with q_fts_phrase's direct adjacency scan."""
+    from ocr_search_spark.search.engine import build_postings, phrase_match_postings
+
+    p = build_postings(_docs(spark, sf_dir), id_col="doc_id", text_col="text")
+    return phrase_match_postings(p, ["spark", "join"])
+
+
 def q_fts_or_not(spark, sf_dir):
     return _q_websearch(spark, sf_dir, OR_NOT_QUERY)
 
@@ -604,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_count": q_fts_count,
         "fts_count_postings": q_fts_count_postings,
         "fts_phrase": q_fts_phrase,
+        "fts_phrase_postings": q_fts_phrase_postings,
         "fts_or_not": q_fts_or_not,
         "fts_search_topk": q_fts_search_topk,
         "ilike_source": q_ilike_source,
@@ -682,6 +692,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_has_all({_TOK}, {terms_sql})
         """,
         "fts_phrase": _websearch_oracle_sql(PHRASE_QUERY),
+        "fts_phrase_postings": _websearch_oracle_sql(PHRASE_QUERY),
         "fts_or_not": _websearch_oracle_sql(OR_NOT_QUERY),
         "fts_search_topk": f"""
             WITH scored AS (

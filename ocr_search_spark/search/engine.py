@@ -66,6 +66,67 @@ def build_postings(docs: DataFrame, id_col: str = "doc_id", text_col: str = "con
     )
 
 
+def phrase_match_postings(postings: DataFrame, words: list[str]) -> DataFrame:
+    """doc_ids where ``words`` appear as adjacent tokens, resolved purely
+    from the postings positions lists — the ``<->`` (phraseto_tsquery)
+    access pattern over the GIN-index analogue: per-term postings are
+    filtered (term lookup prunes to one bucket on a term-bucketed table),
+    hash-joined on doc_id, and the candidate start positions narrow at
+    each step. No document text is touched."""
+    if not words:
+        raise ValueError("empty phrase")
+    cur = postings.filter(F.col("term") == words[0]).select(
+        "doc_id", F.col("positions").alias("pos")
+    )
+
+    def shifted_in_next(step: int):
+        # closure factory: a `lambda p, step=i` would be 2-arg and pyspark
+        # binds the SECOND HOF argument to the array index, not the default
+        return lambda p: F.array_contains(F.col("pos_next"), p + step)
+
+    for i, w in enumerate(words[1:], start=1):
+        nxt = postings.filter(F.col("term") == w).select(
+            "doc_id", F.col("positions").alias("pos_next")
+        )
+        cur = (
+            cur.join(nxt, "doc_id")
+            .select("doc_id", F.filter("pos", shifted_in_next(i)).alias("pos"))
+            .filter(F.size("pos") > 0)
+        )
+    return cur.select("doc_id")
+
+
+def websearch_match_postings(
+    docs: DataFrame, postings: DataFrame, parsed
+) -> DataFrame:
+    """Filter ``docs`` under full websearch grammar using only the postings
+    table: per-item doc-id sets (term lookup or positional phrase match),
+    AND within a group via successive semi-joins, ``-item`` via anti-join,
+    OR across groups via doc-id union. Every join is on doc_id; the corpus
+    text column is never re-tokenized (the 10^12-doc interactive plan)."""
+
+    def item_ids(item) -> DataFrame:
+        if len(item.words) == 1:
+            return postings.filter(F.col("term") == item.words[0]).select(
+                "doc_id"
+            ).distinct()
+        return phrase_match_postings(postings, list(item.words))
+
+    group_results = []
+    for g in parsed:
+        cur = docs
+        for item in g:
+            how = "left_anti" if item.negated else "left_semi"
+            cur = cur.join(item_ids(item), "doc_id", how)
+        group_results.append(cur)
+    if not group_results:
+        return docs
+    out = group_results[0]
+    for other in group_results[1:]:
+        out = out.unionByName(other)
+    return out.dropDuplicates(["doc_id"]) if len(group_results) > 1 else out
+
+
 def _apply_common_filters(df: DataFrame, ocr_user, ocr_from, ocr_to) -> DataFrame:
     """Date-range + ILIKE predicates (Q2/Q3 — search.py:53-55)."""
     if "created_at" in df.columns:
@@ -170,6 +231,10 @@ def search_documents(
                 .select("doc_id")
             )
             filtered = filtered.join(matched, "doc_id", "left_semi")
+        elif postings is not None:
+            # scale path, full grammar: positional phrase match + per-item
+            # semi/anti-joins — never re-tokenizes the corpus
+            filtered = websearch_match_postings(filtered, postings, parsed)
         else:
             # full websearch grammar: materialize toks + the adjacency
             # string in successive projections (plan-shape invariant), then

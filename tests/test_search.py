@@ -185,12 +185,43 @@ class TestWebsearchGrammar:
         got = sorted(r.doc_id for r in res["items"].collect())
         assert got == ["d1", "d2"]
 
-    def test_websearch_falls_back_from_postings_path(self, docs):
+    def test_websearch_postings_path_equals_direct(self, docs):
+        """Full-grammar queries resolve from the postings table (positional
+        phrase match + semi/anti-joins) with identical results to the
+        direct tokenize-and-filter path."""
         postings = build_postings(docs, "doc_id", "content")
-        a = search_documents(docs, '"spark join" -uppercase')
-        b = search_documents(docs, '"spark join" -uppercase', postings=postings)
-        assert a["total"] == b["total"] == 1
-        assert [r.doc_id for r in b["items"].collect()] == ["d2"]
+        cases = [
+            '"spark join" -uppercase',
+            "tables OR uppercase",
+            '"join spark"',
+            "spark -uppercase",
+            "tables OR spark -uppercase",
+        ]
+        for q in cases:
+            a = search_documents(docs, q)
+            b = search_documents(docs, q, postings=postings)
+            assert a["total"] == b["total"], q
+            assert sorted(r.doc_id for r in a["items"].collect()) == sorted(
+                r.doc_id for r in b["items"].collect()
+            ), q
+
+    def test_phrase_match_postings_positions(self, docs):
+        from ocr_search_spark.search.engine import phrase_match_postings
+
+        postings = build_postings(docs, "doc_id", "content")
+        got = sorted(
+            r.doc_id
+            for r in phrase_match_postings(postings, ["spark", "join"]).collect()
+        )
+        assert got == ["d2", "d4"]
+        # three-word phrase crossing the narrowing chain
+        got3 = sorted(
+            r.doc_id
+            for r in phrase_match_postings(
+                postings, ["spark", "join", "spark"]
+            ).collect()
+        )
+        assert got3 == ["d2"]
 
     def test_predicate_sql_twin_matches(self, spark, docs):
         """The DuckDB SQL twin of the compiled predicate selects the same
