@@ -341,6 +341,32 @@ def q_quality_filter(spark, sf_dir):
     return d.filter(keep).select("doc_id", n_tokens.alias("n_tokens"))
 
 
+def q_token_counts(spark, sf_dir):
+    """Token counting three ways: word-regex tokens, whitespace tokens, and
+    the BPE-ish pre-tokenizer runs (tokenizer-budget estimate)."""
+    from ocr_search_spark.ops.text_analysis import (
+        bpe_ish_count_expr,
+        whitespace_count_expr,
+    )
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(_tokens("text")).alias("n_word"),
+        whitespace_count_expr("text").alias("n_ws"),
+        bpe_ish_count_expr("text").alias("n_bpe"),
+    )
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """MOSS-style winnowing fingerprints (rolling hash + window minima),
+    exploded to (doc_id, fp) rows for exact cross-engine checking."""
+    from ocr_search_spark.ops.text_analysis import winnow_fingerprints
+
+    w = winnow_fingerprints(_docs(spark, sf_dir), "doc_id", "text")
+    return w.select(F.col("id").alias("doc_id"), F.explode("fingerprints").alias("fp"))
+
+
 def q_lang_id(spark, sf_dir):
     """Heuristic language id over stopword votes (en vs other)."""
     from ocr_search_spark.search.analysis import with_search_columns
@@ -629,6 +655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "near_dedup_survivors": q_near_dedup_survivors,
         "token_quality": q_token_quality,
+        "token_counts": q_token_counts,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "lang_id": q_lang_id,
         "quality_filter": q_quality_filter,
         "meta_filter": q_meta_filter,
@@ -848,6 +876,39 @@ def oracle_sql() -> dict[str, str]:
                        t -> list_contains(['the','a','of','and','to','in','is'], t))) AS n_stopwords,
                    CAST(list_sum(list_transform({_TOK}, t -> length(t))) AS BIGINT) AS token_chars
             FROM documents
+        """,
+        "token_counts": rf"""
+            SELECT doc_id,
+                   len({_TOK}) AS n_word,
+                   len(list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '')) AS n_ws,
+                   len(regexp_extract_all(lower(text),
+                       '[a-zа-яё]+|[0-9]+|[^a-zа-яё0-9\s]+')) AS n_bpe
+            FROM documents
+        """,
+        "winnow_fingerprints": f"""
+            WITH toked AS (
+              SELECT doc_id, {_TOK} AS toks FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_transform(range(1, len(toks) - 1),
+                                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                          ELSE []::VARCHAR[] END AS sh
+              FROM toked
+            ), h AS (
+              SELECT doc_id, len(sh) AS n_sh,
+                     list_transform(sh, s -> md5(s)) AS hs
+              FROM sh
+            ), f AS (
+              SELECT doc_id,
+                     CASE WHEN n_sh >= 4
+                          THEN list_distinct(list_transform(range(1, n_sh - 2),
+                                 j -> list_min(list_slice(hs, j, j + 3))))
+                          ELSE list_distinct(hs) END AS fps
+              FROM h
+            )
+            SELECT doc_id, unnest(fps) AS fp FROM f
         """,
         "lang_id": f"""
             SELECT doc_id,

@@ -7,10 +7,14 @@ in the same scan as extraction output — no extra shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..search.analysis import tokens_expr
+
+#: BPE-ish pre-tokenizer: letter runs | digit runs | punctuation runs —
+#: the GPT-2-style split shape, RE2- and Java-regex-portable
+BPE_ISH_PATTERN = r"[a-zа-яё]+|[0-9]+|[^a-zа-яё0-9\s]+"
 
 #: tiny per-language stopword signatures for the n-gram/stopword heuristic
 LANG_STOPWORDS = {
@@ -96,10 +100,81 @@ def fingerprint_expr(col: Column | str) -> Column:
 
 def rolling_fingerprints_expr(col: Column | str, window: int = 8) -> Column:
     """Rolling-hash document fingerprints: md5 over each ``window``-token
-    shingle — the winnowing-style input set (min-sampled by callers)."""
+    shingle — the winnowing-style input set (min-sampled by callers).
+
+    Inline/test form: prefer :func:`winnow_fingerprints` in pipelines (its
+    staged projections keep the HOF lambdas on attributes)."""
     toks = tokens_expr(_col(col))
     n = F.size(toks)
     return F.transform(
         F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(0))),
         lambda i: F.md5(F.encode(F.concat_ws(" ", F.slice(toks, i, window)), "utf-8")),
     )
+
+
+def whitespace_count_expr(col: Column | str) -> Column:
+    """Plain whitespace token count (the cheap n_tokens estimate)."""
+    return F.size(F.filter(F.split(_col(col), r"\s+"), lambda t: t != ""))
+
+
+def bpe_ish_count_expr(col: Column | str) -> Column:
+    """BPE-ish pre-tokenizer count: letter/digit/punct runs over the lowered
+    text — the tokenizer-budget estimate a training pipeline bins on."""
+    return F.size(F.regexp_extract_all(F.lower(_col(col)), F.lit(BPE_ISH_PATTERN), 0))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints: positional k-token shingle hashes
+    → minimum of every ``window`` consecutive hashes → distinct set.
+
+    The winnowing guarantee: any shared token run of length ≥ window +
+    shingle_k − 1 contributes at least one common fingerprint, so
+    fingerprint overlap detects partial/contained duplication that
+    whole-document hashing misses — at a fixed ~2/(window+1) sampling rate.
+
+    Returns (id, fingerprints array<string>). Plan shape: three staged
+    projections (tokens → positional shingles → hashes → window minima) so
+    every interpreted HOF lambda reads attributes, never re-evaluates an
+    outer expression tree per element (see ops.dedup._shingles_of_tokens).
+    Hashes are md5 hex strings (lexicographic minima — engine-portable,
+    DuckDB-oracle-checkable).
+    """
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("toks")
+    )
+    n = F.size(F.col("toks"))
+
+    def shingle_at(i):
+        return F.concat_ws(
+            " ", *[F.element_at(F.col("toks"), i + j) for j in range(shingle_k)]
+        )
+
+    sh = toked.select(
+        "id",
+        F.when(
+            n >= shingle_k,
+            F.transform(F.sequence(F.lit(1), n - shingle_k + 1), shingle_at),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("sh"),
+    )
+    hashed = sh.select(
+        "id",
+        F.size("sh").alias("n_sh"),  # second sh reference: keeps projection
+        F.transform("sh", lambda s: F.md5(F.encode(s, "utf-8"))).alias("hs"),
+    )
+    n_sh = F.col("n_sh")
+    minima = F.transform(
+        F.sequence(F.lit(1), n_sh - window + 1),
+        lambda j: F.array_min(F.slice(F.col("hs"), j, window)),
+    )
+    fps = F.when(n_sh >= window, F.array_distinct(minima)).otherwise(
+        F.array_distinct(F.col("hs"))
+    )
+    return hashed.select("id", fps.alias("fingerprints"))

@@ -148,6 +148,71 @@ class TestMultimodal:
             decode_real(b"bytes", "image/png")
 
 
+class TestWinnowing:
+    def test_fingerprints_are_window_minima(self, spark):
+        from ocr_search_spark.ops.text_analysis import winnow_fingerprints
+
+        text = "a b c d e f g"
+        df = spark.createDataFrame([("d1", text)], "doc_id string, text string")
+        got = winnow_fingerprints(df, "doc_id", "text", shingle_k=3, window=4).collect()[0]
+        import hashlib as h
+
+        toks = text.split()
+        shingles = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        hs = [h.md5(s.encode()).hexdigest() for s in shingles]
+        want = []
+        for j in range(len(hs) - 3):
+            m = min(hs[j : j + 4])
+            if m not in want:
+                want.append(m)
+        assert list(got.fingerprints) == want
+
+    def test_shared_run_guarantee(self, spark):
+        """Docs sharing a ≥ window+k-1 token run share a fingerprint."""
+        from pyspark.sql import functions as F
+        from ocr_search_spark.ops.text_analysis import winnow_fingerprints
+
+        shared = "alpha beta gamma delta epsilon zeta"  # 6 = 4+3-1 tokens
+        rows = [
+            ("a", "xx yy " + shared + " zz"),
+            ("b", shared + " qq rr ss tt uu"),
+            ("c", "totally different words entirely here now okay yes"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        fps = {
+            r.id: set(r.fingerprints)
+            for r in winnow_fingerprints(df, "doc_id", "text").collect()
+        }
+        assert fps["a"] & fps["b"]
+        assert not (fps["a"] & fps["c"])
+
+    def test_short_doc_uses_all_hashes(self, spark):
+        from ocr_search_spark.ops.text_analysis import winnow_fingerprints
+
+        df = spark.createDataFrame(
+            [("s", "one two three four")], "doc_id string, text string"
+        )  # 2 shingles < window=4
+        got = winnow_fingerprints(df, "doc_id", "text").collect()[0]
+        assert len(got.fingerprints) == 2
+
+
+class TestTokenCounts:
+    def test_bpe_ish_and_whitespace(self, spark):
+        from ocr_search_spark.ops.text_analysis import (
+            bpe_ish_count_expr,
+            whitespace_count_expr,
+        )
+
+        df = spark.createDataFrame([("Hello, world42 x!",)], "text string")
+        r = df.select(
+            whitespace_count_expr("text").alias("ws"),
+            bpe_ish_count_expr("text").alias("bpe"),
+        ).collect()[0]
+        assert r.ws == 3
+        # hello | , | world | 42 | x | !
+        assert r.bpe == 6
+
+
 class TestMetadata:
     def test_meta_map_tags(self, spark):
         from ocr_search_spark.ops.metadata import EXT_MIME, with_metadata
