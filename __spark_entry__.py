@@ -484,6 +484,39 @@ def q_deterministic_sample(spark, sf_dir):
     )
 
 
+def q_training_corpus(spark, sf_dir):
+    """The composed training-data pipeline a user actually runs: quality
+    gate → language filter → near-dedup survivors → deterministic split.
+    Every stage is an existing oracle-checked operator; the composition is
+    itself oracle-checked end to end."""
+    from ocr_search_spark.ops.dedup import near_dedup
+    from ocr_search_spark.ops.sampling import hash_split
+    from ocr_search_spark.search.analysis import with_search_columns
+
+    d = with_search_columns(_docs(spark, sf_dir), "text")
+    en_stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in", "is")])
+    n_tokens = F.size("toks")
+    n_stop = F.size(F.filter("toks", lambda t: F.array_contains(en_stop, t)))
+    n_punct = F.length(F.regexp_replace("text", "[^.,;:!?]", ""))
+    en_votes = F.size(
+        F.array_intersect(
+            F.array_distinct("toks"), F.array(F.lit("the"), F.lit("a"), F.lit("of"))
+        )
+    )
+    gated = d.filter(
+        (n_tokens >= 30)
+        & (n_stop * 20 >= n_tokens)
+        & (n_punct * 10 <= n_tokens * 3)
+        & (en_votes > 0)
+    ).select("doc_id", "text")
+    survivors = near_dedup(
+        gated, "doc_id", "text", threshold=0.3, n_hashes=8, band_size=2
+    )
+    return hash_split(survivors, {"train": 0.8, "val": 0.1, "test": 0.1}).select(
+        "doc_id", "split"
+    )
+
+
 def q_bm25(spark, sf_dir):
     """Okapi BM25 over the query terms — one-pass HOF term counts + scalar
     corpus-stats broadcast (no explode, no wide shuffle)."""
@@ -672,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "hash_split": q_hash_split,
         "deterministic_sample": q_deterministic_sample,
+        "training_corpus": q_training_corpus,
         # rows-only (non-SQL-expressible: extraction kernels / approx ops)
         "extract_spans": q_extract_spans,
         "extract_kind_stats": q_extract_kind_stats,
@@ -1089,6 +1123,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE ('0x' || substring(md5('s1' || doc_id), 1, 8))::BIGINT
                   % 10000 < 2500
+        """,
+        "training_corpus": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     len({_TOK}) AS n_tokens,
+                     len(list_filter({_TOK},
+                         t -> list_contains(['the','a','of','and','to','in','is'], t))) AS n_stop,
+                     length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                     len(list_intersect(list_distinct({_TOK}), ['the','a','of'])) AS en_votes
+              FROM documents
+            ), gated AS (
+              SELECT doc_id, text FROM t
+              WHERE n_tokens >= 30 AND n_stop * 20 >= n_tokens
+                AND n_punct * 10 <= n_tokens * 3 AND en_votes > 0
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len({_TOK}) - 1, 1)),
+                       i -> array_to_string(list_slice({_TOK}, i, i + 2), ' ')
+                     )) AS shingles
+              FROM gated
+            ), sig AS (
+              SELECT doc_id AS id,
+                     {", ".join(f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS mh{i}" for i in range(8))}
+              FROM sh
+            ), bands AS (
+              {" UNION ALL ".join(f"SELECT id, {b} AS band, md5(mh{b} || '|' || mh{b + 1}) AS bucket FROM sig WHERE mh{b} IS NOT NULL" for b in range(0, 8, 2))}
+            ), cand AS (
+              SELECT DISTINCT a.id AS a_id, b.id AS b_id
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+            ), ver AS (
+              SELECT c.b_id
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.a_id
+              JOIN sh sb ON sb.doc_id = c.b_id
+              WHERE len(list_distinct(list_concat(sa.shingles, sb.shingles))) > 0
+                AND len(list_intersect(sa.shingles, sb.shingles))
+                    >= len(list_distinct(list_concat(sa.shingles, sb.shingles))) * 0.3
+            ), survivors AS (
+              SELECT doc_id FROM gated
+              WHERE doc_id NOT IN (SELECT b_id FROM ver)
+            )
+            SELECT doc_id,
+                   CASE WHEN b < 8000 THEN 'train'
+                        WHEN b < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     ('0x' || substring(md5('split' || doc_id), 1, 8))::BIGINT
+                       % 10000 AS b
+              FROM survivors
+            )
         """,
         "bm25": f"""
             WITH tfd AS (

@@ -104,13 +104,18 @@ def main() -> None:
     qs = entrymod.queries()
     secondary = [
         "fts_count",
+        "fts_phrase",
         "fts_search_topk",
         "trigram_topk",
         "normalize_chain",
         "dedup_exact",
         "minhash",
         "lsh_bands",
+        "near_dedup_survivors",
+        "winnow_fingerprints",
         "token_quality",
+        "token_counts",
+        "meta_filter",
         "ann_cosine_topk",
         "events_hourly",
         "bm25",
@@ -118,6 +123,7 @@ def main() -> None:
         "sessionize",
         "vocab_topk",
         "revenue_by_nation",
+        "training_corpus",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then the
