@@ -20,6 +20,14 @@ attributes — ``toks`` (token array) and a space-joined token string for
 phrase adjacency — so it stays a plain Catalyst filter (pushes past
 projections, no UDF, no extra shuffle). Phrase adjacency over the joined
 string is exact because tokens cannot contain spaces.
+
+Known plan property (measured, accepted): predicate pushdown substitutes the
+``toks`` alias into each item's ``array_contains``, so the tokenize tree
+appears once per query item in the pushed filter. Boolean short-circuiting
+keeps the *evaluated* count near one per row (the first failed conjunct
+stops the row), and the interactive-scale form is the postings path
+(`engine.websearch_match_postings`), which never tokenizes the corpus at
+query time — this direct form is the one-shot/batch-filter path.
 """
 
 from __future__ import annotations
