@@ -360,11 +360,21 @@ def q_token_counts(spark, sf_dir):
 
 def q_winnow_fingerprints(spark, sf_dir):
     """MOSS-style winnowing fingerprints (rolling hash + window minima),
-    exploded to (doc_id, fp) rows for exact cross-engine checking."""
+    one sorted-CSV row per doc for exact cross-engine checking.
+
+    Deliberately NOT exploded: a Generate over this computed array triggers
+    InferFiltersFromGenerate + predicate pushdown, which inlines the whole
+    staged fingerprint tree into a scan-level filter (measured 41 tokenizer
+    copies re-evaluated per array element — a 50-min plan for a 1 s job).
+    Our own sessions exclude that rule (session.py), but this query must
+    stay sane on ANY session, so it avoids the Generate entirely."""
     from ocr_search_spark.ops.text_analysis import winnow_fingerprints
 
     w = winnow_fingerprints(_docs(spark, sf_dir), "doc_id", "text")
-    return w.select(F.col("id").alias("doc_id"), F.explode("fingerprints").alias("fp"))
+    return w.select(
+        F.col("id").alias("doc_id"),
+        F.array_join(F.array_sort("fingerprints"), ",").alias("fps_csv"),
+    )
 
 
 def q_lang_id(spark, sf_dir):
@@ -942,7 +952,7 @@ def oracle_sql() -> dict[str, str]:
                           ELSE list_distinct(hs) END AS fps
               FROM h
             )
-            SELECT doc_id, unnest(fps) AS fp FROM f
+            SELECT doc_id, array_to_string(list_sort(fps), ',') AS fps_csv FROM f
         """,
         "lang_id": f"""
             SELECT doc_id,

@@ -7,12 +7,19 @@ from .extract import (
     explode_spans,
     ordered_text_agg,
 )
-from .checkpoint import committed_spans, run_extraction, read_audit, read_ledger
+from .checkpoint import (
+    committed_spans,
+    compact_group_outputs,
+    run_extraction,
+    read_audit,
+    read_ledger,
+)
 
 __all__ = [
     "SPANS_OUT_SCHEMA",
     "add_partition_salt",
     "committed_spans",
+    "compact_group_outputs",
     "extract_documents",
     "explode_spans",
     "ordered_text_agg",

@@ -101,16 +101,74 @@ def committed_spans(
     """The published output view: exactly the ledgered attempt directories.
 
     Orphan attempts from crashed runs (staged but never published) are
-    invisible here. The ledger is num_groups-sized — driver-small by
-    construction."""
+    invisible here. When a group has several ledger rows (e.g. after
+    :func:`compact_group_outputs` republished it), the LATEST publication
+    wins — older attempts become invisible history. The ledger is
+    num_groups-sized — driver-small by construction."""
     ledger = read_ledger(spark, out_dir)
     if ledger is not None and run_group is not None:
         ledger = ledger.filter(F.col("run_group") == run_group)
-    rows = ledger.select("group_id", "run_id").collect() if ledger is not None else []
-    if not rows:
+    rows = (
+        ledger.select("run_group", "group_id", "run_id", "committed_at").collect()
+        if ledger is not None
+        else []
+    )
+    latest: dict[tuple, object] = {}
+    for r in rows:
+        key = (r.run_group, r.group_id)
+        if key not in latest or (r.committed_at, r.run_id) > (
+            latest[key].committed_at,
+            latest[key].run_id,
+        ):
+            latest[key] = r
+    if not latest:
         return spark.createDataFrame([], SPANS_OUT_SCHEMA)
-    paths = [group_attempt_path(out_dir, r.group_id, r.run_id) for r in rows]
+    paths = [group_attempt_path(out_dir, r.group_id, r.run_id) for r in latest.values()]
     return spark.read.parquet(*paths)
+
+
+def compact_group_outputs(
+    spark: SparkSession,
+    out_dir: str,
+    run_group: str,
+    target_partitions: int = 1,
+) -> dict:
+    """Small-files hygiene: rewrite each published group into a compacted
+    attempt directory and republish it (latest ledger row wins).
+
+    Every group append fans out over all executors, so a long-running table
+    accumulates P files per group per run — the classic small-files problem
+    at 10^12 rows. Compaction reuses the same stage-then-publish protocol as
+    extraction: readers never see a half-written rewrite, and a crash
+    mid-compaction leaves the previous publication live. (On Iceberg this is
+    `rewrite_data_files` — same idea, catalog-native.)"""
+    rows = _ledger_rows(spark, out_dir, run_group)
+    latest: dict[int, object] = {}
+    for r in rows:
+        if r.group_id not in latest:
+            latest[r.group_id] = r
+    compact_id = f"{run_group}-compact-{uuid.uuid4().hex[:8]}"
+    ledger = read_ledger(spark, out_dir)
+    done = 0
+    for g in sorted(latest):
+        live = (
+            ledger.filter(
+                (F.col("run_group") == run_group) & (F.col("group_id") == g)
+            )
+            .orderBy(F.col("committed_at").desc(), F.col("run_id").desc())
+            .limit(1)
+            .collect()[0]
+        )
+        src = group_attempt_path(out_dir, g, live.run_id)
+        df = spark.read.parquet(src).coalesce(target_partitions)
+        write_table(df, group_attempt_path(out_dir, g, compact_id), mode="overwrite")
+        ledger_row = spark.createDataFrame(
+            [(run_group, g, compact_id, live.num_groups)],
+            "run_group string, group_id int, run_id string, num_groups int",
+        ).withColumn("committed_at", F.current_timestamp())
+        write_table(ledger_row.coalesce(1), _ledger_path(out_dir), mode="append")
+        done += 1
+    return {"run_group": run_group, "groups_compacted": done, "run_id": compact_id}
 
 
 def run_extraction(

@@ -38,6 +38,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # InferFiltersFromGenerate is a pessimization for this engine: every
+        # exploded array here (tokens, shingles, fingerprints, spans) is an
+        # EXPENSIVE computed column, and the inferred `size(arr) > 0` filter
+        # gets predicate-pushed through the producing projections, inlining
+        # the whole expression tree into a scan-level filter — measured
+        # catastrophic (winnowing: 41 tokenizer copies, re-evaluated per
+        # array element under interpreted HOF semantics → a 1 s job became
+        # 50+ min). Skipping empty arrays in the Generate is worth far less
+        # than evaluating the producer twice.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     if os.path.isdir("/dev/shm"):
         # local-mode analogue of NVMe shuffle volumes: spill/shuffle to tmpfs

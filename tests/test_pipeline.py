@@ -180,6 +180,30 @@ class TestResume:
                                num_partitions=3, num_groups=4)
         assert stats["groups_skipped"] == 1
 
+    def test_compaction_preserves_rows_and_republishes(
+        self, spark, docs, input_df, tmp_path
+    ):
+        """compact_group_outputs rewrites each group into one file and
+        republishes via the ledger (latest row wins); the committed view is
+        unchanged, old attempts become invisible history."""
+        import glob
+
+        from ocr_search_spark.pipeline.checkpoint import compact_group_outputs
+
+        out = str(tmp_path / "compact")
+        run_extraction(spark, input_df, out, "rgK", num_partitions=8, num_groups=2)
+        before = _collected(committed_spans(spark, out, "rgK"))
+
+        stats = compact_group_outputs(spark, out, "rgK", target_partitions=1)
+        assert stats["groups_compacted"] == 2
+        after = _collected(committed_spans(spark, out, "rgK"))
+        assert after == before == _golden(docs)
+        # each live attempt dir holds exactly one data file
+        live_dirs = glob.glob(f"{out}/spans/g=*/r={stats['run_id']}")
+        assert len(live_dirs) == 2
+        for d in live_dirs:
+            assert len(glob.glob(f"{d}/part-*")) == 1
+
     def test_audit_rows(self, spark, input_df, docs, tmp_path):
         out = str(tmp_path / "audit_run")
         run_extraction(spark, input_df, out, "rgC", num_partitions=8, num_groups=2)

@@ -136,6 +136,31 @@ class TestRelationalJoin:
         assert plan.count("BroadcastHashJoin") >= 2
 
 
+class TestGenerateInferredFilter:
+    def test_exploding_computed_array_does_not_inline_producer(self, spark):
+        """InferFiltersFromGenerate + pushdown inlines the whole producing
+        expression tree into a scan filter (measured: 41 tokenizer copies,
+        re-evaluated per array element — a 50-min plan for a 1 s job). Our
+        session factory excludes the rule; this asserts the tokenizer
+        appears exactly once in the optimized exploded-winnow plan."""
+        from ocr_search_spark.ops.text_analysis import winnow_fingerprints
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        w = winnow_fingerprints(docs, "doc_id", "text").select(
+            F.explode("fingerprints")
+        )
+        opt = optimized_of(w)
+        assert opt.count("split(lower") == 1
+
+    def test_driver_facing_winnow_query_has_no_generate(self, spark):
+        """The harness query must stay sane on ANY session config, so it
+        avoids the Generate entirely (sorted-CSV projection)."""
+        import __spark_entry__ as e
+
+        plan = plan_of(e.q_winnow_fingerprints(spark, SF_DIR))
+        assert "Generate" not in plan
+
+
 class TestNearDedupPlan:
     def test_no_all_pairs_join(self, spark):
         """The end-to-end near_dedup composition must stay O(n·bands):
