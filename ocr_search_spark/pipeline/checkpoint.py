@@ -171,6 +171,48 @@ def compact_group_outputs(
     return {"run_group": run_group, "groups_compacted": done, "run_id": compact_id}
 
 
+def vacuum_uncommitted(spark: SparkSession, out_dir: str) -> list[str]:
+    """Delete staged attempt directories that no ledger row ever published
+    (crash leftovers) or that a later republication superseded. Driver-side
+    filesystem walk — parquet mode only (Iceberg expires snapshots instead).
+    Returns the removed paths."""
+    import os
+    import shutil
+
+    root = output_path(out_dir)
+    if not os.path.isdir(root):
+        return []
+    ledger = read_ledger(spark, out_dir)
+    rows = (
+        ledger.select("run_group", "group_id", "run_id", "committed_at").collect()
+        if ledger is not None
+        else []
+    )
+    latest: dict[tuple, object] = {}
+    for r in rows:
+        key = (r.run_group, r.group_id)
+        if key not in latest or (r.committed_at, r.run_id) > (
+            latest[key].committed_at,
+            latest[key].run_id,
+        ):
+            latest[key] = r
+    live = {(r.group_id, r.run_id) for r in latest.values()}
+    removed = []
+    for gdir in sorted(os.listdir(root)):
+        if not gdir.startswith("g="):
+            continue
+        g = int(gdir.split("=", 1)[1])
+        for rdir in sorted(os.listdir(os.path.join(root, gdir))):
+            if not rdir.startswith("r="):
+                continue
+            rid = rdir.split("=", 1)[1]
+            if (g, rid) not in live:
+                path = os.path.join(root, gdir, rdir)
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(path)
+    return removed
+
+
 def run_extraction(
     spark: SparkSession,
     input_df: DataFrame,

@@ -28,9 +28,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from ocr_search_spark.corpus import corpus_df
-    from ocr_search_spark.ops.dedup import exact_dedup_groups
+    from ocr_search_spark.ops.dedup import exact_dedup_groups, near_dedup
     from ocr_search_spark.ops.sampling import hash_split
     from ocr_search_spark.pipeline import read_audit
+    from ocr_search_spark.pipeline.checkpoint import (
+        committed_spans,
+        compact_group_outputs,
+        vacuum_uncommitted,
+    )
     from ocr_search_spark.store import DocumentStore
 
     print(f"== ingest ({sf_dir} -> {workdir})")
@@ -48,15 +53,33 @@ def main() -> None:
         print(f"-- rank_mode={mode}: total={res['total']}")
         res["items"].show(3, truncate=60)
 
+    print("== search: websearch grammar (phrase / OR / -exclusion)")
+    for q in ('"spark join"', "spark OR join -table"):
+        res = store.search(q, limit=3)
+        print(f"-- q={q!r}: total={res['total']}")
+        res["items"].select("doc_id", "link", "snippet").show(2, truncate=50)
+
     print("== search: empty query -> latest-10 semantics")
     res = store.search(None)
     print(f"total={res['total']}")
     res["items"].show(3, truncate=60)
 
-    print("== dedup report (exact, md5 fingerprint)")
+    print("== metadata map (exiftool analogue) on the content table")
     content = spark.read.parquet(store.content_path)
+    content.select(
+        "doc_id",
+        F.element_at("meta", "FileType").alias("ftype"),
+        F.element_at("meta", "MIMEType").alias("mime"),
+        F.element_at("meta", "FileSize").alias("size"),
+    ).show(4)
+
+    print("== dedup report (exact, md5 fingerprint)")
     groups = exact_dedup_groups(content, "doc_id", "content")
     groups.filter(F.col("n_dups") > 1).orderBy(F.col("n_dups").desc()).show(5)
+
+    print("== near-dedup survivors (LSH candidates -> verify -> keeper)")
+    survivors = near_dedup(content, "doc_id", "content", threshold=0.5)
+    print(f"docs={content.count()} survivors={survivors.count()}")
 
     print("== train/val/test split (deterministic hash ranges)")
     hash_split(content, {"train": 0.8, "val": 0.1, "test": 0.1}).groupBy(
@@ -65,6 +88,11 @@ def main() -> None:
 
     print("== re-ingest: checkpoint ledger skips committed groups")
     print(store.ingest(docs, run_group="demo"))
+
+    print("== compaction: republish each group as one file, vacuum orphans")
+    print(compact_group_outputs(spark, workdir, "demo"))
+    print(f"vacuumed {len(vacuum_uncommitted(spark, workdir))} superseded dirs")
+    print(f"committed rows: {committed_spans(spark, workdir, 'demo').count()}")
 
     spark.stop()
 

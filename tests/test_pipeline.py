@@ -204,6 +204,27 @@ class TestResume:
         for d in live_dirs:
             assert len(glob.glob(f"{d}/part-*")) == 1
 
+    def test_vacuum_removes_orphans_keeps_live(self, spark, docs, input_df, tmp_path):
+        import glob
+
+        from ocr_search_spark.pipeline.checkpoint import (
+            compact_group_outputs,
+            vacuum_uncommitted,
+        )
+
+        out = str(tmp_path / "vac")
+        with pytest.raises(SimulatedFailure):
+            run_extraction(spark, input_df, out, "rgV",
+                           num_partitions=8, num_groups=2, fail_before_publish=1)
+        run_extraction(spark, input_df, out, "rgV", num_partitions=8, num_groups=2)
+        compact_group_outputs(spark, out, "rgV")  # supersedes originals
+        golden = _golden(docs)
+        removed = vacuum_uncommitted(spark, out)
+        # removed: the orphan attempt + the superseded pre-compaction dirs
+        assert len(removed) == 3
+        assert len(glob.glob(f"{out}/spans/g=*/r=*")) == 2  # live attempts only
+        assert _collected(committed_spans(spark, out, "rgV")) == golden
+
     def test_audit_rows(self, spark, input_df, docs, tmp_path):
         out = str(tmp_path / "audit_run")
         run_extraction(spark, input_df, out, "rgC", num_partitions=8, num_groups=2)

@@ -52,3 +52,31 @@ class TestLifecycle:
         res = s.search("")
         assert res["total"] == len(docs)
         assert len(res["items"].collect()) == 10
+
+    def test_content_table_carries_filename_and_meta(self, spark, store):
+        """S10 + Q11 feed: ingest attaches filename/path_origin and the
+        exiftool-analogue meta map, queryable via element_at."""
+        from pyspark.sql import functions as F
+
+        s, docs = store
+        content = spark.read.parquet(s.content_path)
+        assert {"filename", "path_origin", "meta"} <= set(content.columns)
+        row = content.orderBy("doc_id").first()
+        assert row.filename.startswith(row.doc_id + ".")
+        assert row.path_origin == "store\\" + row.filename
+        assert row.meta["FileSize"] == str(len(row.content))
+        n_pdf = content.filter(
+            F.element_at("meta", "FileType") == F.upper(
+                F.regexp_extract("filename", r"\.([a-z]+)$", 1)
+            )
+        ).count()
+        assert n_pdf == content.count()  # meta ext consistent with filename
+
+    def test_search_items_link_from_path_origin(self, spark, store):
+        s, docs = store
+        some = spark.read.parquet(s.content_path).first().content
+        term = next(w for w in some.split() if w.isalpha() and len(w) > 3)
+        items = s.search(term, limit=3)["items"].collect()
+        for r in items:
+            assert r.link == "http://files.local/store/" + r.filename
+            assert r.snippet_is_html is True
