@@ -377,6 +377,16 @@ def q_winnow_fingerprints(spark, sf_dir):
     )
 
 
+def q_winnow_partial_dups(spark, sf_dir):
+    """Partial-duplication candidates: pairs sharing ≥2 winnowing
+    fingerprints (the fingerprint posting join)."""
+    from ocr_search_spark.ops.text_analysis import winnow_partial_dup_pairs
+
+    return winnow_partial_dup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", min_shared=2
+    )
+
+
 def q_lang_id(spark, sf_dir):
     """Heuristic language id over stopword votes (en vs other)."""
     from ocr_search_spark.search.analysis import with_search_columns
@@ -700,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_quality": q_token_quality,
         "token_counts": q_token_counts,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_partial_dups": q_winnow_partial_dups,
         "lang_id": q_lang_id,
         "quality_filter": q_quality_filter,
         "meta_filter": q_meta_filter,
@@ -954,6 +965,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, array_to_string(list_sort(fps), ',') AS fps_csv FROM f
         """,
+        "winnow_partial_dups": _winnow_pairs_oracle_sql(),
         "lang_id": f"""
             SELECT doc_id,
                    CASE WHEN len(list_intersect(list_distinct({_TOK}), ['the','a','of'])) > 0
@@ -1279,6 +1291,39 @@ def _websearch_oracle_sql(q: str) -> str:
                           ' ' || array_to_string(toks, ' ') || ' ' AS tokstr
                    FROM t)
         SELECT doc_id FROM s WHERE {pred}
+    """
+
+
+def _winnow_pairs_oracle_sql(min_shared: int = 2) -> str:
+    """Fingerprint posting self-join over the same winnowing CTEs."""
+    return f"""
+        WITH toked AS (
+          SELECT doc_id, {_TOK} AS toks FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_transform(range(1, len(toks) - 1),
+                             i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                      ELSE []::VARCHAR[] END AS sh
+          FROM toked
+        ), h AS (
+          SELECT doc_id, len(sh) AS n_sh,
+                 list_transform(sh, s -> md5(s)) AS hs
+          FROM sh
+        ), f AS (
+          SELECT doc_id,
+                 CASE WHEN n_sh >= 4
+                      THEN list_distinct(list_transform(range(1, n_sh - 2),
+                             j -> list_min(list_slice(hs, j, j + 3))))
+                      ELSE list_distinct(hs) END AS fps
+          FROM h
+        ), flat AS (
+          SELECT doc_id AS id, unnest(fps) AS fp FROM f
+        )
+        SELECT a.id AS a_id, b.id AS b_id, count(*) AS shared
+        FROM flat a JOIN flat b ON a.fp = b.fp AND a.id < b.id
+        GROUP BY a.id, b.id
+        HAVING count(*) >= {min_shared}
     """
 
 

@@ -93,12 +93,22 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, n_hashes: int = 8, band_size: int = 2
+    signatures: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
     Shuffle = one groupBy per run on (band_idx, band_key); self-join happens
     only within buckets. Returns distinct (a_id, b_id) with a_id < b_id.
+
+    ``max_bucket_size`` is the mega-bucket skew guard: buckets larger than
+    the cap (boilerplate-identical documents — B² pair blowup) are diverted
+    out of the pairwise join; such documents are by definition
+    near-identical and belong in the exact-dup path instead. The filter is
+    one extra aggregate on the already-shuffled (band, bucket) key —
+    broadcast back as a semi-join.
     """
     # one pass: each row explodes into its (band, bucket) keys — no N-way
     # self-union re-evaluating the signature plan per band
@@ -119,6 +129,16 @@ def lsh_candidate_pairs(
         .select(F.col("id"), F.explode(F.array(*band_structs)).alias("bb"))
         .select(F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"), "id")
     )
+    if max_bucket_size is not None:
+        # mega-buckets are rare by definition → broadcast the BAD set and
+        # anti-join (the OK set would be nearly the whole table)
+        bad = (
+            all_bands.groupBy("band", "bucket")
+            .agg(F.count("*").alias("sz"))
+            .filter(F.col("sz") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        all_bands = all_bands.join(F.broadcast(bad), ["band", "bucket"], "left_anti")
     left = all_bands.alias("l")
     right = all_bands.alias("r")
     return (

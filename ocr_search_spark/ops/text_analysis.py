@@ -178,3 +178,35 @@ def winnow_fingerprints(
         F.array_distinct(F.col("hs"))
     )
     return hashed.select("id", fps.alias("fingerprints"))
+
+
+def winnow_partial_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_shared: int = 2,
+    shingle_k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Partial/contained-duplication candidates: document pairs sharing at
+    least ``min_shared`` winnowing fingerprints — catches a plagiarized
+    paragraph inside an otherwise-different document, which whole-document
+    MinHash misses (Jaccard dilutes with document length).
+
+    Scale shape: the fingerprint posting join — explode fingerprints, hash
+    self-join on fp (shuffle keyed on fingerprint, O(matches) work), count
+    shared per pair. Common-substring boilerplate creates hot fingerprints;
+    cap them upstream like LSH buckets (drop fps with document frequency
+    above a boilerplate threshold) before the join at production scale.
+
+    Returns (a_id, b_id, shared) with a_id < b_id.
+    """
+    w = winnow_fingerprints(df, id_col, text_col, shingle_k, window)
+    flat = w.select("id", F.explode("fingerprints").alias("fp"))
+    a, b = flat.alias("a"), flat.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

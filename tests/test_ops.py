@@ -195,6 +195,37 @@ class TestWinnowing:
         got = winnow_fingerprints(df, "doc_id", "text").collect()[0]
         assert len(got.fingerprints) == 2
 
+    def test_partial_dup_pairs_find_embedded_paragraph(self, spark):
+        from ocr_search_spark.ops.text_analysis import winnow_partial_dup_pairs
+
+        para = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [
+            ("a", "intro words here " + para + " closing remarks follow now"),
+            ("b", para + " completely different continuation of this text"),
+            ("c", "nothing shared with the others at all in this document"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        pairs = {
+            (r.a_id, r.b_id): r.shared
+            for r in winnow_partial_dup_pairs(df, "doc_id", "text").collect()
+        }
+        assert ("a", "b") in pairs and pairs[("a", "b")] >= 2
+        assert not any("c" in p for p in pairs)
+
+
+class TestLshBucketCap:
+    def test_mega_bucket_diverted(self, spark):
+        from ocr_search_spark.ops.dedup import lsh_candidate_pairs, minhash_signatures
+
+        same = [(f"d{i}", "identical boilerplate text repeated again and again here")
+                for i in range(6)]
+        df = spark.createDataFrame(same, "doc_id string, text string")
+        sig = minhash_signatures(df, "doc_id", "text", n_hashes=8)
+        uncapped = lsh_candidate_pairs(sig, 8, 2).count()
+        capped = lsh_candidate_pairs(sig, 8, 2, max_bucket_size=3).count()
+        assert uncapped == 15  # 6 choose 2 — the B² blowup
+        assert capped == 0  # mega-bucket diverted to the exact-dup path
+
 
 class TestTokenCounts:
     def test_bpe_ish_and_whitespace(self, spark):
