@@ -687,6 +687,22 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_resize(spark, sf_dir):
+    """Multimodal resize plumbing: batch kernel → fixed-dim thumbnails
+    (pixel resample stubbed deterministically — ops/multimodal.py)."""
+    from ocr_search_spark.ops.multimodal import resize_images, synth_media_df
+
+    return resize_images(synth_media_df(spark, n=64), 128, 96)
+
+
+def q_media_frames(spark, sf_dir):
+    """Multimodal frame sampling: one row per sampled 16-byte 'frame'
+    (demux stubbed deterministically — ops/multimodal.py)."""
+    from ocr_search_spark.ops.multimodal import sample_frames, synth_media_df
+
+    return sample_frames(synth_media_df(spark, n=64), every_n=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_count": q_fts_count,
@@ -736,6 +752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
     }
 
 
@@ -1266,6 +1284,32 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ann_ivf_oracle_sql(),
         "cosine_neardup_lsh": _cosine_neardup_lsh_oracle_sql(),
         "media_features": _media_features_oracle_sql(),
+        "media_resize": """
+            WITH refs AS (
+              SELECT 'media://synth/' || i AS media_ref, 1 + i % 5 AS reps
+              FROM range(64) t(i)
+            ), pay AS (
+              SELECT media_ref, repeat(unhex(md5(media_ref)), reps) AS payload
+              FROM refs
+            ), fp AS (
+              SELECT media_ref, md5(hex(payload)) AS fingerprint,
+                     CAST(octet_length(payload) AS BIGINT) AS n_bytes
+              FROM pay
+            )
+            SELECT media_ref, 128::INT AS width, 96::INT AS height,
+                   md5(fingerprint || ':128x96') AS thumb_fp, n_bytes
+            FROM fp
+        """,
+        "media_frames": """
+            WITH refs AS (
+              SELECT 'media://synth/' || i AS media_ref, 1 + i % 5 AS reps
+              FROM range(64) t(i)
+            )
+            SELECT media_ref,
+                   unnest(range(0, reps, 2))::INT AS frame_idx,
+                   md5(hex(unhex(md5(media_ref)))) AS frame_fp
+            FROM refs
+        """,
         "extract_spans": f"""
             SELECT doc_id, kind, text, media_ref, "order"
             FROM read_parquet('{_golden_spans_parquet()}')

@@ -97,6 +97,78 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(media_features_kernel, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_ref string, width int, height int, thumb_fp string, n_bytes long"
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Thumbnail/resize plumbing: whole-batch kernel producing fixed-dim
+    outputs. The pixel resample is stubbed (no codec libs here):
+    ``thumb_fp`` is a deterministic function of (payload, target dims) —
+    md5(fingerprint:WxH) — standing in for the resampled bytes' hash, so
+    the batch shape, schema, and lineage are real and oracle-checkable.
+    A real deployment swaps the fp line for PIL ``Image.resize``.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = pdf["payload"].map(
+                lambda b: bytes(b) if b is not None else b""
+            )
+            fps = payloads.map(payload_fingerprint)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "width": width,
+                    "height": height,
+                    "thumb_fp": fps.map(
+                        lambda f: hashlib.md5(
+                            f"{f}:{width}x{height}".encode()
+                        ).hexdigest()
+                    ),
+                    "n_bytes": payloads.map(len).astype("int64"),
+                }
+            ).astype({"width": "int32", "height": "int32"})
+
+    return media.mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "media_ref string, frame_idx int, frame_fp string"
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: one row per sampled
+    frame. The 'decoder' treats each 16-byte payload chunk as a frame
+    (deterministic stand-in for an ffmpeg demux); a real deployment swaps
+    the chunker for frame extraction and keeps the fan-out shape: batch in,
+    variable rows out, frame_fp = content hash for downstream dedup/ANN.
+    """
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, idxs, fps = [], [], []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                n_frames = len(b) // 16
+                for k in range(0, n_frames, every_n):
+                    refs.append(ref)
+                    idxs.append(k)
+                    fps.append(
+                        hashlib.md5(b[k * 16 : (k + 1) * 16].hex().upper().encode()).hexdigest()
+                    )
+            if refs:
+                yield pd.DataFrame(
+                    {"media_ref": refs, "frame_idx": idxs, "frame_fp": fps}
+                ).astype({"frame_idx": "int32"})
+
+    return media.mapInPandas(kernel, schema=FRAMES_SCHEMA)
+
+
 def synth_media_df(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table for tests/demos.
 

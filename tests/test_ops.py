@@ -147,6 +147,28 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             decode_real(b"bytes", "image/png")
 
+    def test_resize_plumbing(self, spark):
+        from ocr_search_spark.ops.multimodal import resize_images, synth_media_df
+
+        out = resize_images(synth_media_df(spark, n=8), 64, 48).collect()
+        assert len(out) == 8
+        assert all(r.width == 64 and r.height == 48 for r in out)
+        assert len({r.thumb_fp for r in out}) == 8  # payload-dependent
+
+    def test_frame_sampling_fanout(self, spark):
+        from ocr_search_spark.ops.multimodal import sample_frames, synth_media_df
+
+        media = synth_media_df(spark, n=10)  # reps cycle 1..5 → 16..80 bytes
+        frames = sample_frames(media, every_n=2).collect()
+        by_ref = {}
+        for r in frames:
+            by_ref.setdefault(r.media_ref, []).append(r.frame_idx)
+        # i=4 → reps=5 → frames 0..4 → sampled 0,2,4
+        assert sorted(by_ref["media://synth/4"]) == [0, 2, 4]
+        assert sorted(by_ref["media://synth/0"]) == [0]
+        with pytest.raises(ValueError):
+            sample_frames(media, every_n=0)
+
 
 class TestWinnowing:
     def test_fingerprints_are_window_minima(self, spark):
