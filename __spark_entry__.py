@@ -1326,13 +1326,17 @@ def oracle_sql() -> dict[str, str]:
 def _websearch_oracle_sql(q: str) -> str:
     """The same websearch parse compiled to DuckDB SQL (search/websearch.py
     emits both the Catalyst predicate and this SQL twin from one parse)."""
-    from ocr_search_spark.search.websearch import parse_websearch, websearch_sql
+    from ocr_search_spark.search.websearch import (
+        parse_websearch,
+        token_string_sql,
+        websearch_sql,
+    )
 
     pred = websearch_sql(parse_websearch(q), "toks", "tokstr")
     return f"""
         WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
              s AS (SELECT doc_id, toks,
-                          ' ' || array_to_string(toks, ' ') || ' ' AS tokstr
+                          {token_string_sql('toks')} AS tokstr
                    FROM t)
         SELECT doc_id FROM s WHERE {pred}
     """

@@ -163,11 +163,21 @@ def websearch_predicate(
     return out
 
 
+def token_string_sql(toks_sql: str) -> str:
+    """DuckDB twin of :func:`token_string_expr`.
+
+    The ``coalesce`` matters: DuckDB's ``array_to_string([], ' ')`` is NULL
+    where Spark's ``array_join`` is '' — without it a *negated* phrase
+    diverges on zero-token documents (found by the property test)."""
+    return f"(' ' || coalesce(array_to_string({toks_sql}, ' '), '') || ' ')"
+
+
 def websearch_sql(parsed: list[Group], toks_sql: str, tokstr_sql: str) -> str:
     """The identical predicate as ANSI/DuckDB SQL text (oracle twin).
 
     ``toks_sql``/``tokstr_sql`` are SQL expressions or column names for the
-    token list and the space-joined token string.
+    token list and the space-joined token string — build the latter with
+    :func:`token_string_sql` so empty token lists behave like Spark's.
     """
 
     def item_sql(item: Item) -> str:

@@ -228,7 +228,11 @@ class TestWebsearchGrammar:
         ids (the CORRECTNESS gate mechanism, in miniature)."""
         import duckdb
 
-        from ocr_search_spark.search.websearch import parse_websearch, websearch_sql
+        from ocr_search_spark.search.websearch import (
+            parse_websearch,
+            token_string_sql,
+            websearch_sql,
+        )
 
         q = '"spark join" OR tables -nothing'
         parsed = parse_websearch(q)
@@ -241,7 +245,7 @@ class TestWebsearchGrammar:
         )
         sql = (
             f"WITH t AS (SELECT doc_id, {toks} AS toks FROM documents), "
-            "s AS (SELECT doc_id, toks, ' ' || array_to_string(toks, ' ') || ' ' "
+            f"s AS (SELECT doc_id, toks, {token_string_sql('toks')} "
             "AS tokstr FROM t) "
             f"SELECT doc_id FROM s WHERE {websearch_sql(parsed, 'toks', 'tokstr')}"
         )
