@@ -473,6 +473,32 @@ def q_revenue_by_nation(spark, sf_dir):
     )
 
 
+def q_running_revenue(spark, sf_dir):
+    """Windowed analytic over a grouped aggregate (TPC-H-ish): monthly
+    revenue per return-flag with a running cumulative sum. Shape: a
+    map-side-combined groupBy shuffle on (flag, month), then one small
+    exchange of the ~250 aggregate rows for the per-flag window — the
+    window never sees raw lineitem rows. Money in integer e4
+    (engine-exact)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev_e4 = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 10000
+    ).cast("long")
+    monthly = (
+        li.groupBy(
+            "l_returnflag", F.date_trunc("month", "l_shipdate").alias("month")
+        )
+        .agg(F.sum(rev_e4).alias("rev_e4"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("month")
+    return monthly.select(
+        "l_returnflag",
+        "month",
+        "rev_e4",
+        F.sum("rev_e4").over(w).alias("running_e4"),
+    )
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary: term frequency + document frequency, top 50 terms
     (the idf feed / tokenizer-audit artifact; map-side partial aggregation
@@ -739,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "rank_cd": q_rank_cd,
         "revenue_by_nation": q_revenue_by_nation,
+        "running_revenue": q_running_revenue,
         "vocab_topk": q_vocab_topk,
         "hash_split": q_hash_split,
         "deterministic_sample": q_deterministic_sample,
@@ -1139,6 +1166,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation   ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "running_revenue": """
+            WITH monthly AS (
+              SELECT l_returnflag, date_trunc('month', l_shipdate) AS month,
+                     CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                                   AS BIGINT)) AS BIGINT) AS rev_e4
+              FROM lineitem
+              GROUP BY l_returnflag, date_trunc('month', l_shipdate)
+            )
+            SELECT l_returnflag, month, rev_e4,
+                   CAST(SUM(rev_e4) OVER (PARTITION BY l_returnflag ORDER BY month) AS BIGINT)
+                     AS running_e4
+            FROM monthly
         """,
         "vocab_topk": f"""
             SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
