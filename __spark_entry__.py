@@ -1420,9 +1420,22 @@ def _golden_spans_parquet(sf_dir: str = "/root/testdata/sf0.01") -> str:
     scalar reference implementation (kernels/reference_impl.py) — a fully
     independent code path from the vectorized Arrow pipeline. Cached under
     .data/ (gitignored); regenerated deterministically on demand."""
+    import glob
+    import hashlib
     import os
 
-    out = "/root/repo/.data/golden_spans_sf0.01.parquet"
+    # cache key = hash of every source the golden depends on, so a kernel
+    # change in a later round regenerates instead of silently comparing
+    # against stale goldens
+    import ocr_search_spark.corpus as _corpus
+    import ocr_search_spark.kernels as _kernels
+
+    h = hashlib.md5()
+    kdir = os.path.dirname(_kernels.__file__)
+    for path in sorted([_corpus.__file__, *glob.glob(os.path.join(kdir, "*.py"))]):
+        with open(path, "rb") as fh:
+            h.update(fh.read())
+    out = f"/root/repo/.data/golden_spans_sf0.01_{h.hexdigest()[:10]}.parquet"
     if os.path.exists(out):
         return out
     import pyarrow as pa
