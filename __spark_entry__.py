@@ -451,6 +451,18 @@ def q_cosine_neardup_lsh(spark, sf_dir):
     )
 
 
+
+def q_cosine_near_dedup(spark, sf_dir):
+    """Embedding near-dedup composition: banded-LSH candidates -> exact
+    cosine verify -> min-id keeper -> surviving vectors."""
+    from ocr_search_spark.ops.similarity import cosine_near_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_near_dedup(
+        emb, dim=64, threshold=0.42, n_bands=8, band_size=2
+    ).select("vec_id")
+
+
 def q_revenue_by_nation(spark, sf_dir):
     """Classic relational path: fact⋈fact shuffle join + broadcast dims +
     grouped aggregate (TPC-H Q5 shape). Revenue is summed in integer
@@ -759,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "cosine_neardup": q_cosine_neardup,
         "cosine_neardup_lsh": q_cosine_neardup_lsh,
+        "cosine_near_dedup": q_cosine_near_dedup,
         "events_hourly": q_events_hourly,
         "events_rollup": q_events_rollup,
         "sessionize": q_sessionize,
@@ -1323,6 +1336,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_buckets": _ann_lsh_oracle_sql(),
         "ann_ivf_topk": _ann_ivf_oracle_sql(),
         "cosine_neardup_lsh": _cosine_neardup_lsh_oracle_sql(),
+        "cosine_near_dedup": _cosine_near_dedup_oracle_sql(),
         "media_features": _media_features_oracle_sql(),
         "media_resize": """
             WITH refs AS (
@@ -1555,6 +1569,19 @@ def _cosine_neardup_lsh_oracle_sql(
         SELECT c.a_id, c.b_id, round({cos}, 6) AS cos
         FROM cand c JOIN v va ON va.id = c.a_id JOIN v vb ON vb.id = c.b_id
         WHERE round({cos}, 6) >= {threshold}
+    """
+
+
+def _cosine_near_dedup_oracle_sql(
+    dim: int = 64, threshold: float = 0.42, n_bands: int = 8, band_size: int = 2
+) -> str:
+    """Survivors oracle: the verified-pair CTE of the LSH near-dup oracle,
+    minus every b_id (pairwise min-id keeper)."""
+    pairs = _cosine_neardup_lsh_oracle_sql(dim, threshold, n_bands, band_size)
+    return f"""
+        WITH pairs AS ({pairs})
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (SELECT b_id FROM pairs)
     """
 
 

@@ -280,6 +280,31 @@ def cosine_neardup_pairs_lsh(
     ).filter(F.col("cos") >= threshold)
 
 
+def cosine_near_dedup(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_bands: int = 16,
+    band_size: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "ann-lsh",
+) -> DataFrame:
+    """End-to-end embedding-space near-duplicate removal: banded-LSH
+    candidates → exact cosine verify (inside
+    :func:`cosine_neardup_pairs_lsh`) → pairwise min-id keeper → surviving
+    rows of ``df`` — the embedding twin of ``ops.dedup.near_dedup``.
+
+    Same scale shape: exploded-band shuffle for candidates, keyed joins
+    only, broadcastable loser anti-join; no all-pairs product.
+    """
+    pairs = cosine_neardup_pairs_lsh(
+        df, dim, threshold, n_bands, band_size, id_col, vec_col, seed
+    )
+    losers = pairs.select(F.col("b_id").alias("__loser")).distinct()
+    return df.join(losers, F.col(id_col) == F.col("__loser"), "left_anti")
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     dim: int,
