@@ -76,15 +76,20 @@ def main() -> None:
     # executors on a real cluster), then the timed steady-state pass
     from ocr_search_spark.pipeline import extract_documents
 
-    warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
-    extract_documents(corpus, num_partitions=CPUS * 2).write.mode("overwrite").parquet(
-        warm_dir
-    )
-    res = spark.read.parquet(warm_dir).agg(
-        F.count("*").alias("docs"), F.sum("n_spans").alias("spans")
-    ).collect()[0]
-    n_spans = int(res.spans)
-    shutil.rmtree(warm_dir, ignore_errors=True)
+    # two warmup passes: one reaches codegen/Python-worker steady state, the
+    # second settles Arrow buffer pools + page cache (measured: the first
+    # post-warmup pass is still ~1.3× the true steady state on this VM)
+    n_spans = 0
+    for _ in range(2):
+        warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
+        extract_documents(corpus, num_partitions=CPUS * 2).write.mode(
+            "overwrite"
+        ).parquet(warm_dir)
+        res = spark.read.parquet(warm_dir).agg(
+            F.count("*").alias("docs"), F.sum("n_spans").alias("spans")
+        ).collect()[0]
+        n_spans = int(res.spans)
+        shutil.rmtree(warm_dir, ignore_errors=True)
 
     # best of two timed passes: a single pass still carries JIT/page-cache
     # noise on a shared VM; the min is the steady-state number a long-lived
