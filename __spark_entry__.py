@@ -387,6 +387,14 @@ def q_winnow_partial_dups(spark, sf_dir):
     )
 
 
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (integer-exact counts)."""
+    from ocr_search_spark.ops.text_analysis import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir)).withColumnRenamed("id", "doc_id")
+
+
 def q_lang_id(spark, sf_dir):
     """Heuristic language id over stopword votes (en vs other)."""
     from ocr_search_spark.search.analysis import with_search_columns
@@ -765,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_partial_dups": q_winnow_partial_dups,
+        "repetition_signals": q_repetition_signals,
         "lang_id": q_lang_id,
         "quality_filter": q_quality_filter,
         "meta_filter": q_meta_filter,
@@ -1024,6 +1033,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, array_to_string(list_sort(fps), ',') AS fps_csv FROM f
         """,
         "winnow_partial_dups": _winnow_pairs_oracle_sql(),
+        "repetition_signals": f"""
+            WITH toked AS (
+              SELECT doc_id, {_TOK} AS toks FROM documents
+            ), bg AS (
+              SELECT doc_id,
+                     len(toks) AS n_tokens,
+                     len(list_distinct(toks)) AS n_distinct_tok,
+                     CASE WHEN len(toks) >= 2
+                          THEN list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])
+                          ELSE []::VARCHAR[] END AS bg
+              FROM toked
+            )
+            SELECT doc_id, n_tokens, n_distinct_tok,
+                   len(bg) AS n_bigrams,
+                   coalesce(list_max(list_transform(list_distinct(bg),
+                     x -> len(list_filter(bg, y -> y = x)))), 0) AS top_bigram_count
+            FROM bg
+        """,
         "lang_id": f"""
             SELECT doc_id,
                    CASE WHEN len(list_intersect(list_distinct({_TOK}), ['the','a','of'])) > 0

@@ -180,6 +180,52 @@ def winnow_fingerprints(
     return hashed.select("id", fps.alias("fingerprints"))
 
 
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, integer-exact:
+
+    * ``n_bigrams``        — total token bigrams,
+    * ``top_bigram_count`` — occurrences of the most frequent bigram,
+    * ``n_distinct_tok`` / ``n_tokens`` — type/token counts.
+
+    A doc is repetition-spam when ``top_bigram_count / n_bigrams`` is high
+    (looped boilerplate) or type/token ratio is very low. Counts are left
+    as integer pairs so the gate thresholds and the cross-engine oracle are
+    exact. Staged projections (tokens → bigrams → counts) keep HOF lambdas
+    on attributes; the mode count is O(distinct × n) per doc — fine for the
+    ≤10³-token documents this targets (cap upstream for pathological rows).
+    """
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("toks")
+    )
+    n = F.size(F.col("toks"))
+    bigram_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+    )
+    bg = toked.select(
+        "id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct_tok"),
+        F.when(n >= 2, F.transform(F.sequence(F.lit(1), n - 1), bigram_at))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("bg"),
+    )
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("bg")),
+            lambda x: F.size(F.filter(F.col("bg"), lambda y: y == x)),
+        )
+    )
+    return bg.select(
+        "id",
+        "n_tokens",
+        "n_distinct_tok",
+        F.size("bg").alias("n_bigrams"),
+        F.coalesce(top, F.lit(0)).alias("top_bigram_count"),
+    )
+
+
 def winnow_partial_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -249,6 +249,25 @@ class TestLshBucketCap:
         assert capped == 0  # mega-bucket diverted to the exact-dup path
 
 
+class TestRepetitionSignals:
+    def test_counts_on_looped_text(self, spark):
+        from ocr_search_spark.ops.text_analysis import repetition_signals
+
+        rows = [
+            ("loop", "buy now buy now buy now buy now"),
+            ("varied", "alpha beta gamma delta epsilon zeta"),
+            ("tiny", "one"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        got = {r.id: r for r in repetition_signals(df).collect()}
+        # 'buy now' appears 4x among 7 bigrams; only 2 distinct tokens of 8
+        assert got["loop"].n_bigrams == 7
+        assert got["loop"].top_bigram_count == 4
+        assert got["loop"].n_distinct_tok == 2 and got["loop"].n_tokens == 8
+        assert got["varied"].top_bigram_count == 1
+        assert got["tiny"].n_bigrams == 0 and got["tiny"].top_bigram_count == 0
+
+
 class TestTokenCounts:
     def test_bpe_ish_and_whitespace(self, spark):
         from ocr_search_spark.ops.text_analysis import (
