@@ -65,6 +65,21 @@ def cosine_topk(
     )
 
 
+def _nearest_cell(vec_col: str, centroids: list[tuple[int, list[float]]]):
+    """Struct (cos, cid) of the nearest centroid for a vector column.
+
+    Linear-size expression: one struct per centroid, array_max picks the
+    best (struct ordering: cos first, centroid id as tiebreak). An
+    iterative when-chain would nest the accumulated expression and double
+    the tree per centroid — 2^k blowup that OOMs the analyzer at k=16."""
+    cells = []
+    for cid, vec in centroids:
+        lit = F.array(*[F.lit(float(v)) for v in vec])
+        cos = _dot(F.col(vec_col), lit) / (_norm(F.col(vec_col)) * _norm(lit))
+        cells.append(F.struct(cos.alias("cos"), F.lit(cid).alias("cid")))
+    return F.array_max(F.array(*cells))
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -78,21 +93,47 @@ def ivf_assign(
     final projection — the inverted-file layout is then a
     ``partitionBy(centroid_id)`` write.
     """
-    # Linear-size expression: one struct per centroid, array_max picks the
-    # best (struct ordering: cos first, centroid id as tiebreak). An
-    # iterative when-chain would nest the accumulated expression and double
-    # the tree per centroid — 2^k blowup that OOMs the analyzer at k=16.
-    cells = []
-    for cid, vec in centroids:
-        lit = F.array(*[F.lit(float(v)) for v in vec])
-        cos = _dot(F.col(vec_col), lit) / (_norm(F.col(vec_col)) * _norm(lit))
-        cells.append(F.struct(cos.alias("cos"), F.lit(cid).alias("cid")))
-    best = F.array_max(F.array(*cells))
+    best = _nearest_cell(vec_col, centroids)
     return df.select(
         F.col(id_col).alias("id"),
         best["cid"].alias("centroid_id"),
         F.round(best["cos"], 6).alias("cos"),
     )
+
+
+def ivf_refine(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd refinement of the IVF coarse centroids.
+
+    Each iteration is one corpus scan: nearest-cell assignment inline (no
+    join back), then per-cell per-dimension means as ``dim`` map-side-
+    combinable avg aggregates — the shuffle carries k×dim partial sums, the
+    driver holds k×dim floats. Empty cells keep their previous centroid
+    (standard Lloyd degeneracy handling). Assignment ties and iteration
+    order are deterministic; the per-dim mean is floating-point (partial
+    order), which only perturbs internal probe geometry — search results
+    re-rank with exact cosine either way.
+    """
+    if not centroids:
+        raise ValueError("need at least one centroid")
+    dim = len(centroids[0][1])
+    for _ in range(iters):
+        assigned = df.select(
+            _nearest_cell(vec_col, centroids)["cid"].alias("cid"),
+            F.col(vec_col).alias("v"),
+        )
+        aggs = [F.avg(F.element_at("v", i + 1)).alias(f"c{i}") for i in range(dim)]
+        rows = assigned.groupBy("cid").agg(*aggs).collect()
+        new = dict(centroids)
+        for r in rows:
+            new[r.cid] = [float(r[f"c{i}"]) for i in range(dim)]
+        centroids = sorted(new.items())
+    return centroids
 
 
 def ivf_centroids_from_sample(

@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import multiprocessing as mp
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -101,16 +102,33 @@ def calibrate_cpu() -> dict[int, float]:
     return out
 
 
+def _package_zip() -> str:
+    """Zip the library once per invocation for --py-files shipping."""
+    zpath = os.path.join(tempfile.gettempdir(), "ocr_search_spark_scaling.zip")
+    subprocess.run(
+        ["zip", "-qr", zpath, "ocr_search_spark"], cwd=REPO, check=True
+    )
+    return zpath
+
+
 def run_level(cores: int, corpus: str, partitions: int) -> dict:
+    """Launch the level as the north_rule specifies: ``spark-submit
+    --py-files <lib.zip>`` in a fresh JVM (the sandbox analogue of
+    submitting to a cluster at a given executor count)."""
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
         f.write(
             _JOB.format(repo=REPO, cores=cores, corpus=corpus, parts=partitions, runs=RUNS)
         )
         path = f.name
+    spark_submit = shutil.which("spark-submit")
+    cmd = (
+        [spark_submit, "--master", f"local[{cores}]",
+         "--py-files", _package_zip(), path]
+        if spark_submit
+        else [sys.executable, path]  # fallback: plain driver process
+    )
     try:
-        out = subprocess.run(
-            [sys.executable, path], capture_output=True, text=True, timeout=1800
-        )
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
         for line in out.stdout.splitlines():
             if line.startswith("SCALING_RESULT "):
                 return json.loads(line[len("SCALING_RESULT "):])

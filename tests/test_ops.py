@@ -235,6 +235,34 @@ class TestWinnowing:
         assert not any("c" in p for p in pairs)
 
 
+class TestIvfRefine:
+    def test_lloyd_converges_to_cluster_means(self, spark):
+        import numpy as np
+        from ocr_search_spark.ops.similarity import ivf_refine
+
+        rng = np.random.RandomState(7)
+        a = rng.normal([5, 0, 0, 0], 0.01, (6, 4))
+        b = rng.normal([0, 5, 0, 0], 0.01, (6, 4))
+        rows = [(i, v.tolist()) for i, v in enumerate(np.vstack([a, b]))]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        # bad seeds: one vector from each cluster, offset
+        seeds = [(0, a[0].tolist()), (1, b[0].tolist())]
+        refined = dict(ivf_refine(df, seeds, iters=2))
+        got_a, got_b = np.array(refined[0]), np.array(refined[1])
+        np.testing.assert_allclose(got_a, a.mean(axis=0), atol=1e-3)
+        np.testing.assert_allclose(got_b, b.mean(axis=0), atol=1e-3)
+
+    def test_empty_cell_keeps_previous_centroid(self, spark):
+        from ocr_search_spark.ops.similarity import ivf_refine
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.9, 0.1])], "vec_id long, embedding array<float>"
+        )
+        far = [(0, [1.0, 0.0]), (1, [-1.0, 0.0])]  # cell 1 catches nothing
+        refined = dict(ivf_refine(df, far, iters=1))
+        assert refined[1] == [-1.0, 0.0]
+
+
 class TestLshBucketCap:
     def test_mega_bucket_diverted(self, spark):
         from ocr_search_spark.ops.dedup import lsh_candidate_pairs, minhash_signatures
