@@ -9,6 +9,7 @@ from .extract import (
 )
 from .checkpoint import (
     committed_spans,
+    committed_spans_latest,
     compact_group_outputs,
     run_extraction,
     read_audit,
@@ -19,6 +20,7 @@ __all__ = [
     "SPANS_OUT_SCHEMA",
     "add_partition_salt",
     "committed_spans",
+    "committed_spans_latest",
     "compact_group_outputs",
     "extract_documents",
     "explode_spans",

@@ -35,8 +35,10 @@ each group still fans out across all executors.
 
 from __future__ import annotations
 
+import os
 import time
 import uuid
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,6 +54,10 @@ LEDGER_SCHEMA = (
 
 class SimulatedFailure(RuntimeError):
     """Raised by tests to kill a run between group commits."""
+
+
+class IncompatibleCheckpointError(RuntimeError):
+    """The out_dir holds a ledger written by an older layout version."""
 
 
 def _ledger_path(out_dir: str) -> str:
@@ -72,9 +78,21 @@ def group_attempt_path(out_dir: str, group_id: int, run_id: str) -> str:
 
 def read_ledger(spark: SparkSession, out_dir: str) -> DataFrame | None:
     try:
-        return read_table(spark, _ledger_path(out_dir))
+        ledger = read_table(spark, _ledger_path(out_dir))
     except Exception:
         return None
+    if "num_groups" not in ledger.columns:
+        # pre-attempt-dir ledger format (flat spans/ appends, parallelism-
+        # derived groups): silently resuming would mis-assign group
+        # membership and miss the old flat output files entirely
+        raise IncompatibleCheckpointError(
+            f"{_ledger_path(out_dir)} was written by an older checkpoint "
+            "format (no num_groups column; spans were flat appends). "
+            "Re-extract into a fresh out_dir, or migrate by adding a "
+            "num_groups column and moving each group's files under "
+            "spans/g=<group_id>/r=<run_id>/ to match its ledger row."
+        )
+    return ledger
 
 
 def read_audit(spark: SparkSession, out_dir: str) -> DataFrame | None:
@@ -104,7 +122,26 @@ def committed_spans(
     invisible here. When a group has several ledger rows (e.g. after
     :func:`compact_group_outputs` republished it), the LATEST publication
     wins — older attempts become invisible history. The ledger is
-    num_groups-sized — driver-small by construction."""
+    num_groups-sized — driver-small by construction.
+
+    SCOPING: with ``run_group=None`` the view CONCATENATES every
+    run_group's published attempts — two run_groups that both extracted an
+    overlapping document each contribute their rows. Use
+    :func:`committed_spans_latest` when one row per document (latest
+    publication wins) is the contract, e.g. for rebuilding derived tables."""
+    latest = _latest_publications(spark, out_dir, run_group)
+    if not latest:
+        return spark.createDataFrame([], SPANS_OUT_SCHEMA)
+    paths = [group_attempt_path(out_dir, r.group_id, r.run_id) for r in latest.values()]
+    # explicit schema: skips footer inference and keeps an all-empty-group
+    # read (zero staged files) well-defined
+    return spark.read.schema(SPANS_OUT_SCHEMA).parquet(*paths)
+
+
+def _latest_publications(
+    spark: SparkSession, out_dir: str, run_group: str | None = None
+) -> dict:
+    """Latest ledger row per (run_group, group_id) — the live attempts."""
     ledger = read_ledger(spark, out_dir)
     if ledger is not None and run_group is not None:
         ledger = ledger.filter(F.col("run_group") == run_group)
@@ -121,10 +158,38 @@ def committed_spans(
             latest[key].run_id,
         ):
             latest[key] = r
+    return latest
+
+
+def committed_spans_latest(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Cross-run_group published view resolved to ONE row per document.
+
+    :func:`committed_spans` with ``run_group=None`` concatenates all
+    run_groups, so a document two run_groups both extracted appears twice.
+    Here the publication with the greatest (committed_at, run_id) wins per
+    document — the view derived-table rebuilds want (see
+    ``DocumentStore.ingest``). Cost: one extra shuffle (partial-aggregated
+    ``max_by`` per doc_id) over the published rows — a rebuild-time path,
+    not a per-query path."""
+    latest = _latest_publications(spark, out_dir, None)
     if not latest:
         return spark.createDataFrame([], SPANS_OUT_SCHEMA)
-    paths = [group_attempt_path(out_dir, r.group_id, r.run_id) for r in latest.values()]
-    return spark.read.parquet(*paths)
+    parts = []
+    for r in latest.values():
+        # fixed-width timestamp + run_id → lexicographic == publication order
+        pub = r.committed_at.strftime("%Y-%m-%d %H:%M:%S.%f") + "|" + r.run_id
+        parts.append(
+            spark.read.schema(SPANS_OUT_SCHEMA)
+            .parquet(group_attempt_path(out_dir, r.group_id, r.run_id))
+            .withColumn("__pub", F.lit(pub))
+        )
+    allp = reduce(lambda a, b: a.unionByName(b), parts)
+    payload = [c for c in allp.columns if c not in ("doc_id", "__pub")]
+    return (
+        allp.groupBy("doc_id")
+        .agg(F.max_by(F.struct(*payload), F.col("__pub")).alias("__row"))
+        .select("doc_id", "__row.*")
+    )
 
 
 def compact_group_outputs(
@@ -182,20 +247,7 @@ def vacuum_uncommitted(spark: SparkSession, out_dir: str) -> list[str]:
     root = output_path(out_dir)
     if not os.path.isdir(root):
         return []
-    ledger = read_ledger(spark, out_dir)
-    rows = (
-        ledger.select("run_group", "group_id", "run_id", "committed_at").collect()
-        if ledger is not None
-        else []
-    )
-    latest: dict[tuple, object] = {}
-    for r in rows:
-        key = (r.run_group, r.group_id)
-        if key not in latest or (r.committed_at, r.run_id) > (
-            latest[key].committed_at,
-            latest[key].run_id,
-        ):
-            latest[key] = r
+    latest = _latest_publications(spark, out_dir)
     live = {(r.group_id, r.run_id) for r in latest.values()}
     removed = []
     for gdir in sorted(os.listdir(root)):
@@ -228,6 +280,17 @@ def run_extraction(
     Returns summary stats. Idempotent per (run_group, out_dir): ledgered
     commit-groups are skipped on resume; read results back with
     :func:`committed_spans`, never by globbing the staging directory.
+
+    SINGLE-PASS STAGING: one source scan extracts every pending group and a
+    ``partitionBy(g, r)`` write lands each group under its own attempt
+    directory ``spans/g=<g>/r=<run_id>`` in the same job. (The round-2
+    formulation filtered the input once per group in a loop — a
+    num_groups× read amplification on a non-group-bucketed source at
+    100 TB.) Publication stays per-group: after staging, ledger rows are
+    appended one group at a time, so a crash mid-publish leaves earlier
+    groups committed and the rest as invisible orphans — the same atomic
+    stage-then-publish contract, with a resume re-extracting only the
+    unpublished groups.
     """
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 2
@@ -241,56 +304,70 @@ def run_extraction(
                 "group membership would change — refusing to resume"
             )
     committed = {r.group_id for r in prior}
+    pending = [g for g in range(num_groups) if g not in committed]
 
     # group assignment is a pure function of (doc_id, num_groups) — identical
     # across runs and cluster sizes (never derived from partition counts)
     group_col = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(num_groups)).cast("int")
 
-    done_groups = 0
-    for g in range(num_groups):
-        if g in committed:
-            continue
+    if pending:
         t0 = time.monotonic()
-        grp_input = input_df.filter(group_col == g)
-        extracted = extract_documents(grp_input, num_partitions).persist()
-        try:
-            # stage: attempt-keyed directory, invisible until published
-            write_table(
-                extracted, group_attempt_path(out_dir, g, run_id), mode="overwrite"
+        # ONE scan for all pending groups (a resume prunes the committed
+        # ones; on a group-bucketed landing table this predicate
+        # partition-prunes instead of filtering)
+        src = (
+            input_df.filter(~group_col.isin(sorted(committed)))
+            if committed
+            else input_df
+        )
+        staged = extract_documents(src, num_partitions).withColumns(
+            {"g": group_col, "r": F.lit(run_id)}
+        )
+        write_table(
+            staged, output_path(out_dir), mode="append", partition_by=("g", "r")
+        )
+        wall_ms = int((time.monotonic() - t0) * 1000)
+
+        attempt_paths = [group_attempt_path(out_dir, g, run_id) for g in pending]
+        for p in attempt_paths:
+            # a pending group with zero input rows stages no files, but its
+            # published path must exist for readers (local-fs parquet only;
+            # an Iceberg snapshot has no such notion)
+            _ensure_local_dir(p)
+
+        # attempt-level lineage from the staged files themselves (verifies
+        # the write; no persist of the full extraction output needed)
+        audit = (
+            spark.read.schema(SPANS_OUT_SCHEMA)
+            .parquet(*attempt_paths)
+            .groupBy("part_id")
+            .agg(
+                F.count("*").alias("docs"),
+                F.sum("n_spans").cast("long").alias("spans"),
+                F.sum("n_failures").cast("long").alias("failures"),
             )
-
-            wall_ms = int((time.monotonic() - t0) * 1000)
-            audit = (
-                extracted.groupBy("part_id")
-                .agg(
-                    F.count("*").alias("docs"),
-                    F.sum("n_spans").cast("long").alias("spans"),
-                    F.sum("n_failures").cast("long").alias("failures"),
-                )
-                .select(
-                    F.lit(run_id).alias("run_id"),
-                    F.col("part_id").alias("partition_id"),
-                    "docs",
-                    "spans",
-                    "failures",
-                    F.lit(wall_ms).alias("wall_ms"),
-                    F.current_timestamp().alias("committed_at"),
-                )
+            .select(
+                F.lit(run_id).alias("run_id"),
+                F.col("part_id").alias("partition_id"),
+                "docs",
+                "spans",
+                "failures",
+                F.lit(wall_ms).alias("wall_ms"),
+                F.current_timestamp().alias("committed_at"),
             )
-            write_table(audit.coalesce(1), _audit_path(out_dir), mode="append")
+        )
+        write_table(audit.coalesce(1), _audit_path(out_dir), mode="append")
 
-            if fail_before_publish is not None and g >= fail_before_publish:
-                raise SimulatedFailure(f"simulated kill before publishing group {g}")
-
-            # publish: the ledger row makes this attempt the live one
-            ledger_row = spark.createDataFrame(
-                [(run_group, g, run_id, num_groups)],
-                "run_group string, group_id int, run_id string, num_groups int",
-            ).withColumn("committed_at", F.current_timestamp())
-            write_table(ledger_row.coalesce(1), _ledger_path(out_dir), mode="append")
-        finally:
-            extracted.unpersist()
-
+    done_groups = 0
+    for g in pending:
+        if fail_before_publish is not None and g >= fail_before_publish:
+            raise SimulatedFailure(f"simulated kill before publishing group {g}")
+        # publish: the ledger row makes this group's staged attempt live
+        ledger_row = spark.createDataFrame(
+            [(run_group, g, run_id, num_groups)],
+            "run_group string, group_id int, run_id string, num_groups int",
+        ).withColumn("committed_at", F.current_timestamp())
+        write_table(ledger_row.coalesce(1), _ledger_path(out_dir), mode="append")
         done_groups += 1
         if fail_after_group is not None and g >= fail_after_group:
             raise SimulatedFailure(f"simulated kill after group {g}")
@@ -303,3 +380,9 @@ def run_extraction(
         "groups_processed": done_groups,
         "output": output_path(out_dir),
     }
+
+
+def _ensure_local_dir(path: str) -> None:
+    p = path.removeprefix("file:")
+    if "://" not in p:
+        os.makedirs(p, exist_ok=True)

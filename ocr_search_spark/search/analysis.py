@@ -168,12 +168,17 @@ def snippet_expr(
     is wrapped in ``<b>`` marks when ``mark`` (the reference renders
     snippet_is_html=True items, search.py:94-98).
     """
+    import re
+
     c = F.col(col) if isinstance(col, str) else col
     pos = F.locate(term.lower(), F.lower(c))  # 1-based; 0 = no hit
     start = F.greatest(pos - width, F.lit(1))
     frag = F.substring(c, start, F.lit(2 * width + len(term)))
     if mark:
-        frag = F.regexp_replace(frag, f"(?i)({term})", "<b>$1</b>")
+        # re.escape: ``term`` may be a raw user query (negation-only queries
+        # have no positive term to fall back on) — unescaped metacharacters
+        # like '(' would crash regexp_replace at runtime
+        frag = F.regexp_replace(frag, f"(?i)({re.escape(term)})", "<b>$1</b>")
     return F.when(pos > 0, frag).otherwise(F.lit(""))
 
 

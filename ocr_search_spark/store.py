@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from .ops.metadata import metadata_map_expr
 from .pipeline import explode_spans, run_extraction
-from .pipeline.checkpoint import committed_spans, output_path
+from .pipeline.checkpoint import committed_spans_latest, output_path
 from .pipeline.extract import ordered_text_agg
 from .search.engine import build_postings, search_documents
 from .tables import read_table, write_table
@@ -68,12 +68,15 @@ class DocumentStore:
             num_partitions=num_partitions,
             num_groups=num_groups,
         )
-        # read the *published* view (ledgered attempts only), concatenate in
-        # span order (collect_list order is non-contractual), and attach the
-        # reference's documents-row companions: filename / path_origin
-        # (search.py:92-98 link composition) + the exiftool-analogue meta map
-        # (models.py:14)
-        flat = explode_spans(committed_spans(self.spark, self.root, run_group))
+        # read the *published* view (ledgered attempts only) across ALL
+        # run_groups — a store ingested in several batches under different
+        # run_groups keeps every batch searchable, with the latest
+        # publication winning per document (a second ingest of a changed doc
+        # supersedes the first). Concatenate in span order (collect_list
+        # order is non-contractual), and attach the reference's
+        # documents-row companions: filename / path_origin (search.py:92-98
+        # link composition) + the exiftool-analogue meta map (models.py:14)
+        flat = explode_spans(committed_spans_latest(self.spark, self.root))
         ext = F.coalesce(F.min_by("kind", "order"), F.lit("txt"))
         content = flat.groupBy("doc_id").agg(
             ordered_text_agg("text", "order").alias("content"),

@@ -29,18 +29,35 @@ from pyspark.sql import DataFrame, SparkSession
 TABLE_FORMAT = os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "parquet")
 
 
-def write_table(df: DataFrame, identifier: str, mode: str = "append") -> None:
-    """Write ``df`` to a table identifier (path in parquet mode)."""
+def write_table(
+    df: DataFrame,
+    identifier: str,
+    mode: str = "append",
+    partition_by: tuple[str, ...] | None = None,
+) -> None:
+    """Write ``df`` to a table identifier (path in parquet mode).
+
+    ``partition_by`` lays rows out under ``col=value/`` directories in
+    parquet mode. In Iceberg mode the table's partition spec is declared at
+    create time: ``createOrReplace`` applies it via ``partitionedBy``;
+    ``append`` relies on the existing spec (the catalog routes rows)."""
     if TABLE_FORMAT == "iceberg":
         writer = df.writeTo(identifier)
         if mode == "append":
             writer.append()
         elif mode == "overwrite":
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
             writer.createOrReplace()
         else:
             raise ValueError(f"unsupported mode {mode!r}")
         return
-    df.write.mode(mode).parquet(identifier)
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(identifier)
 
 
 def read_table(spark: SparkSession, identifier: str) -> DataFrame:

@@ -191,7 +191,7 @@ def main() -> None:
         "cpu_calibration_burns_per_sec": calib,
         "primary_N2_to_4N8": primary,
         "secondary_N8_to_4N32": secondary,
-        "criterion": ">=0.8",
+        "criterion": "raw_efficiency>=0.8 OR hw_normalized_efficiency>=0.8",
         "raw_pass": primary["scaling_efficiency"] >= 0.8,
         "hw_normalized_pass": primary["efficiency_vs_hw_ceiling"] >= 0.8,
         "pass": (

@@ -225,6 +225,76 @@ class TestResume:
         assert len(glob.glob(f"{out}/spans/g=*/r=*")) == 2  # live attempts only
         assert _collected(committed_spans(spark, out, "rgV")) == golden
 
+    def test_single_pass_stages_all_pending_groups(
+        self, spark, docs, input_df, tmp_path, monkeypatch
+    ):
+        """One source scan per run: extract_documents is invoked exactly once
+        however many commit groups are pending (the round-2 per-group filter
+        loop called it num_groups times — num_groups× read amplification)."""
+        from ocr_search_spark.pipeline import checkpoint as cp
+
+        calls = []
+        real = cp.extract_documents
+        monkeypatch.setattr(
+            cp, "extract_documents", lambda df, n: calls.append(1) or real(df, n)
+        )
+        out = str(tmp_path / "onepass")
+        run_extraction(spark, input_df, out, "rg1", num_partitions=8, num_groups=4)
+        assert len(calls) == 1
+        assert _collected(committed_spans(spark, out, "rg1")) == _golden(docs)
+        # a fully-committed resume never touches the source at all
+        run_extraction(spark, input_df, out, "rg1", num_partitions=8, num_groups=4)
+        assert len(calls) == 1
+
+    def test_committed_spans_latest_resolves_cross_run_group_overlap(
+        self, spark, docs, input_df, tmp_path
+    ):
+        from ocr_search_spark.pipeline import committed_spans_latest
+
+        out = str(tmp_path / "latest")
+        run_extraction(spark, input_df, out, "rgOld", num_partitions=8, num_groups=2)
+        # second run_group re-extracts 30 docs with truncated span lists
+        redo = [{"doc_id": d["doc_id"], "spans": d["spans"][:1]} for d in docs[:30]]
+        pdf = pd.DataFrame(
+            {"doc_id": [d["doc_id"] for d in redo], "spans": [d["spans"] for d in redo]}
+        )
+        redo_df = spark.createDataFrame(pdf, schema=SPANS_IN_SCHEMA)
+        run_extraction(spark, redo_df, out, "rgNew", num_partitions=8, num_groups=2)
+
+        # plain concatenated view duplicates the overlap …
+        assert committed_spans(spark, out).count() == len(docs) + 30
+        # … the latest view resolves to one row per doc, newest publication
+        latest = _collected(committed_spans_latest(spark, out))
+        assert len(latest) == len(docs)
+        want = _golden(docs)
+        want_redo = _golden(redo)
+        for d in docs[:30]:
+            assert latest[d["doc_id"]] == want_redo[d["doc_id"]]
+        for d in docs[30:]:
+            assert latest[d["doc_id"]] == want[d["doc_id"]]
+
+    def test_old_format_ledger_fails_with_explicit_error(
+        self, spark, input_df, tmp_path
+    ):
+        """A ledger written before the attempt-dir layout (no num_groups
+        column) must fail fast with guidance, not an opaque missing-column
+        AnalysisException deep in a resume."""
+        from ocr_search_spark.pipeline.checkpoint import (
+            IncompatibleCheckpointError,
+            read_ledger,
+        )
+
+        out = str(tmp_path / "oldfmt")
+        old = spark.createDataFrame(
+            [("rgZ", 0, "rgZ-abc")],
+            "run_group string, group_id int, run_id string",
+        ).withColumn("committed_at", F.current_timestamp())
+        old.write.parquet(f"{out}/_ledger")
+        with pytest.raises(IncompatibleCheckpointError, match="older checkpoint"):
+            read_ledger(spark, out)
+        with pytest.raises(IncompatibleCheckpointError):
+            run_extraction(spark, input_df, out, "rgZ", num_partitions=4)
+
     def test_audit_rows(self, spark, input_df, docs, tmp_path):
         out = str(tmp_path / "audit_run")
         run_extraction(spark, input_df, out, "rgC", num_partitions=8, num_groups=2)

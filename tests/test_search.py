@@ -82,6 +82,15 @@ class TestSearchFlow:
         items = res["items"].collect()
         assert items[0].doc_id == "d4"  # newest first (intended Q10 semantics)
 
+    def test_negation_only_query_with_metachars_does_not_crash(self, docs):
+        """Regression (round-2 advice): with no positive term the raw user
+        query fell through into the snippet regexp unescaped — '-(foo' threw
+        a PatternSyntaxException at collect time."""
+        res = search_documents(docs, "-(foo")
+        items = res["items"].collect()  # must not raise
+        assert res["total"] == 5  # negation of a missing term keeps all docs
+        assert all(r.snippet == "" for r in items)  # no positive hit to mark
+
     def test_pagination(self, docs):
         page2 = search_documents(docs, "spark", limit=1, offset=1)
         assert page2["total"] == 3

@@ -72,6 +72,44 @@ class TestLifecycle:
         ).count()
         assert n_pdf == content.count()  # meta ext consistent with filename
 
+    def test_second_ingest_under_new_run_group_keeps_both_batches(
+        self, spark, base_texts, tmp_path_factory
+    ):
+        """Regression (round-2 advice): ingest rebuilt content/postings from
+        only the current run_group, silently dropping earlier batches. Both
+        batches must stay searchable; an overlapping doc resolves to the
+        latest publication."""
+        docs = build_local(base_texts, 40)
+        mk = lambda ds: spark.createDataFrame(  # noqa: E731
+            pd.DataFrame(
+                {"doc_id": [d["doc_id"] for d in ds], "spans": [d["spans"] for d in ds]}
+            ),
+            schema=SPANS_IN_SCHEMA,
+        )
+        s = DocumentStore(spark, str(tmp_path_factory.mktemp("store2")))
+        s.ingest(mk(docs[:25]), run_group="batch1", num_partitions=4, num_groups=2)
+        # batch2 overlaps doc[20:25] but with truncated span lists
+        overlap = [
+            {"doc_id": d["doc_id"], "spans": d["spans"][:1]} for d in docs[20:25]
+        ]
+        s.ingest(
+            mk(docs[25:] + overlap), run_group="batch2", num_partitions=4, num_groups=2
+        )
+        content = {
+            r.doc_id: r.content for r in spark.read.parquet(s.content_path).collect()
+        }
+        assert len(content) == len(docs)  # both batches present, no dups
+        d = docs[21]
+        latest = "\n".join(
+            sp["text"] for sp in extract_document_spans(d["spans"][:1])
+        )
+        assert content[d["doc_id"]] == latest  # overlap: latest ingest wins
+        d_first = docs[0]
+        golden = "\n".join(
+            sp["text"] for sp in extract_document_spans(d_first["spans"])
+        )
+        assert content[d_first["doc_id"]] == golden  # batch1 docs untouched
+
     def test_search_items_link_from_path_origin(self, spark, store):
         s, docs = store
         some = spark.read.parquet(s.content_path).first().content
