@@ -307,6 +307,19 @@ def q_near_dedup_survivors(spark, sf_dir):
     ).select("doc_id")
 
 
+def q_near_dedup_cc(spark, sf_dir):
+    """Near-dedup with a CONNECTED-COMPONENTS keeper: the same LSH
+    candidates → exact-Jaccard verify as near_dedup_survivors, then
+    min-label propagation so each duplicate cluster keeps exactly its
+    min-id canonical doc (ops/dedup.py near_dedup_cc)."""
+    from ocr_search_spark.ops.dedup import near_dedup_cc
+
+    return near_dedup_cc(
+        _docs(spark, sf_dir), "doc_id", "text",
+        threshold=0.3, n_hashes=8, band_size=2,
+    ).select("doc_id")
+
+
 def q_token_quality(spark, sf_dir):
     """Token counting + quality-scoring signals as integer counts."""
     from ocr_search_spark.search.analysis import with_search_columns
@@ -769,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash": q_minhash,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "near_dedup_survivors": q_near_dedup_survivors,
+        "near_dedup_cc": q_near_dedup_cc,
         "token_quality": q_token_quality,
         "token_counts": q_token_counts,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -1032,6 +1046,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, array_to_string(list_sort(fps), ',') AS fps_csv FROM f
         """,
+        "near_dedup_cc": _near_dedup_cc_oracle_sql(),
         "winnow_partial_dups": _winnow_pairs_oracle_sql(),
         "repetition_signals": f"""
             WITH toked AS (
@@ -1421,6 +1436,60 @@ def _websearch_oracle_sql(q: str) -> str:
                           {token_string_sql('toks')} AS tokstr
                    FROM t)
         SELECT doc_id FROM s WHERE {pred}
+    """
+
+
+def _near_dedup_cc_oracle_sql(threshold: float = 0.3) -> str:
+    """Recursive-CTE twin of ops.dedup.near_dedup_cc: the verified-pair
+    CTEs of the near_dedup_survivors oracle, then transitive closure
+    (DuckDB WITH RECURSIVE over the symmetric edge list) → min reachable id
+    per node → drop every node whose component has a smaller id."""
+    sigs = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS mh{i}"
+        for i in range(8)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5(mh{b} || '|' || mh{b + 1}) AS bucket "
+        f"FROM sig WHERE mh{b} IS NOT NULL"
+        for b in range(0, 8, 2)
+    )
+    return f"""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len({_TOK}) - 1, 1)),
+                   i -> array_to_string(list_slice({_TOK}, i, i + 2), ' ')
+                 )) AS shingles
+          FROM documents
+        ), sig AS (
+          SELECT doc_id AS id, {sigs} FROM sh
+        ), bands AS (
+          {bands}
+        ), cand AS (
+          SELECT DISTINCT a.id AS a_id, b.id AS b_id
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+        ), ver AS (
+          SELECT c.a_id, c.b_id
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.a_id
+          JOIN sh sb ON sb.doc_id = c.b_id
+          WHERE len(list_distinct(list_concat(sa.shingles, sb.shingles))) > 0
+            AND len(list_intersect(sa.shingles, sb.shingles))
+                >= len(list_distinct(list_concat(sa.shingles, sb.shingles))) * {threshold}
+        ), edges AS (
+          SELECT a_id AS s, b_id AS d FROM ver
+          UNION
+          SELECT b_id AS s, a_id AS d FROM ver
+        ), reach AS (
+          SELECT s AS id, d AS r FROM edges
+          UNION
+          SELECT e.s AS id, rc.r AS r FROM edges e JOIN reach rc ON rc.id = e.d
+        ), lbl AS (
+          SELECT id, least(id, min(r)) AS label FROM reach GROUP BY id
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM lbl WHERE label < id)
     """
 
 

@@ -182,6 +182,32 @@ def jaccard_pairs_exact(
     )
 
 
+def verified_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Verified near-duplicate pairs (a_id, b_id), a_id < b_id: MinHash
+    signatures → LSH band candidates → exact Jaccard ≥ threshold on the
+    candidates only. The shared front half of both keeper policies."""
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
+    cand = lsh_candidate_pairs(sig, n_hashes, band_size)
+
+    sh = _with_shingles(df, id_col, text_col, shingle_k)
+    pairs = cand.join(
+        sh.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a")), "a_id"
+    ).join(sh.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b")), "b_id")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return pairs.filter((union > 0) & (inter >= union * threshold)).select(
+        "a_id", "b_id"
+    )
+
+
 def near_dedup(
     df: DataFrame,
     id_col: str,
@@ -197,9 +223,12 @@ def near_dedup(
 
     Returns the surviving rows of ``df`` (all original columns). A row is
     dropped when it has a *verified* near-duplicate (Jaccard ≥ threshold)
-    with a smaller id — the pairwise form of min-id-keeper selection, which
+    with a smaller id — the PAIRWISE form of min-id-keeper selection, which
     needs no connected-components iteration and is the standard scalable
-    approximation.
+    approximation. Semantics note: on shapes where two dissimilar documents
+    are both similar to a third (a~c, b~c, a≁b), the pairwise rule keeps
+    both a and b; :func:`near_dedup_cc` instead keeps exactly one canonical
+    document per *connected cluster*.
 
     Scale shape: every stage is linear — the only joins are the
     within-bucket candidate join (O(n·bands) shuffle), two hash joins
@@ -207,22 +236,112 @@ def near_dedup(
     anti-join of losers; there is no all-pairs product anywhere
     (asserted in tests/test_plans.py).
     """
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
-    cand = lsh_candidate_pairs(sig, n_hashes, band_size)
-
-    sh = _with_shingles(df, id_col, text_col, shingle_k)
-    pairs = cand.join(
-        sh.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a")), "a_id"
-    ).join(sh.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b")), "b_id")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    verified = pairs.filter((union > 0) & (inter >= union * threshold))
-
+    verified = verified_near_dup_pairs(
+        df, id_col, text_col, threshold, n_hashes, band_size, shingle_k
+    )
     # a_id < b_id by construction: the b side always loses to a smaller id
     losers = verified.select(F.col("b_id").alias("__loser")).distinct()
     return df.join(
         losers, F.col(id_col) == F.col("__loser"), "left_anti"
     )
+
+
+def connected_components_labels(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair list via iterative
+    min-label propagation — no GraphFrames dependency.
+
+    Returns (id, label) for every node appearing in ``pairs``; ``label`` is
+    the minimum id in the node's connected component. Each iteration is one
+    join + one partial-aggregated min — a bounded number of linear passes
+    (converges in O(cluster diameter) iterations; near-dup clusters are
+    shallow in practice, and ``max_iters`` caps pathological chains).
+    Labels are persisted per iteration so the upstream pair computation
+    (LSH + verify) runs once, not once per iteration.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .persist()
+    )
+    labels.count()
+    try:
+        for _ in range(max_iters):
+            # each node offers its label to every neighbour; keep the min of
+            # (own label, offered labels)
+            offered = edges.join(
+                labels.select(F.col("id").alias("src"), "label"), "src"
+            ).select(F.col("dst").alias("id"), "label")
+            new_labels = (
+                labels.unionByName(offered)
+                .groupBy("id")
+                .agg(F.min("label").alias("label"))
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") < F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist()
+
+
+def near_dedup_cc(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Near-duplicate removal with a CONNECTED-COMPONENTS keeper: the same
+    LSH + exact-Jaccard verification as :func:`near_dedup`, then min-label
+    propagation so every connected cluster of verified pairs keeps exactly
+    one canonical document (the minimum id in the cluster).
+
+    Differs from the pairwise keeper on transitive shapes: with verified
+    pairs a~c and b~c (a≁b, ids a<b<c) the pairwise rule keeps {a, b} —
+    each drop decision looks at one pair — while the cluster rule keeps
+    only {a}, the canonical representative of the chain cluster. Use this
+    when downstream consumers need one-per-cluster semantics (e.g. citation
+    canonicalization); the extra cost is O(diameter) label-propagation
+    passes over the verified-pair set, which is tiny relative to the corpus.
+    """
+    verified = verified_near_dup_pairs(
+        df, id_col, text_col, threshold, n_hashes, band_size, shingle_k
+    ).persist()
+    # labels come back persisted AND materialized (the propagation loop's
+    # convergence counts are actions), so the verified-pair cache can be
+    # dropped here — the final anti-join reads only the label cache, which
+    # is O(#duplicated docs) rows and released on session GC
+    labels = connected_components_labels(verified, max_iters=max_iters)
+    verified.unpersist()
+    losers = labels.filter(F.col("label") < F.col("id")).select(
+        F.col("id").alias("__loser")
+    )
+    return df.join(losers, F.col(id_col) == F.col("__loser"), "left_anti")
 
 
 def _simhash_of_hashes(hashed, n, bits: int = 32):

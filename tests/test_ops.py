@@ -75,6 +75,45 @@ class TestDedup:
         assert ham_near < ham_far
 
 
+class TestConnectedComponents:
+    def test_label_propagation_on_planted_graph(self, spark):
+        from ocr_search_spark.ops.dedup import connected_components_labels
+
+        # components: chain {1,2,3,4}, pair {7,8}; 9 isolated (absent)
+        pairs = spark.createDataFrame(
+            [("d2", "d3"), ("d1", "d2"), ("d3", "d4"), ("d7", "d8")],
+            "a_id string, b_id string",
+        )
+        labels = {
+            r.id: r.label for r in connected_components_labels(pairs).collect()
+        }
+        assert labels == {
+            "d1": "d1", "d2": "d1", "d3": "d1", "d4": "d1",
+            "d7": "d7", "d8": "d7",
+        }
+
+    def test_cc_keeper_differs_from_pairwise_on_star(self, spark):
+        """a~c and b~c verified, a≁b: the pairwise keeper keeps both a and
+        b (each decision sees one pair); the cluster keeper keeps only a,
+        the canonical min-id of the connected cluster."""
+        from ocr_search_spark.ops.dedup import near_dedup, near_dedup_cc
+
+        a_txt = " ".join(f"aa{i}" for i in range(20))
+        b_txt = " ".join(f"bb{i}" for i in range(20))
+        rows = [
+            ("a", a_txt),
+            ("b", b_txt),
+            ("c", a_txt + " " + b_txt),  # bridges a and b
+            ("u", "completely unrelated content words here only once"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        kw = dict(threshold=0.4, n_hashes=8, band_size=1)
+        pairwise = sorted(r.doc_id for r in near_dedup(df, "doc_id", "text", **kw).collect())
+        cluster = sorted(r.doc_id for r in near_dedup_cc(df, "doc_id", "text", **kw).collect())
+        assert pairwise == ["a", "b", "u"]  # c lost to both, a/b kept
+        assert cluster == ["a", "u"]  # one canonical doc per cluster
+
+
 class TestSimilarity:
     @pytest.fixture(scope="class")
     def emb(self, spark):

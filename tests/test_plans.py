@@ -184,3 +184,11 @@ class TestNearDedupPlan:
         df = spark.createDataFrame(rows, "doc_id string, text string")
         got = sorted(r.doc_id for r in near_dedup(df, "doc_id", "text", 0.9).collect())
         assert got == ["a", "c"]  # min-id keeper wins, unique doc survives
+
+    def test_cc_keeper_no_all_pairs_join(self, spark):
+        from ocr_search_spark.ops.dedup import near_dedup_cc
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        plan = plan_of(near_dedup_cc(docs, "doc_id", "text", threshold=0.3))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
