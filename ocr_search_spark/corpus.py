@@ -9,8 +9,10 @@ Builds the pipeline's input table::
 Documents are derived *deterministically* (SHA-1-seeded LCG — no global RNG
 state) from the driver-provided base texts in
 ``/root/testdata/sf*/documents.parquet``, following the FIXTURES.md §4
-recipe: mixed-kind spans (txt 30 / html 25 / pdf 20 / docx 10 / image 10 /
-uns 5), a 1% long tail of 64–256-page PDF documents (the skew / giant-PDF
+recipe: mixed-kind spans (txt 28 / html 25 / pdf 20 / docx 10 / image 10 /
+msg 2 / uns 5 — msg spans are real CFB containers built by
+kernels.cfb_build, latin-1-mapped), a 1% long tail of 64–256-page PDF
+documents (the skew / giant-PDF
 case, cf. reference pdf_fast.py:222-223), and injected normalization
 triggers (hyphen line breaks, single newlines, newline runs, NBSP, tabs,
 control chars, CRLF — exercising bytes_xtractor.py:23-39), with Cyrillic
@@ -146,8 +148,31 @@ def _pdf_payload(rng: _Rng, pool: list[str]) -> str:
     return "\n\n".join(blocks)
 
 
-# kind mix: txt 30 / html 25 / pdf 20 / docx 10 / image 10 / uns 5
-_KIND_CUM = (("txt", 30), ("html", 55), ("pdf", 75), ("docx", 85), ("image", 95), ("uns", 100))
+def _msg_payload(rng: _Rng, pool: list[str]) -> str:
+    """Synthetic Outlook .msg container (E16): real CFB bytes latin-1-mapped
+    into the text column — the binary-kind convention the msg kernel
+    expects. Exercises the pure-stdlib compound-file reader end-to-end."""
+    from .kernels.cfb_build import build_msg
+
+    subj = " ".join(_words(rng, pool, 2 + rng.next(4)))
+    body = _noisy_text(rng, pool, 5, 20)
+    raw = build_msg(
+        subject=subj,
+        sender=f"user{rng.next(100)}@corp.ru",
+        to=f"user{rng.next(100)}@x.io",
+        body=body,
+        # deterministic delivery times inside the events window
+        delivery_filetime=(13_340_000_000 + rng.next(2_500_000)) * 10_000_000,
+        attachments=(f"doc{rng.next(50)}.pdf",) if rng.next(3) == 0 else (),
+    )
+    return raw.decode("latin-1")
+
+
+# kind mix: txt 28 / html 25 / pdf 20 / docx 10 / image 10 / msg 2 / uns 5
+_KIND_CUM = (
+    ("txt", 28), ("html", 53), ("pdf", 73), ("docx", 83), ("image", 93),
+    ("msg", 95), ("uns", 100),
+)
 
 
 def _pick_kind(rng: _Rng) -> str:
@@ -183,6 +208,8 @@ def build_document(i: int, base_texts: list[str]) -> dict[str, Any]:
             text = _html_payload(rng, pool)
         elif kind == "pdf":
             text = _pdf_payload(rng, pool)
+        elif kind == "msg":
+            text = _msg_payload(rng, pool)
         elif kind == "image":
             media_ref = f"media://{doc_id}/{off}"
         else:  # uns: arbitrary junk payload

@@ -13,6 +13,7 @@ from .ocr_stub import ocr_stub_text
 from .decode import decode_bytes
 from .dispatch import extract_texts, KNOWN_KINDS
 from .email_extract import eml_to_text
+from .msg_extract import msg_to_text
 from .lang import looks_like_russian, russian_score, russian_score_series
 from .reference_impl import extract_document_spans, extract_span_text
 from .rtf_extract import rtf_to_text
@@ -36,4 +37,5 @@ __all__ = [
     "rtf_to_text",
     "xls_to_text",
     "eml_to_text",
+    "msg_to_text",
 ]

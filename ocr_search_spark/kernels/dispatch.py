@@ -29,6 +29,7 @@ import numpy as np
 import pandas as pd
 
 from .email_extract import eml_to_text
+from .msg_extract import msg_to_text
 from .html_fast import html_to_text_fast
 from .normalize import normalize_series
 from .ocr_stub import ocr_stub_text
@@ -39,12 +40,19 @@ from .xls_extract import xls_to_text
 #: kinds with a dedicated kernel; anything else falls through to ``uns``.
 #: core kinds first (FIXTURES.md §1), then the optional kinds (rtf/xls/email
 #: — bytes_xtractor.py registry 73-83).
-KNOWN_KINDS = ("txt", "docx", "pdf", "html", "image", "rtf", "xls", "email", "uns")
+KNOWN_KINDS = (
+    "txt", "docx", "pdf", "html", "image", "rtf", "xls", "email", "msg", "uns"
+)
 
 _PASSTHROUGH = ("txt", "docx")
 
 #: per-row scalar kernels for the optional kinds (looped inside the batch)
-_SCALAR_KERNELS = {"rtf": rtf_to_text, "xls": xls_to_text, "email": eml_to_text}
+_SCALAR_KERNELS = {
+    "rtf": rtf_to_text,
+    "xls": xls_to_text,
+    "email": eml_to_text,
+    "msg": msg_to_text,
+}
 
 
 def extract_texts(

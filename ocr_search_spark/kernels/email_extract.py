@@ -7,8 +7,9 @@ fixed Russian header template (Тема/От  /Кому/Копия/Дата — 
 else HTML flattened with a newline separator (email.py:29-35, 94), and an
 enumerated attachment-name list (email.py:96-112).
 
-MSG (Outlook OLE) parsing needs extract_msg/msg_parser, absent here and in
-scope routed to ``uns`` (SURVEY.md E16).
+MSG (Outlook OLE) parsing lives in :mod:`.msg_extract` (operator E16, a
+pure-stdlib CFB reader — the extract_msg/msg_parser packages the reference
+uses are absent here).
 """
 
 from __future__ import annotations

@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Any
 
 from .email_extract import eml_to_text
+from .msg_extract import msg_to_text
 from .html_extract import html_to_text
 from .normalize import preprocess_text_layer
 from .ocr_stub import ocr_stub_text
@@ -43,6 +44,8 @@ def extract_span_text(kind: str, text: str, media_ref: str) -> str:
         raw = xls_to_text(text)
     elif kind == "email":
         raw = eml_to_text(text)
+    elif kind == "msg":
+        raw = msg_to_text(text)
     else:  # uns + unknown kinds (bytes_xtractor.py:70)
         raw = ""
     return preprocess_text_layer(raw)

@@ -1,4 +1,5 @@
 """Tests for the optional extraction kinds E13 (rtf), E14 (xls), E15 (email),
+E16 (msg — synthetic CFB fixtures built against the public [MS-CFB] layout),
 and their dispatch wiring (reference registry bytes_xtractor.py:73-83)."""
 
 from __future__ import annotations
@@ -9,6 +10,7 @@ import pandas as pd
 
 from ocr_search_spark.kernels.dispatch import extract_texts
 from ocr_search_spark.kernels.email_extract import eml_to_text
+from ocr_search_spark.kernels.msg_extract import msg_to_text
 from ocr_search_spark.kernels.reference_impl import extract_span_text
 from ocr_search_spark.kernels.rtf_extract import rtf_to_text
 from ocr_search_spark.kernels.xls_extract import xls_to_text
@@ -83,12 +85,63 @@ class TestEmail:
         assert eml_to_text("") == ""
 
 
+from ocr_search_spark.kernels.cfb_build import build_cfb, build_msg
+
+
+def _msg_fixture(body: str = "Hello from OLE container") -> bytes:
+    from datetime import datetime, timezone
+
+    ft = int(
+        (datetime(2024, 7, 1, 10, 0, tzinfo=timezone.utc)
+         - datetime(1601, 1, 1, tzinfo=timezone.utc)).total_seconds() * 10**7
+    )
+    return build_msg(
+        subject="Test subject", sender="alice@corp.ru", to="bob@x.io",
+        cc="carol@x.io", body=body, delivery_filetime=ft,
+        attachments=("report.pdf",),
+    )
+
+
+class TestMsg:
+    def test_template(self):
+        out = msg_to_text(_msg_fixture())
+        lines = out.split("\n")
+        assert lines[0] == "Тема: Test subject"
+        assert lines[1] == "От  : alice@corp.ru"  # literal double space
+        assert lines[2] == "Кому: bob@x.io"
+        assert lines[3] == "Копия: carol@x.io"
+        assert lines[4] == "Дата: 2024-07-01 10:00:00+00:00"
+        assert "Тело письма:\nHello from OLE container" in out
+        assert out.endswith("Вложения:\n1. report.pdf")
+
+    def test_large_body_uses_fat_chain(self):
+        # > mini cutoff (4096 B) → regular FAT chain spanning many sectors
+        body = " ".join(f"word{i}" for i in range(1200))
+        out = msg_to_text(_msg_fixture(body))
+        assert "Тело письма:\n" + body in out
+
+    def test_ansi_string_property_fallback(self):
+        raw = build_cfb({"__substg1.0_0037001E": "ansi subject".encode()})
+        assert msg_to_text(raw).startswith("Тема: ansi subject")
+
+    def test_garbage_and_truncated(self):
+        assert msg_to_text("") == ""
+        assert msg_to_text(b"not a compound file at all") == ""
+        assert msg_to_text(_msg_fixture()[:700]) == ""
+
+    def test_latin1_str_roundtrip(self):
+        # the span text column carries binary kinds latin-1-mapped
+        raw = _msg_fixture().decode("latin-1")
+        assert "Тема: Test subject" in msg_to_text(raw)
+
+
 class TestDispatchWiring:
     def test_vectorized_matches_scalar_for_optional_kinds(self):
         rows = [
             ("rtf", r"{\rtf1 Hello\par world}", ""),
             ("xls", json.dumps({"sheets": {"A": [["1", "2"]]}}), ""),
             ("email", TestEmail.EML, ""),
+            ("msg", _msg_fixture().decode("latin-1"), ""),
         ]
         got, failed = extract_texts(
             pd.Series([r[0] for r in rows]),
@@ -96,5 +149,5 @@ class TestDispatchWiring:
             pd.Series([r[2] for r in rows]),
         )
         assert list(got) == [extract_span_text(*r) for r in rows]
-        assert list(failed) == [False, False, False]
+        assert list(failed) == [False, False, False, False]
         assert got[0] == "Hello\nworld" or got[0] == "Hello world"
