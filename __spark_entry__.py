@@ -401,6 +401,18 @@ def q_winnow_partial_dups(spark, sf_dir):
 
 
 
+def q_substring_dedup(spark, sf_dir):
+    """Passage-level dedup (Lee-et-al-style): positional winnowing
+    fingerprints → verified partial-dup pairs → the later doc's duplicated
+    shingle ranges removed, rest kept (ops/text_analysis.py
+    substring_dedup)."""
+    from ocr_search_spark.ops.text_analysis import substring_dedup
+
+    return substring_dedup(
+        _docs(spark, sf_dir), "doc_id", "text", min_shared=2
+    ).withColumnRenamed("id", "doc_id")
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition quality signals (integer-exact counts)."""
     from ocr_search_spark.ops.text_analysis import repetition_signals
@@ -787,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_partial_dups": q_winnow_partial_dups,
+        "substring_dedup": q_substring_dedup,
         "repetition_signals": q_repetition_signals,
         "lang_id": q_lang_id,
         "quality_filter": q_quality_filter,
@@ -1048,25 +1061,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "near_dedup_cc": _near_dedup_cc_oracle_sql(),
         "winnow_partial_dups": _winnow_pairs_oracle_sql(),
-        "repetition_signals": f"""
-            WITH toked AS (
-              SELECT doc_id, {_TOK} AS toks FROM documents
-            ), bg AS (
-              SELECT doc_id,
-                     len(toks) AS n_tokens,
-                     len(list_distinct(toks)) AS n_distinct_tok,
-                     CASE WHEN len(toks) >= 2
-                          THEN list_transform(range(1, len(toks)),
-                                 i -> toks[i] || ' ' || toks[i + 1])
-                          ELSE []::VARCHAR[] END AS bg
-              FROM toked
-            )
-            SELECT doc_id, n_tokens, n_distinct_tok,
-                   len(bg) AS n_bigrams,
-                   coalesce(list_max(list_transform(list_distinct(bg),
-                     x -> len(list_filter(bg, y -> y = x)))), 0) AS top_bigram_count
-            FROM bg
-        """,
+        "substring_dedup": _substring_dedup_oracle_sql(),
+        "repetition_signals": _repetition_signals_oracle_sql(),
         "lang_id": f"""
             SELECT doc_id,
                    CASE WHEN len(list_intersect(list_distinct({_TOK}), ['the','a','of'])) > 0
@@ -1439,6 +1435,73 @@ def _websearch_oracle_sql(q: str) -> str:
     """
 
 
+def _repetition_signals_oracle_sql() -> str:
+    """Twin of ops.text_analysis.repetition_signals (full Gopher set):
+    n-gram char coverage via a lexicographic (cnt, chars) struct max —
+    identical tie-break order in both engines — plus duplicate-line /
+    duplicate-paragraph character sums."""
+
+    def gram(k: int) -> str:
+        parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k))
+        return (
+            f"CASE WHEN len(toks) >= {k} "
+            f"THEN list_transform(range(1, len(toks) - {k - 2}), i -> {parts}) "
+            f"ELSE []::VARCHAR[] END"
+        )
+
+    def top(col: str, field: str) -> str:
+        return (
+            f"coalesce((list_max(list_transform(list_distinct({col}), x -> "
+            f"{{'cnt': len(list_filter({col}, y -> y = x))::BIGINT, "
+            f"'chars': (len(list_filter({col}, y -> y = x)) * length(x))::BIGINT"
+            f"}})))['{field}'], 0)"
+        )
+
+    def total(col: str) -> str:
+        return (
+            f"coalesce(CAST(list_sum(list_transform({col}, x -> length(x))) "
+            f"AS BIGINT), 0)"
+        )
+
+    def dup(col: str) -> str:
+        return (
+            f"coalesce(CAST(list_sum(list_transform(list_distinct({col}), x -> "
+            f"CASE WHEN len(list_filter({col}, y -> y = x)) >= 2 "
+            f"THEN len(list_filter({col}, y -> y = x)) * length(x) "
+            f"ELSE 0 END)) AS BIGINT), 0)"
+        )
+
+    return f"""
+        WITH toked AS (
+          SELECT doc_id, text, {_TOK} AS toks FROM documents
+        ), arrays AS (
+          SELECT doc_id,
+                 len(toks) AS n_tokens,
+                 len(list_distinct(toks)) AS n_distinct_tok,
+                 length(text) AS n_chars,
+                 {gram(2)} AS g2,
+                 {gram(3)} AS g3,
+                 {gram(4)} AS g4,
+                 list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+                 list_filter(string_split(text, chr(10) || chr(10)), x -> x <> '') AS paras
+          FROM toked
+        )
+        SELECT doc_id, n_tokens, n_distinct_tok, n_chars,
+               len(g2) AS n_bigrams,
+               {top("g2", "cnt")} AS top_bigram_count,
+               {top("g2", "chars")} AS top2_chars,
+               {top("g3", "chars")} AS top3_chars,
+               {top("g4", "chars")} AS top4_chars,
+               len(lines) AS n_lines,
+               {total("lines")} AS line_chars,
+               {dup("lines")} AS dup_line_chars,
+               len(paras) AS n_paras,
+               {total("paras")} AS para_chars,
+               {dup("paras")} AS dup_para_chars
+        FROM arrays
+    """
+
+
 def _near_dedup_cc_oracle_sql(threshold: float = 0.3) -> str:
     """Recursive-CTE twin of ops.dedup.near_dedup_cc: the verified-pair
     CTEs of the near_dedup_survivors oracle, then transitive closure
@@ -1490,6 +1553,67 @@ def _near_dedup_cc_oracle_sql(threshold: float = 0.3) -> str:
         )
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT id FROM lbl WHERE label < id)
+    """
+
+
+def _substring_dedup_oracle_sql(min_shared: int = 2, k: int = 3, w: int = 4) -> str:
+    """Twin of ops.text_analysis.substring_dedup: positional winnowing
+    (list_position = Spark array_position, both first-occurrence), posting
+    self-join, count-distinct pair verification, b-side shingle-range
+    removal, token rejoin. array_to_string([]) is NULL in DuckDB → coalesce
+    to '' (Spark array_join returns '')."""
+    pos_min = f"list_min(list_slice(hs, j, j + {w - 1}))"
+    return f"""
+        WITH toked AS (
+          SELECT doc_id AS id, {_TOK} AS toks FROM documents
+        ), sh AS (
+          SELECT id, toks,
+                 CASE WHEN len(toks) >= {k}
+                      THEN list_transform(range(1, len(toks) - {k - 2}),
+                             i -> array_to_string(list_slice(toks, i, i + {k - 1}), ' '))
+                      ELSE []::VARCHAR[] END AS sh
+          FROM toked
+        ), h AS (
+          SELECT id, list_transform(sh, s -> md5(s)) AS hs FROM sh
+        ), f AS (
+          SELECT id,
+                 CASE WHEN len(hs) >= {w}
+                      THEN list_transform(range(1, len(hs) - {w - 2}),
+                             j -> {{'fp': {pos_min},
+                                    'pos': list_position(list_slice(hs, j, j + {w - 1}),
+                                                         {pos_min}) + j - 1}})
+                      ELSE list_transform(range(1, len(hs) + 1),
+                             j -> {{'fp': hs[j], 'pos': j}})
+                 END AS fps
+          FROM h
+        ), flat AS (
+          SELECT id, u.fp AS fp, u.pos AS pos
+          FROM (SELECT id, unnest(fps) AS u FROM f)
+        ), shared_occ AS (
+          SELECT a.id AS a_id, b.id AS b_id, a.fp AS fp, b.pos AS b_pos
+          FROM flat a JOIN flat b ON a.fp = b.fp AND a.id < b.id
+        ), verified AS (
+          SELECT a_id, b_id FROM shared_occ
+          GROUP BY a_id, b_id HAVING count(DISTINCT fp) >= {min_shared}
+        ), drops AS (
+          SELECT s.b_id AS id, list(DISTINCT s.b_pos) AS drop_starts
+          FROM shared_occ s
+          JOIN verified v ON s.a_id = v.a_id AND s.b_id = v.b_id
+          GROUP BY s.b_id
+        ), kept AS (
+          SELECT t.id, t.toks,
+                 list_transform(
+                   list_filter(range(1, len(t.toks) + 1),
+                     i -> len(list_filter(coalesce(d.drop_starts, []::BIGINT[]),
+                            s -> i >= s AND i <= s + {k - 1})) = 0),
+                   i -> t.toks[i]) AS kept_toks
+          FROM toked t LEFT JOIN drops d ON t.id = d.id
+        )
+        SELECT id AS doc_id,
+               len(toks) AS n_tokens,
+               len(toks) - len(kept_toks) AS n_dropped,
+               coalesce(array_to_string(kept_toks, ' '), '') AS kept_text
+        FROM kept
     """
 
 

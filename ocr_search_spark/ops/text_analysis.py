@@ -183,46 +183,240 @@ def winnow_fingerprints(
 def repetition_signals(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Gopher-style repetition quality signals, integer-exact:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1),
+    integer-exact:
 
-    * ``n_bigrams``        — total token bigrams,
-    * ``top_bigram_count`` — occurrences of the most frequent bigram,
-    * ``n_distinct_tok`` / ``n_tokens`` — type/token counts.
+    * ``n_tokens`` / ``n_distinct_tok``    — type/token counts,
+    * ``n_chars``                          — document characters,
+    * ``n_bigrams`` / ``top_bigram_count`` — most-frequent-bigram mode,
+    * ``top2_chars``/``top3_chars``/``top4_chars`` — characters covered by
+      the most frequent 2/3/4-gram (occurrences × gram length; ties on
+      count break toward larger coverage, deterministically),
+    * ``n_lines``/``line_chars``/``dup_line_chars`` — characters inside
+      lines that occur ≥2 times (every occurrence counted),
+    * ``n_paras``/``para_chars``/``dup_para_chars`` — same over
+      blank-line-separated paragraphs.
 
-    A doc is repetition-spam when ``top_bigram_count / n_bigrams`` is high
-    (looped boilerplate) or type/token ratio is very low. Counts are left
-    as integer pairs so the gate thresholds and the cross-engine oracle are
-    exact. Staged projections (tokens → bigrams → counts) keep HOF lambdas
-    on attributes; the mode count is O(distinct × n) per doc — fine for the
-    ≤10³-token documents this targets (cap upstream for pathological rows).
+    A doc is repetition-spam when ``top{n}_chars / n_chars`` or
+    ``dup_line_chars / line_chars`` is high (looped boilerplate) or the
+    type/token ratio is very low. Counts stay integers so gate thresholds
+    and the cross-engine oracle are exact. Staged projections (tokens →
+    gram/line arrays → counts) keep every HOF lambda on attributes; the
+    mode counts are O(distinct × n) per doc — fine for the ≤10³-token
+    documents this targets (cap upstream for pathological rows).
+    """
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        tokens_expr(F.col(text_col)).alias("toks"),
+    )
+    n = F.size(F.col("toks"))
+
+    def grams(k: int):
+        def at(i):
+            return F.concat_ws(
+                " ", *[F.element_at(F.col("toks"), i + j) for j in range(k)]
+            )
+
+        return (
+            F.when(n >= k, F.transform(F.sequence(F.lit(1), n - k + 1), at))
+            .otherwise(F.array().cast("array<string>"))
+        )
+
+    arrays = toked.select(
+        "id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct_tok"),
+        F.length("text").alias("n_chars"),
+        grams(2).alias("g2"),
+        grams(3).alias("g3"),
+        grams(4).alias("g4"),
+        F.filter(F.split("text", "\n"), lambda x: x != "").alias("lines"),
+        F.filter(F.split("text", "\n\n"), lambda x: x != "").alias("paras"),
+    )
+
+    zero = F.lit(0).cast("long")
+
+    def top_gram(name: str):
+        g = F.col(name)
+        stats = F.transform(
+            F.array_distinct(g),
+            lambda x: F.struct(
+                F.size(F.filter(g, lambda y: y == x)).cast("long").alias("cnt"),
+                (F.size(F.filter(g, lambda y: y == x)) * F.length(x))
+                .cast("long")
+                .alias("chars"),
+            ),
+        )
+        return F.array_max(stats)
+
+    def total_chars(name: str):
+        return F.aggregate(F.col(name), zero, lambda acc, x: acc + F.length(x))
+
+    def dup_chars(name: str):
+        g = F.col(name)
+        return F.aggregate(
+            F.array_distinct(g),
+            zero,
+            lambda acc, x: acc
+            + F.when(
+                F.size(F.filter(g, lambda y: y == x)) >= 2,
+                (F.size(F.filter(g, lambda y: y == x)) * F.length(x)).cast("long"),
+            ).otherwise(zero),
+        )
+
+    t2, t3, t4 = top_gram("g2"), top_gram("g3"), top_gram("g4")
+    return arrays.select(
+        "id",
+        "n_tokens",
+        "n_distinct_tok",
+        "n_chars",
+        F.size("g2").alias("n_bigrams"),
+        F.coalesce(t2["cnt"], zero).alias("top_bigram_count"),
+        F.coalesce(t2["chars"], zero).alias("top2_chars"),
+        F.coalesce(t3["chars"], zero).alias("top3_chars"),
+        F.coalesce(t4["chars"], zero).alias("top4_chars"),
+        F.size("lines").alias("n_lines"),
+        total_chars("lines").alias("line_chars"),
+        dup_chars("lines").alias("dup_line_chars"),
+        F.size("paras").alias("n_paras"),
+        total_chars("paras").alias("para_chars"),
+        dup_chars("paras").alias("dup_para_chars"),
+    )
+
+
+def winnow_fingerprint_positions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Positional winnowing: like :func:`winnow_fingerprints` but every
+    window minimum keeps the TOKEN POSITION of its minimal shingle (1-based
+    start index, first occurrence within the window — deterministic in both
+    engines via array_position/list_position).
+
+    Returns (id, toks, fps array<struct<fp:string, pos:int>>) — the input
+    to span-level dedup, where a shared fingerprint pinpoints WHERE the
+    shared run sits in each document, not just that it exists.
     """
     toked = df.select(
         F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("toks")
     )
     n = F.size(F.col("toks"))
-    bigram_at = lambda i: F.concat_ws(  # noqa: E731
-        " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
-    )
-    bg = toked.select(
-        "id",
-        n.alias("n_tokens"),
-        F.size(F.array_distinct("toks")).alias("n_distinct_tok"),
-        F.when(n >= 2, F.transform(F.sequence(F.lit(1), n - 1), bigram_at))
-        .otherwise(F.array().cast("array<string>"))
-        .alias("bg"),
-    )
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(F.col("bg")),
-            lambda x: F.size(F.filter(F.col("bg"), lambda y: y == x)),
+
+    def shingle_at(i):
+        return F.concat_ws(
+            " ", *[F.element_at(F.col("toks"), i + j) for j in range(shingle_k)]
         )
+
+    sh = toked.select(
+        "id",
+        "toks",
+        F.when(
+            n >= shingle_k,
+            F.transform(F.sequence(F.lit(1), n - shingle_k + 1), shingle_at),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("sh"),
     )
-    return bg.select(
+    hashed = sh.select(
+        "id",
+        "toks",
+        F.size("sh").alias("n_sh"),
+        F.transform("sh", lambda s: F.md5(F.encode(s, "utf-8"))).alias("hs"),
+    )
+    n_sh, hs = F.col("n_sh"), F.col("hs")
+
+    def win_min(j):
+        sl = F.slice(hs, j, window)
+        return F.struct(
+            F.array_min(sl).alias("fp"),
+            (F.array_position(sl, F.array_min(sl)) + j - 1).cast("int").alias("pos"),
+        )
+
+    minima = F.transform(F.sequence(F.lit(1), n_sh - window + 1), win_min)
+    # short docs: every shingle hash is its own fingerprint
+    fallback = F.transform(
+        hs, lambda h, i: F.struct(h.alias("fp"), (i + 1).cast("int").alias("pos"))
+    )
+    fps = F.when(n_sh >= window, minima).otherwise(fallback)
+    return hashed.select("id", "toks", fps.alias("fps"))
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_shared: int = 2,
+    shingle_k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Passage-level (exact-substring-style) deduplication, Lee et al. 2021
+    \"Deduplicating Training Data Makes Language Models Better\" shape: the
+    winnowing-fingerprint analogue of suffix-array substring dedup. Where
+    doc-level near-dedup drops whole documents, this removes only the
+    DUPLICATED PASSAGE from the later (larger-id) document and keeps the
+    rest.
+
+    Pipeline: positional winnowing fingerprints → fingerprint posting
+    self-join (candidate pairs) → pairs verified by ≥ ``min_shared`` shared
+    distinct fingerprints → every b-side occurrence of a shared fingerprint
+    marks its shingle's token range [pos, pos+shingle_k-1] for removal →
+    tokens outside every marked range are rejoined.
+
+    Returns one row per input row: (id, n_tokens, n_dropped, kept_text).
+    Scale shape: the only shuffles are the posting join on fp (same shape
+    as LSH bucket joins — cap hot boilerplate fingerprints upstream at
+    production scale), the pair aggregate, and the drop-list aggregate;
+    reconstruction is pure column work. No quadratic stage.
+    """
+    wp = winnow_fingerprint_positions(df, id_col, text_col, shingle_k, window)
+    flat = wp.select("id", F.explode("fps").alias("f")).select(
+        "id", F.col("f.fp").alias("fp"), F.col("f.pos").alias("pos")
+    )
+    a = flat.select(F.col("id").alias("a_id"), F.col("fp").alias("fp"))
+    b = flat.select(
+        F.col("id").alias("b_id"), F.col("fp").alias("fp"), F.col("pos").alias("b_pos")
+    )
+    shared_occ = a.join(b, ["fp"]).filter(F.col("a_id") < F.col("b_id"))
+    verified = (
+        shared_occ.groupBy("a_id", "b_id")
+        .agg(F.count_distinct("fp").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+        .select("a_id", "b_id")
+    )
+    drops = (
+        shared_occ.join(verified, ["a_id", "b_id"], "left_semi")
+        .select(F.col("b_id").alias("id"), F.col("b_pos").alias("pos"))
+        .groupBy("id")
+        .agg(F.collect_set("pos").alias("drop_starts"))
+    )
+    joined = wp.join(drops, "id", "left").select(
+        "id",
+        "toks",
+        F.coalesce(F.col("drop_starts"), F.array().cast("array<int>")).alias("drops"),
+    )
+    toks, dr = F.col("toks"), F.col("drops")
+    # guard: sequence(1, 0) would be a *descending* sequence on empty docs
+    keep_idx = F.when(
+        F.size(toks) >= 1,
+        F.filter(
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda i: ~F.exists(dr, lambda s: (i >= s) & (i <= s + shingle_k - 1)),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    staged = joined.select(
+        "id",
+        F.size(toks).alias("n_tokens"),
+        F.transform(keep_idx, lambda i: F.element_at(toks, i)).alias("kept_toks"),
+    )
+    return staged.select(
         "id",
         "n_tokens",
-        "n_distinct_tok",
-        F.size("bg").alias("n_bigrams"),
-        F.coalesce(top, F.lit(0)).alias("top_bigram_count"),
+        (F.col("n_tokens") - F.size("kept_toks")).alias("n_dropped"),
+        F.array_join("kept_toks", " ").alias("kept_text"),
     )
 
 

@@ -316,6 +316,50 @@ class TestLshBucketCap:
         assert capped == 0  # mega-bucket diverted to the exact-dup path
 
 
+class TestSubstringDedup:
+    PASSAGE = " ".join(f"shared{i}" for i in range(16))
+
+    def _df(self, spark):
+        rows = [
+            ("d1", self.PASSAGE + " " + "tail one two three"),
+            ("d2", "intro alpha beta " + self.PASSAGE + " outro gamma delta"),
+            ("d3", "totally unrelated text with its own words entirely"),
+        ]
+        return spark.createDataFrame(rows, "doc_id string, text string")
+
+    def test_later_doc_loses_planted_passage_keeps_rest(self, spark):
+        from ocr_search_spark.ops.text_analysis import substring_dedup
+
+        out = {
+            r.id: r
+            for r in substring_dedup(self._df(spark), "doc_id", "text").collect()
+        }
+        # earlier doc and the unrelated doc are untouched
+        assert out["d1"].n_dropped == 0
+        assert out["d3"].n_dropped == 0
+        assert out["d3"].kept_text == "totally unrelated text with its own words entirely"
+        # the later doc drops part of the shared passage, never its own text
+        d2 = out["d2"]
+        assert d2.n_dropped >= 3  # at least one winnowed shingle removed
+        for w in ("intro", "alpha", "beta", "outro", "gamma", "delta"):
+            assert w in d2.kept_text.split()
+        dropped = set(self.PASSAGE.split()) - set(d2.kept_text.split())
+        assert dropped  # and what was dropped came from the shared passage
+
+    def test_positions_are_deterministic(self, spark):
+        from ocr_search_spark.ops.text_analysis import winnow_fingerprint_positions
+
+        a = winnow_fingerprint_positions(self._df(spark), "doc_id", "text").collect()
+        b = winnow_fingerprint_positions(self._df(spark), "doc_id", "text").collect()
+        assert sorted((r.id, tuple(r.fps)) for r in a) == sorted(
+            (r.id, tuple(r.fps)) for r in b
+        )
+        for r in a:
+            n = len(r.toks)
+            for f in r.fps:
+                assert 1 <= f.pos <= n - 3 + 1  # valid shingle start
+
+
 class TestRepetitionSignals:
     def test_counts_on_looped_text(self, spark):
         from ocr_search_spark.ops.text_analysis import repetition_signals
@@ -333,6 +377,45 @@ class TestRepetitionSignals:
         assert got["loop"].n_distinct_tok == 2 and got["loop"].n_tokens == 8
         assert got["varied"].top_bigram_count == 1
         assert got["tiny"].n_bigrams == 0 and got["tiny"].top_bigram_count == 0
+        # n-gram char coverage: 'buy now' (7 chars) × 4 occurrences
+        assert got["loop"].top2_chars == 28
+        assert got["loop"].top3_chars == 33  # 'buy now buy' (11) × 3
+        assert got["loop"].top4_chars == 45  # 'buy now buy now' (15) × 3
+        assert got["tiny"].top2_chars == 0
+
+    def test_dup_line_and_paragraph_fractions(self, spark):
+        from ocr_search_spark.ops.text_analysis import repetition_signals
+
+        text = (
+            "unique first line\n"
+            "repeated line\n"
+            "repeated line\n"
+            "\n"
+            "para one body\n\npara one body\n\nanother paragraph"
+        )
+        df = spark.createDataFrame([("d", text)], "doc_id string, text string")
+        r = repetition_signals(df).collect()[0]
+        # duplicated lines: 'repeated line' ×2 and 'para one body' ×2
+        assert r.dup_line_chars == 2 * len("repeated line") + 2 * len("para one body")
+        assert r.n_lines == 6
+        assert r.line_chars == sum(
+            len(x) for x in text.split("\n") if x != ""
+        )
+        # paragraphs split on blank lines: 'para one body' duplicated
+        paras = [p for p in text.split("\n\n") if p != ""]
+        assert r.n_paras == len(paras)
+        assert r.para_chars == sum(len(p) for p in paras)
+        assert r.dup_para_chars == 2 * len("para one body")
+
+    def test_no_dups_zero(self, spark):
+        from ocr_search_spark.ops.text_analysis import repetition_signals
+
+        df = spark.createDataFrame(
+            [("d", "line a\nline b\n\nline c")], "doc_id string, text string"
+        )
+        r = repetition_signals(df).collect()[0]
+        assert r.dup_line_chars == 0 and r.dup_para_chars == 0
+        assert r.n_chars == len("line a\nline b\n\nline c")
 
 
 class TestTokenCounts:

@@ -185,6 +185,26 @@ class TestNearDedupPlan:
         got = sorted(r.doc_id for r in near_dedup(df, "doc_id", "text", 0.9).collect())
         assert got == ["a", "c"]  # min-id keeper wins, unique doc survives
 
+    def test_token_quality_is_single_scan_no_generate(self, spark):
+        """token_quality (incl. the round-2 token_chars aggregate) must
+        stay one scan of one parquet file with HOF aggregates — no explode,
+        no join, no extra scan (the +72% bench move round 2 was added work,
+        this pins that it never becomes a plan regression)."""
+        import __spark_entry__ as e
+
+        plan = plan_of(e.q_token_quality(spark, SF_DIR))
+        assert "Generate" not in plan
+        assert "Join" not in plan
+        assert plan.count("Scan parquet") == 1
+
+    def test_substring_dedup_no_all_pairs_join(self, spark):
+        from ocr_search_spark.ops.text_analysis import substring_dedup
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        plan = plan_of(substring_dedup(docs, "doc_id", "text"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_cc_keeper_no_all_pairs_join(self, spark):
         from ocr_search_spark.ops.dedup import near_dedup_cc
 
