@@ -42,7 +42,20 @@ def sf_of(sf_dir: str) -> float:
 
 
 def corpus_cache_path(sf_dir: str) -> str:
-    return os.path.join(CACHE_ROOT, f"corpus_{sf_dir.rstrip('/').rsplit('/', 1)[-1]}.parquet")
+    # key the cache on the corpus recipe source (plus the kernels it pulls
+    # in, e.g. cfb_build for msg spans) so a recipe change regenerates
+    # instead of silently benchmarking a stale corpus
+    import hashlib
+
+    import ocr_search_spark.corpus as _corpus
+    import ocr_search_spark.kernels.cfb_build as _cfb
+
+    h = hashlib.md5()
+    for mod in (_corpus, _cfb):
+        with open(mod.__file__, "rb") as fh:
+            h.update(fh.read())
+    sf = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return os.path.join(CACHE_ROOT, f"corpus_{sf}_{h.hexdigest()[:10]}.parquet")
 
 
 def ensure_corpus(spark, sf_dir: str) -> str:
@@ -117,6 +130,8 @@ def main() -> None:
         "minhash",
         "lsh_bands",
         "near_dedup_survivors",
+        "near_dedup_cc",
+        "substring_dedup",
         "winnow_fingerprints",
         "token_quality",
         "token_counts",

@@ -263,12 +263,15 @@ def connected_components_labels(
     Labels are persisted per iteration so the upstream pair computation
     (LSH + verify) runs once, not once per iteration.
     """
+    # no .distinct() on edges: callers hand over already-distinct pairs
+    # (verified_near_dup_pairs ends in a distinct candidate set), and the
+    # groupBy-min below absorbs any stragglers — one less shuffle/job in a
+    # loop where per-job overhead dominates at small edge counts
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
-        .distinct()
         .persist()
     )
     labels = (
@@ -277,7 +280,8 @@ def connected_components_labels(
         .select("id", F.col("id").alias("label"))
         .persist()
     )
-    labels.count()
+    # no explicit materialize here — the first iteration's convergence count
+    # evaluates (and caches) labels and edges in the same job
     try:
         for _ in range(max_iters):
             # each node offers its label to every neighbour; keep the min of

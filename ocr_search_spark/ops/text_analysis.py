@@ -352,6 +352,7 @@ def substring_dedup(
     min_shared: int = 2,
     shingle_k: int = 3,
     window: int = 4,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Passage-level (exact-substring-style) deduplication, Lee et al. 2021
     \"Deduplicating Training Data Makes Language Models Better\" shape: the
@@ -368,14 +369,16 @@ def substring_dedup(
 
     Returns one row per input row: (id, n_tokens, n_dropped, kept_text).
     Scale shape: the only shuffles are the posting join on fp (same shape
-    as LSH bucket joins — cap hot boilerplate fingerprints upstream at
-    production scale), the pair aggregate, and the drop-list aggregate;
-    reconstruction is pure column work. No quadratic stage.
+    as LSH bucket joins — ``max_doc_freq`` diverts hot boilerplate
+    fingerprints via :func:`hot_fingerprint_filter` before the join), the
+    pair aggregate, and the drop-list aggregate; reconstruction is pure
+    column work. No quadratic stage.
     """
     wp = winnow_fingerprint_positions(df, id_col, text_col, shingle_k, window)
     flat = wp.select("id", F.explode("fps").alias("f")).select(
         "id", F.col("f.fp").alias("fp"), F.col("f.pos").alias("pos")
     )
+    flat = hot_fingerprint_filter(flat, "fp", max_doc_freq)
     a = flat.select(F.col("id").alias("a_id"), F.col("fp").alias("fp"))
     b = flat.select(
         F.col("id").alias("b_id"), F.col("fp").alias("fp"), F.col("pos").alias("b_pos")
@@ -420,6 +423,30 @@ def substring_dedup(
     )
 
 
+def hot_fingerprint_filter(
+    flat: DataFrame, fp_col: str = "fp", max_doc_freq: int | None = None
+) -> DataFrame:
+    """Boilerplate guard for fingerprint posting joins: drop fingerprints
+    whose document frequency exceeds ``max_doc_freq`` before the self-join.
+
+    A shared header/footer fingerprint across B documents contributes B²
+    rows to the posting join — the same mega-bucket pathology as LSH
+    buckets (``ops.dedup.lsh_candidate_pairs``). Hot fps are rare by
+    definition, so the BAD set is broadcast and anti-joined. Documents
+    sharing ONLY boilerplate stop pairing; that is the point — boilerplate
+    is not duplication evidence.
+    """
+    if max_doc_freq is None:
+        return flat
+    hot = (
+        flat.groupBy(fp_col)
+        .agg(F.count_distinct("id").alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select(fp_col)
+    )
+    return flat.join(F.broadcast(hot), [fp_col], "left_anti")
+
+
 def winnow_partial_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -427,6 +454,7 @@ def winnow_partial_dup_pairs(
     min_shared: int = 2,
     shingle_k: int = 3,
     window: int = 4,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Partial/contained-duplication candidates: document pairs sharing at
     least ``min_shared`` winnowing fingerprints — catches a plagiarized
@@ -436,13 +464,15 @@ def winnow_partial_dup_pairs(
     Scale shape: the fingerprint posting join — explode fingerprints, hash
     self-join on fp (shuffle keyed on fingerprint, O(matches) work), count
     shared per pair. Common-substring boilerplate creates hot fingerprints;
-    cap them upstream like LSH buckets (drop fps with document frequency
-    above a boilerplate threshold) before the join at production scale.
+    ``max_doc_freq`` diverts them before the join
+    (:func:`hot_fingerprint_filter` — the winnowing analogue of the LSH
+    mega-bucket guard).
 
     Returns (a_id, b_id, shared) with a_id < b_id.
     """
     w = winnow_fingerprints(df, id_col, text_col, shingle_k, window)
     flat = w.select("id", F.explode("fingerprints").alias("fp"))
+    flat = hot_fingerprint_filter(flat, "fp", max_doc_freq)
     a, b = flat.alias("a"), flat.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))

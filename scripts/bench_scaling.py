@@ -122,7 +122,11 @@ def run_level(cores: int, corpus: str, partitions: int) -> dict:
         path = f.name
     spark_submit = shutil.which("spark-submit")
     cmd = (
-        [spark_submit, "--master", f"local[{cores}]",
+        # local mode = one JVM for driver+executors: Spark's 1g default heap
+        # is a single-process default, not a per-core budget — size it like
+        # an executor (the 400k-doc corpus OOMs vectorized parquet reads
+        # under 1g when the host is busy)
+        [spark_submit, "--master", f"local[{cores}]", "--driver-memory", "8g",
          "--py-files", _package_zip(), path]
         if spark_submit
         else [sys.executable, path]  # fallback: plain driver process
@@ -139,10 +143,23 @@ def run_level(cores: int, corpus: str, partitions: int) -> dict:
 
 def ensure_scaling_corpus() -> str:
     sys.path.insert(0, REPO)
+    import hashlib
+
+    import ocr_search_spark.corpus as _corpus
+    import ocr_search_spark.kernels.cfb_build as _cfb
     from ocr_search_spark.corpus import corpus_df
     from ocr_search_spark.session import get_spark
 
-    path = os.path.join(REPO, ".data", f"corpus_scaling_{SCALING_DOCS}.parquet")
+    # recipe-hash-keyed like bench.py: a corpus change regenerates rather
+    # than silently measuring a stale corpus
+    h = hashlib.md5()
+    for mod in (_corpus, _cfb):
+        with open(mod.__file__, "rb") as fh:
+            h.update(fh.read())
+    path = os.path.join(
+        REPO, ".data",
+        f"corpus_scaling_{SCALING_DOCS}_{h.hexdigest()[:10]}.parquet",
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         spark = get_spark("scaling-prep", cores=32)
         spark.sparkContext.setLogLevel("ERROR")

@@ -346,6 +346,42 @@ class TestSubstringDedup:
         dropped = set(self.PASSAGE.split()) - set(d2.kept_text.split())
         assert dropped  # and what was dropped came from the shared passage
 
+    def test_hot_fingerprint_cap_ignores_boilerplate(self, spark):
+        """A footer shared by MANY docs is boilerplate, not duplication:
+        with max_doc_freq set, those fingerprints are diverted before the
+        posting join (B² pair guard) and nothing is dropped for it."""
+        from ocr_search_spark.ops.text_analysis import (
+            substring_dedup,
+            winnow_partial_dup_pairs,
+        )
+
+        footer = " ".join(f"footer{i}" for i in range(10))
+        rows = [
+            (f"d{j}", " ".join(f"own{j}w{i}" for i in range(8)) + " " + footer)
+            for j in range(6)
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        # uncapped: every doc pairs with every other via the footer
+        pairs = winnow_partial_dup_pairs(df, "doc_id", "text", min_shared=1)
+        assert pairs.count() == 15  # 6 choose 2
+        # capped: the all-pairs clique collapses — fps every doc selected are
+        # diverted; only boundary-window minima that a SINGLE doc pair picked
+        # can survive (df computed on selected fingerprints, which is exactly
+        # the join-blowup granularity the guard fences)
+        capped = winnow_partial_dup_pairs(
+            df, "doc_id", "text", min_shared=1, max_doc_freq=3
+        )
+        assert capped.count() <= 2
+        out = substring_dedup(
+            df, "doc_id", "text", min_shared=1, max_doc_freq=3
+        ).collect()
+        # at most one doc loses a couple of boundary shingles; own words of
+        # every doc always survive
+        assert sum(1 for r in out if r.n_dropped > 0) <= 1
+        for r in out:
+            j = r.id[1:]
+            assert all(f"own{j}w{i}" in r.kept_text.split() for i in range(8))
+
     def test_positions_are_deterministic(self, spark):
         from ocr_search_spark.ops.text_analysis import winnow_fingerprint_positions
 
