@@ -401,6 +401,15 @@ def q_winnow_partial_dups(spark, sf_dir):
 
 
 
+def q_gopher_filter(spark, sf_dir):
+    """Composed Gopher repetition gate: survivors of the published
+    top-n-gram / duplicate-line / duplicate-paragraph caps, integer-exact
+    (ops/text_analysis.py repetition_filter)."""
+    from ocr_search_spark.ops.text_analysis import repetition_filter
+
+    return repetition_filter(_docs(spark, sf_dir)).withColumnRenamed("id", "doc_id")
+
+
 def q_substring_dedup(spark, sf_dir):
     """Passage-level dedup (Lee-et-al-style): positional winnowing
     fingerprints → verified partial-dup pairs → the later doc's duplicated
@@ -492,6 +501,18 @@ def q_cosine_near_dedup(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return cosine_near_dedup(
+        emb, dim=64, threshold=0.42, n_bands=8, band_size=2
+    ).select("vec_id")
+
+
+def q_cosine_near_dedup_cc(spark, sf_dir):
+    """Embedding near-dedup with the connected-components keeper: one
+    canonical vector per verified-cosine cluster (ops/similarity.py
+    cosine_near_dedup_cc + ops/dedup.py min-label propagation)."""
+    from ocr_search_spark.ops.similarity import cosine_near_dedup_cc
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_near_dedup_cc(
         emb, dim=64, threshold=0.42, n_bands=8, band_size=2
     ).select("vec_id")
 
@@ -801,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_partial_dups": q_winnow_partial_dups,
         "substring_dedup": q_substring_dedup,
         "repetition_signals": q_repetition_signals,
+        "gopher_filter": q_gopher_filter,
         "lang_id": q_lang_id,
         "quality_filter": q_quality_filter,
         "meta_filter": q_meta_filter,
@@ -808,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup": q_cosine_neardup,
         "cosine_neardup_lsh": q_cosine_neardup_lsh,
         "cosine_near_dedup": q_cosine_near_dedup,
+        "cosine_near_dedup_cc": q_cosine_near_dedup_cc,
         "events_hourly": q_events_hourly,
         "events_rollup": q_events_rollup,
         "sessionize": q_sessionize,
@@ -1063,6 +1086,15 @@ def oracle_sql() -> dict[str, str]:
         "winnow_partial_dups": _winnow_pairs_oracle_sql(),
         "substring_dedup": _substring_dedup_oracle_sql(),
         "repetition_signals": _repetition_signals_oracle_sql(),
+        "gopher_filter": f"""
+            WITH r AS ({_repetition_signals_oracle_sql()})
+            SELECT doc_id FROM r
+            WHERE top2_chars * 100 <= n_chars * 20
+              AND top3_chars * 100 <= n_chars * 18
+              AND top4_chars * 100 <= n_chars * 16
+              AND dup_line_chars * 100 <= line_chars * 20
+              AND dup_para_chars * 100 <= para_chars * 20
+        """,
         "lang_id": f"""
             SELECT doc_id,
                    CASE WHEN len(list_intersect(list_distinct({_TOK}), ['the','a','of'])) > 0
@@ -1376,6 +1408,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ann_ivf_oracle_sql(),
         "cosine_neardup_lsh": _cosine_neardup_lsh_oracle_sql(),
         "cosine_near_dedup": _cosine_near_dedup_oracle_sql(),
+        "cosine_near_dedup_cc": _cosine_near_dedup_cc_oracle_sql(),
         "media_features": _media_features_oracle_sql(),
         "media_resize": """
             WITH refs AS (
@@ -1803,6 +1836,32 @@ def _cosine_near_dedup_oracle_sql(
         WITH pairs AS ({pairs})
         SELECT vec_id FROM embeddings
         WHERE vec_id NOT IN (SELECT b_id FROM pairs)
+    """
+
+
+def _cosine_near_dedup_cc_oracle_sql(
+    dim: int = 64, threshold: float = 0.42, n_bands: int = 8, band_size: int = 2
+) -> str:
+    """Cluster-keeper survivors oracle: the verified-pair CTE of the LSH
+    near-dup oracle, then the same WITH RECURSIVE transitive closure as
+    _near_dedup_cc_oracle_sql — drop every vector whose component holds a
+    smaller id."""
+    pairs = _cosine_neardup_lsh_oracle_sql(dim, threshold, n_bands, band_size)
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs}
+        ), edges AS (
+          SELECT a_id AS s, b_id AS d FROM pairs
+          UNION
+          SELECT b_id AS s, a_id AS d FROM pairs
+        ), reach AS (
+          SELECT s AS id, d AS r FROM edges
+          UNION
+          SELECT e.s AS id, rc.r AS r FROM edges e JOIN reach rc ON rc.id = e.d
+        ), lbl AS (
+          SELECT id, least(id, min(r)) AS label FROM reach GROUP BY id
+        )
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (SELECT id FROM lbl WHERE label < id)
     """
 
 

@@ -237,32 +237,65 @@ def repetition_signals(
 
     zero = F.lit(0).cast("long")
 
+    # PUSHDOWN-SAFE mode counts: single aggregate pass over the SORTED array
+    # tracking the current equal-run — the lambdas reference only (acc,
+    # element), never the outer array. A lambda that re-reads the outer
+    # array (the filter-count-per-distinct formulation) turns O(n²) when a
+    # downstream gate predicate is substituted into a pre-projection filter
+    # (PushDownPredicate splits conjuncts and pushes the deterministic ones
+    # through ANY deterministic projection — barriers don't survive
+    # ColumnPruning). Sorted runs are also simply faster: O(n log n) vs
+    # O(distinct·n) per document. Equal grams are adjacent after sort, so
+    # the best (run, run·len) visited equals the (count, count·len)
+    # lexicographic max over distinct values — the oracle's formulation.
     def top_gram(name: str):
-        g = F.col(name)
-        stats = F.transform(
-            F.array_distinct(g),
-            lambda x: F.struct(
-                F.size(F.filter(g, lambda y: y == x)).cast("long").alias("cnt"),
-                (F.size(F.filter(g, lambda y: y == x)) * F.length(x))
-                .cast("long")
-                .alias("chars"),
-            ),
+        init = F.struct(
+            F.lit("").alias("prev"),
+            zero.alias("run"),
+            zero.alias("cnt"),
+            zero.alias("chars"),
         )
-        return F.array_max(stats)
+
+        def step(acc, x):
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                F.lit(1).cast("long")
+            )
+            chars = run * F.length(x)
+            better = (run > acc["cnt"]) | (
+                (run == acc["cnt"]) & (chars > acc["chars"])
+            )
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.when(better, run).otherwise(acc["cnt"]).alias("cnt"),
+                F.when(better, chars).otherwise(acc["chars"]).alias("chars"),
+            )
+
+        return F.aggregate(F.sort_array(F.col(name)), init, step)
 
     def total_chars(name: str):
         return F.aggregate(F.col(name), zero, lambda acc, x: acc + F.length(x))
 
     def dup_chars(name: str):
-        g = F.col(name)
+        # run of c equal values contributes c·len once c ≥ 2: add 2·len at
+        # the second occurrence, then len for each further one
+        init = F.struct(F.lit("").alias("prev"), zero.alias("run"), zero.alias("s"))
+
+        def step(acc, x):
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                F.lit(1).cast("long")
+            )
+            add = (
+                F.when(run == 2, 2 * F.length(x))
+                .when(run > 2, F.length(x))
+                .otherwise(0)
+            )
+            return F.struct(
+                x.alias("prev"), run.alias("run"), (acc["s"] + add).alias("s")
+            )
+
         return F.aggregate(
-            F.array_distinct(g),
-            zero,
-            lambda acc, x: acc
-            + F.when(
-                F.size(F.filter(g, lambda y: y == x)) >= 2,
-                (F.size(F.filter(g, lambda y: y == x)) * F.length(x)).cast("long"),
-            ).otherwise(zero),
+            F.sort_array(F.col(name)), init, step, lambda acc: acc["s"]
         )
 
     t2, t3, t4 = top_gram("g2"), top_gram("g3"), top_gram("g4")
@@ -283,6 +316,51 @@ def repetition_signals(
         total_chars("paras").alias("para_chars"),
         dup_chars("paras").alias("dup_para_chars"),
     )
+
+
+#: Gopher repetition caps (Rae et al. 2021, Table A1), in integer percent:
+#: max fraction of characters in the top 2/3/4-gram, and in duplicate
+#: lines / paragraphs
+GOPHER_REPETITION_CAPS = {
+    "top2": 20,
+    "top3": 18,
+    "top4": 16,
+    "dup_line": 20,
+    "dup_para": 20,
+}
+
+
+def repetition_filter(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The composed Gopher repetition GATE: documents surviving every
+    repetition cap (:data:`GOPHER_REPETITION_CAPS`) over the
+    :func:`repetition_signals` columns. Predicates are integer
+    cross-multiplications (``chars·100 ≤ total·cap``) so the gate is exact
+    in any engine — no float thresholds. Returns (id) of survivors.
+
+    Cost note: Catalyst substitutes the cap predicates into a scan-level
+    filter, so each referenced signal's producer chain re-evaluates inside
+    the predicate (bounded and linear — the sorted-run aggregates are
+    pushdown-safe by construction). In a production pipeline, materialize
+    :func:`repetition_signals` as a table compute-once-on-write (like the
+    postings table) and gate on the stored columns instead."""
+    c = GOPHER_REPETITION_CAPS
+    sig = repetition_signals(df, id_col, text_col)
+    # The gate predicates get substituted down through the signals
+    # projections by PushDownPredicate (conjunct-split, so projection
+    # barriers don't help) — safe ONLY because every repetition aggregate is
+    # the pushdown-safe sorted-run form (see top_gram in
+    # repetition_signals): inlining costs a constant re-evaluation factor,
+    # never a per-element blowup.
+    keep = (
+        (F.col("top2_chars") * 100 <= F.col("n_chars") * c["top2"])
+        & (F.col("top3_chars") * 100 <= F.col("n_chars") * c["top3"])
+        & (F.col("top4_chars") * 100 <= F.col("n_chars") * c["top4"])
+        & (F.col("dup_line_chars") * 100 <= F.col("line_chars") * c["dup_line"])
+        & (F.col("dup_para_chars") * 100 <= F.col("para_chars") * c["dup_para"])
+    )
+    return sig.filter(keep).select("id")
 
 
 def winnow_fingerprint_positions(
