@@ -596,13 +596,9 @@ def q_deterministic_sample(spark, sf_dir):
     )
 
 
-def q_training_corpus(spark, sf_dir):
-    """The composed training-data pipeline a user actually runs: quality
-    gate → language filter → near-dedup survivors → deterministic split.
-    Every stage is an existing oracle-checked operator; the composition is
-    itself oracle-checked end to end."""
-    from ocr_search_spark.ops.dedup import near_dedup
-    from ocr_search_spark.ops.sampling import hash_split
+def _quality_gated(spark, sf_dir):
+    """The shared quality+language gate stage of the training pipelines:
+    length / stopword-ratio / punctuation / english-vote thresholds."""
     from ocr_search_spark.search.analysis import with_search_columns
 
     d = with_search_columns(_docs(spark, sf_dir), "text")
@@ -615,13 +611,46 @@ def q_training_corpus(spark, sf_dir):
             F.array_distinct("toks"), F.array(F.lit("the"), F.lit("a"), F.lit("of"))
         )
     )
-    gated = d.filter(
+    return d.filter(
         (n_tokens >= 30)
         & (n_stop * 20 >= n_tokens)
         & (n_punct * 10 <= n_tokens * 3)
         & (en_votes > 0)
     ).select("doc_id", "text")
+
+
+def q_training_corpus(spark, sf_dir):
+    """The composed training-data pipeline a user actually runs: quality
+    gate → language filter → near-dedup survivors → deterministic split.
+    Every stage is an existing oracle-checked operator; the composition is
+    itself oracle-checked end to end."""
+    from ocr_search_spark.ops.dedup import near_dedup
+    from ocr_search_spark.ops.sampling import hash_split
+
     survivors = near_dedup(
+        _quality_gated(spark, sf_dir), "doc_id", "text",
+        threshold=0.3, n_hashes=8, band_size=2,
+    )
+    return hash_split(survivors, {"train": 0.8, "val": 0.1, "test": 0.1}).select(
+        "doc_id", "split"
+    )
+
+
+def q_training_corpus_cc(spark, sf_dir):
+    """The FULL composed pipeline: quality gate ∧ Gopher repetition gate →
+    connected-components near-dedup (one canonical doc per dup cluster) →
+    deterministic split — every round-3 addition composed end to end and
+    oracle-checked as one query."""
+    from ocr_search_spark.ops.dedup import near_dedup_cc
+    from ocr_search_spark.ops.sampling import hash_split
+    from ocr_search_spark.ops.text_analysis import repetition_filter
+
+    gated = _quality_gated(spark, sf_dir).join(
+        repetition_filter(_docs(spark, sf_dir)).withColumnRenamed("id", "doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    survivors = near_dedup_cc(
         gated, "doc_id", "text", threshold=0.3, n_hashes=8, band_size=2
     )
     return hash_split(survivors, {"train": 0.8, "val": 0.1, "test": 0.1}).select(
@@ -842,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "deterministic_sample": q_deterministic_sample,
         "training_corpus": q_training_corpus,
+        "training_corpus_cc": q_training_corpus_cc,
         # rows-only (non-SQL-expressible: extraction kernels / approx ops)
         "extract_spans": q_extract_spans,
         "extract_kind_stats": q_extract_kind_stats,
@@ -1083,6 +1113,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, array_to_string(list_sort(fps), ',') AS fps_csv FROM f
         """,
         "near_dedup_cc": _near_dedup_cc_oracle_sql(),
+        "training_corpus_cc": _training_corpus_cc_oracle_sql(),
         "winnow_partial_dups": _winnow_pairs_oracle_sql(),
         "substring_dedup": _substring_dedup_oracle_sql(),
         "repetition_signals": _repetition_signals_oracle_sql(),
@@ -1532,6 +1563,92 @@ def _repetition_signals_oracle_sql() -> str:
                {total("paras")} AS para_chars,
                {dup("paras")} AS dup_para_chars
         FROM arrays
+    """
+
+
+def _training_corpus_cc_oracle_sql(threshold: float = 0.3) -> str:
+    """Full-pipeline twin: quality gate ∧ Gopher gate (IN-subquery over the
+    repetition oracle) → LSH+verify pairs → recursive-CTE closure →
+    cluster survivors → md5 hash split."""
+    sigs = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS mh{i}"
+        for i in range(8)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5(mh{b} || '|' || mh{b + 1}) AS bucket "
+        f"FROM sig WHERE mh{b} IS NOT NULL"
+        for b in range(0, 8, 2)
+    )
+    gopher = f"""
+            WITH r AS ({_repetition_signals_oracle_sql()})
+            SELECT doc_id FROM r
+            WHERE top2_chars * 100 <= n_chars * 20
+              AND top3_chars * 100 <= n_chars * 18
+              AND top4_chars * 100 <= n_chars * 16
+              AND dup_line_chars * 100 <= line_chars * 20
+              AND dup_para_chars * 100 <= para_chars * 20
+    """
+    return f"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, text,
+                 len({_TOK}) AS n_tokens,
+                 len(list_filter({_TOK},
+                     t -> list_contains(['the','a','of','and','to','in','is'], t))) AS n_stop,
+                 length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                 len(list_intersect(list_distinct({_TOK}), ['the','a','of'])) AS en_votes
+          FROM documents
+        ), gated AS (
+          SELECT doc_id, text FROM t
+          WHERE n_tokens >= 30 AND n_stop * 20 >= n_tokens
+            AND n_punct * 10 <= n_tokens * 3 AND en_votes > 0
+            AND doc_id IN ({gopher})
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len({_TOK}) - 1, 1)),
+                   i -> array_to_string(list_slice({_TOK}, i, i + 2), ' ')
+                 )) AS shingles
+          FROM gated
+        ), sig AS (
+          SELECT doc_id AS id, {sigs} FROM sh
+        ), bands AS (
+          {bands}
+        ), cand AS (
+          SELECT DISTINCT a.id AS a_id, b.id AS b_id
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+        ), ver AS (
+          SELECT c.a_id, c.b_id
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.a_id
+          JOIN sh sb ON sb.doc_id = c.b_id
+          WHERE len(list_distinct(list_concat(sa.shingles, sb.shingles))) > 0
+            AND len(list_intersect(sa.shingles, sb.shingles))
+                >= len(list_distinct(list_concat(sa.shingles, sb.shingles))) * {threshold}
+        ), edges AS (
+          SELECT a_id AS s, b_id AS d FROM ver
+          UNION
+          SELECT b_id AS s, a_id AS d FROM ver
+        ), reach AS (
+          SELECT s AS id, d AS r FROM edges
+          UNION
+          SELECT e.s AS id, rc.r AS r FROM edges e JOIN reach rc ON rc.id = e.d
+        ), lbl AS (
+          SELECT id, least(id, min(r)) AS label FROM reach GROUP BY id
+        ), survivors AS (
+          SELECT doc_id FROM gated
+          WHERE doc_id NOT IN (SELECT id FROM lbl WHERE label < id)
+        )
+        SELECT doc_id,
+               CASE WHEN b < 8000 THEN 'train'
+                    WHEN b < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id,
+                 ('0x' || substring(md5('split' || doc_id), 1, 8))::BIGINT
+                   % 10000 AS b
+          FROM survivors
+        )
     """
 
 

@@ -30,6 +30,30 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def _token_shingles(toks: Column, n: Column, k: int) -> Column:
+    """k-token shingle array via zip_with over shifted slices.
+
+    PUSHDOWN-SAFE by construction: the lambdas see only the paired
+    elements. The transform(sequence, element_at(toks, i+j)) formulation
+    references the token array INSIDE the lambda — fine while ``toks`` is
+    an attribute, but catastrophic when an optimizer rule
+    (InferFiltersFromGenerate below an explode, or a conjunct-split gate
+    predicate) substitutes the producer tree into the lambda: the
+    tokenizer then re-evaluates per element, O(n²·tokenize) per row. A
+    driver session does not carry this repo's excluded-rules config, so
+    every driver-facing producer must be safe under default optimization
+    (measured: winnow_partial_dups 270 s → ~2 s on a vanilla session).
+    """
+
+    def shifted(j: int) -> Column:
+        return F.slice(toks, j + 1, n - k + 1)
+
+    z = shifted(0)
+    for j in range(1, k):
+        z = F.zip_with(z, shifted(j), lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(n >= k, z).otherwise(F.array().cast("array<string>"))
+
+
 def token_count_expr(col: Column | str) -> Column:
     """Whitespace+punct token count (BPE-ish regex splitter)."""
     return F.size(tokens_expr(_col(col)))
@@ -149,33 +173,27 @@ def winnow_fingerprints(
         F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("toks")
     )
     n = F.size(F.col("toks"))
-
-    def shingle_at(i):
-        return F.concat_ws(
-            " ", *[F.element_at(F.col("toks"), i + j) for j in range(shingle_k)]
-        )
-
     sh = toked.select(
-        "id",
-        F.when(
-            n >= shingle_k,
-            F.transform(F.sequence(F.lit(1), n - shingle_k + 1), shingle_at),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("sh"),
+        "id", _token_shingles(F.col("toks"), n, shingle_k).alias("sh")
     )
     hashed = sh.select(
         "id",
         F.size("sh").alias("n_sh"),  # second sh reference: keeps projection
         F.transform("sh", lambda s: F.md5(F.encode(s, "utf-8"))).alias("hs"),
     )
-    n_sh = F.col("n_sh")
-    minima = F.transform(
-        F.sequence(F.lit(1), n_sh - window + 1),
-        lambda j: F.array_min(F.slice(F.col("hs"), j, window)),
-    )
+    n_sh, hs = F.col("n_sh"), F.col("hs")
+
+    # window minima as a least-chain over shifted slices (pushdown-safe —
+    # see _token_shingles; the slice-inside-lambda form re-evaluates hs per
+    # window when an inferred explode filter inlines the chain)
+    def hs_shifted(j: int):
+        return F.slice(hs, j + 1, n_sh - window + 1)
+
+    minima = hs_shifted(0)
+    for j in range(1, window):
+        minima = F.zip_with(minima, hs_shifted(j), lambda a, b: F.least(a, b))
     fps = F.when(n_sh >= window, F.array_distinct(minima)).otherwise(
-        F.array_distinct(F.col("hs"))
+        F.array_distinct(hs)
     )
     return hashed.select("id", fps.alias("fingerprints"))
 
@@ -213,15 +231,10 @@ def repetition_signals(
     n = F.size(F.col("toks"))
 
     def grams(k: int):
-        def at(i):
-            return F.concat_ws(
-                " ", *[F.element_at(F.col("toks"), i + j) for j in range(k)]
-            )
-
-        return (
-            F.when(n >= k, F.transform(F.sequence(F.lit(1), n - k + 1), at))
-            .otherwise(F.array().cast("array<string>"))
-        )
+        # pushdown-safe zip_with shingles (see _token_shingles — measured:
+        # signals 0.8 s vs gate >540 s on the same 1000 docs with the
+        # element_at-in-lambda form)
+        return _token_shingles(F.col("toks"), n, k)
 
     arrays = toked.select(
         "id",
@@ -383,21 +396,8 @@ def winnow_fingerprint_positions(
         F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("toks")
     )
     n = F.size(F.col("toks"))
-
-    def shingle_at(i):
-        return F.concat_ws(
-            " ", *[F.element_at(F.col("toks"), i + j) for j in range(shingle_k)]
-        )
-
     sh = toked.select(
-        "id",
-        "toks",
-        F.when(
-            n >= shingle_k,
-            F.transform(F.sequence(F.lit(1), n - shingle_k + 1), shingle_at),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("sh"),
+        "id", "toks", _token_shingles(F.col("toks"), n, shingle_k).alias("sh")
     )
     hashed = sh.select(
         "id",
@@ -407,14 +407,25 @@ def winnow_fingerprint_positions(
     )
     n_sh, hs = F.col("n_sh"), F.col("hs")
 
-    def win_min(j):
-        sl = F.slice(hs, j, window)
-        return F.struct(
-            F.array_min(sl).alias("fp"),
-            (F.array_position(sl, F.array_min(sl)) + j - 1).cast("int").alias("pos"),
+    # argmin-with-position as a struct-min zip chain (pushdown-safe — no
+    # outer-array reference inside any lambda; see _token_shingles). Keeping
+    # the LEFT struct on fp ties preserves the first-occurrence-of-min
+    # position, matching array_position semantics.
+    def with_pos(j: int):
+        return F.transform(
+            F.slice(hs, j + 1, n_sh - window + 1),
+            lambda h, i: F.struct(
+                h.alias("fp"), (i + 1 + j).cast("int").alias("pos")
+            ),
         )
 
-    minima = F.transform(F.sequence(F.lit(1), n_sh - window + 1), win_min)
+    minima = with_pos(0)
+    for j in range(1, window):
+        minima = F.zip_with(
+            minima,
+            with_pos(j),
+            lambda a, b: F.when(b["fp"] < a["fp"], b).otherwise(a),
+        )
     # short docs: every shingle hash is its own fingerprint
     fallback = F.transform(
         hs, lambda h, i: F.struct(h.alias("fp"), (i + 1).cast("int").alias("pos"))

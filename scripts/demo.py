@@ -81,6 +81,38 @@ def main() -> None:
     survivors = near_dedup(content, "doc_id", "content", threshold=0.5)
     print(f"docs={content.count()} survivors={survivors.count()}")
 
+    print("== near-dedup, cluster keeper (min-label propagation)")
+    from ocr_search_spark.ops.dedup import near_dedup_cc
+
+    cc = near_dedup_cc(content, "doc_id", "content", threshold=0.5)
+    print(f"cluster-keeper survivors={cc.count()} (pairwise kept {survivors.count()})")
+
+    print("== Gopher repetition gate + passage-level substring dedup")
+    from ocr_search_spark.ops.text_analysis import repetition_filter, substring_dedup
+
+    kept = repetition_filter(content, "doc_id", "content")
+    print(f"gopher gate survivors={kept.count()}")
+    # max_doc_freq: corpus documents share pool vocabulary, so uncapped
+    # fingerprint postings blow up the self-join (the boilerplate pathology
+    # the guard exists for)
+    sd = substring_dedup(content, "doc_id", "content", min_shared=2, max_doc_freq=20)
+    sd_touched = sd.filter(F.col("n_dropped") > 0)
+    print(f"passage-dedup touched docs={sd_touched.count()}")
+    sd_touched.select("id", "n_tokens", "n_dropped").orderBy(
+        F.col("n_dropped").desc()
+    ).show(3)
+
+    print("== .msg extraction (pure-stdlib CFB reader on corpus msg spans)")
+    msg_rows = (
+        committed_spans(spark, workdir, "demo")
+        .select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "msg")
+    )
+    print(f"msg spans extracted: {msg_rows.count()}")
+    msg_rows.select(F.substring("s.text", 1, 70).alias("msg_text_head")).show(
+        2, truncate=False
+    )
+
     print("== train/val/test split (deterministic hash ranges)")
     hash_split(content, {"train": 0.8, "val": 0.1, "test": 0.1}).groupBy(
         "split"
