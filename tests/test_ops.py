@@ -316,6 +316,44 @@ class TestLshBucketCap:
         assert capped == 0  # mega-bucket diverted to the exact-dup path
 
 
+class TestCcAgainstUnionFind:
+    @staticmethod
+    def _union_find_labels(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    @pytest.mark.parametrize("seed", [7, 42, 1337])
+    def test_labels_match_union_find_on_random_graphs(self, spark, seed):
+        """Min-label propagation must agree with a classic union-find on
+        arbitrary random graphs (chains, stars, merged components)."""
+        import random
+
+        from ocr_search_spark.ops.dedup import connected_components_labels
+
+        rng = random.Random(seed)
+        nodes = [f"n{i:02d}" for i in range(24)]
+        edges = set()
+        while len(edges) < 20:
+            a, b = rng.sample(nodes, 2)
+            edges.add((min(a, b), max(a, b)))
+        edges = sorted(edges)
+        df = spark.createDataFrame(edges, "a_id string, b_id string")
+        got = {r.id: r.label for r in connected_components_labels(df).collect()}
+        assert got == self._union_find_labels(edges)
+
+
 class TestSubstringDedup:
     PASSAGE = " ".join(f"shared{i}" for i in range(16))
 
@@ -381,6 +419,36 @@ class TestSubstringDedup:
         for r in out:
             j = r.id[1:]
             assert all(f"own{j}w{i}" in r.kept_text.split() for i in range(8))
+
+    @pytest.mark.parametrize("seed", [3, 99])
+    def test_disjoint_vocab_docs_only_lose_planted_passages(self, spark, seed):
+        """Randomized invariant: documents built from per-doc-disjoint
+        vocabularies can only lose tokens inside the passage planted across
+        them — never their own text."""
+        import random
+
+        from ocr_search_spark.ops.text_analysis import substring_dedup
+
+        rng = random.Random(seed)
+        passage = " ".join(f"pl{seed}x{i}" for i in range(12))
+        rows = []
+        for j in range(8):
+            own = [f"v{j}w{i}" for i in range(rng.randint(10, 25))]
+            if j in (2, 5):  # plant the passage inside two docs
+                cut = rng.randint(0, len(own))
+                own = own[:cut] + passage.split() + own[cut:]
+            rows.append((f"d{j}", " ".join(own)))
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        out = {r.id: r for r in substring_dedup(df, "doc_id", "text").collect()}
+        for j in range(8):
+            r = out[f"d{j}"]
+            kept = set(r.kept_text.split())
+            own_vocab = {w for w in rows[j][1].split() if w.startswith(f"v{j}")}
+            assert own_vocab <= kept, f"d{j} lost its own tokens"
+            if j == 2:  # smaller id of the planted pair keeps the passage
+                assert r.n_dropped == 0
+            if j == 5:  # larger id loses at least one shared shingle
+                assert r.n_dropped >= 3
 
     def test_positions_are_deterministic(self, spark):
         from ocr_search_spark.ops.text_analysis import winnow_fingerprint_positions
