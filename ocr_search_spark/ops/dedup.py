@@ -260,8 +260,16 @@ def connected_components_labels(
     join + one partial-aggregated min — a bounded number of linear passes
     (converges in O(cluster diameter) iterations; near-dup clusters are
     shallow in practice, and ``max_iters`` caps pathological chains).
-    Labels are persisted per iteration so the upstream pair computation
-    (LSH + verify) runs once, not once per iteration.
+
+    LINEAGE TRUNCATION: every iteration's labels are ``localCheckpoint``-ed.
+    Each step references the previous labels plan twice (self ∪ offered),
+    so without truncation the logical plan doubles per iteration — 2^iters
+    analysis cost OOMs the driver around depth ~9 (caught by the
+    chain-convergence test). Checkpointing also means the upstream pair
+    computation runs once, not once per iteration. (On executor loss a
+    localCheckpoint cannot be recomputed — the job restarts; for
+    multi-hour cluster runs swap in reliable ``checkpoint()`` with a
+    checkpoint dir.)
     """
     # no .distinct() on edges: callers hand over already-distinct pairs
     # (verified_near_dup_pairs ends in a distinct candidate set), and the
@@ -278,10 +286,9 @@ def connected_components_labels(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
-        .persist()
+        .localCheckpoint()
     )
-    # no explicit materialize here — the first iteration's convergence count
-    # evaluates (and caches) labels and edges in the same job
+    converged = False
     try:
         for _ in range(max_iters):
             # each node offers its label to every neighbour; keep the min of
@@ -293,7 +300,7 @@ def connected_components_labels(
                 labels.unionByName(offered)
                 .groupBy("id")
                 .agg(F.min("label").alias("label"))
-                .persist()
+                .localCheckpoint()
             )
             changed = (
                 new_labels.alias("n")
@@ -301,10 +308,19 @@ def connected_components_labels(
                 .filter(F.col("n.label") < F.col("o.label"))
                 .count()
             )
-            labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            # silently returning partial labels would split clusters whose
+            # diameter exceeds max_iters — fail loud instead: wrong-but-
+            # plausible dedup output is worse than a restartable error
+            raise RuntimeError(
+                f"connected_components_labels did not converge within "
+                f"{max_iters} iterations — a duplicate cluster has diameter "
+                f"> {max_iters}; raise max_iters"
+            )
         return labels
     finally:
         edges.unpersist()
@@ -336,10 +352,10 @@ def near_dedup_cc(
     verified = verified_near_dup_pairs(
         df, id_col, text_col, threshold, n_hashes, band_size, shingle_k
     ).persist()
-    # labels come back persisted AND materialized (the propagation loop's
-    # convergence counts are actions), so the verified-pair cache can be
-    # dropped here — the final anti-join reads only the label cache, which
-    # is O(#duplicated docs) rows and released on session GC
+    # labels come back localCheckpoint-ed (materialized, lineage-free), so
+    # the verified-pair cache can be dropped here — the final anti-join
+    # reads only the checkpointed labels, O(#duplicated docs) rows,
+    # released on session GC
     labels = connected_components_labels(verified, max_iters=max_iters)
     verified.unpersist()
     losers = labels.filter(F.col("label") < F.col("id")).select(

@@ -92,6 +92,20 @@ class TestConnectedComponents:
             "d7": "d7", "d8": "d7",
         }
 
+    def test_non_convergence_fails_loud(self, spark):
+        """A chain longer than max_iters propagation hops must raise, not
+        silently return split clusters (plausible-but-wrong dedup output)."""
+        import pytest as _pytest
+
+        from ocr_search_spark.ops.dedup import connected_components_labels
+
+        chain = [(f"c{i}", f"c{i+1}") for i in range(8)]
+        df = spark.createDataFrame(chain, "a_id string, b_id string")
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            connected_components_labels(df, max_iters=3)
+        labels = {r.id: r.label for r in connected_components_labels(df).collect()}
+        assert set(labels.values()) == {"c0"}  # default budget converges
+
     def test_cc_keeper_differs_from_pairwise_on_star(self, spark):
         """a~c and b~c verified, a≁b: the pairwise keeper keeps both a and
         b (each decision sees one pair); the cluster keeper keeps only a,
