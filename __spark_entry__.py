@@ -808,6 +808,14 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_dedup(spark, sf_dir):
+    """Exact media dedup over binary payloads: content-hash groupBy on a
+    synth table with planted duplicates (rows collide mod lcm(8,5)=40)."""
+    from ocr_search_spark.ops.multimodal import media_exact_dedup, synth_media_df
+
+    return media_exact_dedup(synth_media_df(spark, n=64, groups=8))
+
+
 def q_media_resize(spark, sf_dir):
     """Multimodal resize plumbing: batch kernel → fixed-dim thumbnails
     (pixel resample stubbed deterministically — ops/multimodal.py)."""
@@ -881,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
+        "media_dedup": q_media_dedup,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
     }
@@ -1441,6 +1450,16 @@ def oracle_sql() -> dict[str, str]:
         "cosine_near_dedup": _cosine_near_dedup_oracle_sql(),
         "cosine_near_dedup_cc": _cosine_near_dedup_cc_oracle_sql(),
         "media_features": _media_features_oracle_sql(),
+        "media_dedup": """
+            WITH m AS (
+              SELECT 'media://synth/' || i AS media_ref,
+                     md5(upper(repeat(md5('media://synth/' || (i % 8)),
+                                      CAST(1 + i % 5 AS INTEGER)))) AS fingerprint
+              FROM range(64) t(i)
+            )
+            SELECT fingerprint, count(*) AS n_dups, min(media_ref) AS keeper_ref
+            FROM m GROUP BY fingerprint
+        """,
         "media_resize": """
             WITH refs AS (
               SELECT 'media://synth/' || i AS media_ref, 1 + i % 5 AS reps

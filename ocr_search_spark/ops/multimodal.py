@@ -169,15 +169,37 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     return media.mapInPandas(kernel, schema=FRAMES_SCHEMA)
 
 
-def synth_media_df(spark, n: int = 64) -> DataFrame:
+def synth_media_df(spark, n: int = 64, groups: int | None = None) -> DataFrame:
     """Deterministic synthetic media table for tests/demos.
 
     Payload = md5 digest of the ref, repeated 1 + i % 5 times — 16·reps
     bytes, reconstructible in SQL as ``repeat(unhex(md5(ref)), reps)``.
+    With ``groups``, the payload derives from ``ref(i % groups)`` instead
+    of the row's own ref, planting exact duplicates (rows i and j collide
+    iff i ≡ j mod lcm(groups, 5)) for the dedup operators.
     """
     rows = []
     for i in range(n):
         ref = f"media://synth/{i}"
-        payload = bytes.fromhex(hashlib.md5(ref.encode()).hexdigest()) * (1 + i % 5)
+        base = f"media://synth/{i % groups}" if groups else ref
+        payload = bytes.fromhex(hashlib.md5(base.encode()).hexdigest()) * (1 + i % 5)
         rows.append((ref, bytearray(payload), "image/png", {"idx": str(i)}))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def media_exact_dedup(media: DataFrame) -> DataFrame:
+    """Exact media dedup by content fingerprint — the binary twin of
+    ``ops.dedup.exact_dedup_groups``: md5-over-hex groupBy (map-side
+    combinable), (fingerprint, n_dups, keeper_ref). The first stage of any
+    image/audio dedup pipeline; near-duplicate follows on the decoded
+    feature vector via ``ops.similarity``. The hex detour makes the
+    fingerprint reproducible in engines whose md5 is string-only."""
+    from pyspark.sql import functions as F
+
+    return (
+        media.select(
+            F.md5(F.hex("payload")).alias("fingerprint"), F.col("media_ref")
+        )
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_dups"), F.min("media_ref").alias("keeper_ref"))
+    )

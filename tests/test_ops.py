@@ -181,6 +181,21 @@ class TestTextAnalysis:
 
 
 class TestMultimodal:
+    def test_media_exact_dedup_planted_duplicates(self, spark):
+        from ocr_search_spark.ops.multimodal import media_exact_dedup
+
+        # groups=8 with reps cycling mod 5 → payloads collide mod lcm=40
+        groups = media_exact_dedup(synth_media_df(spark, n=64, groups=8)).collect()
+        assert len(groups) == 40
+        dups = [g for g in groups if g.n_dups > 1]
+        assert len(dups) == 24 and all(g.n_dups == 2 for g in dups)
+        # keeper is the lexicographic min ref of the colliding pair (i, i+40)
+        keepers = {g.keeper_ref for g in dups}
+        expected = {
+            min(f"media://synth/{i}", f"media://synth/{i + 40}") for i in range(24)
+        }
+        assert keepers == expected
+
     def test_feature_extraction_plumbing(self, spark):
         media = synth_media_df(spark, n=32)
         feats = extract_media_features(media).collect()
