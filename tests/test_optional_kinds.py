@@ -120,6 +120,14 @@ class TestMsg:
         out = msg_to_text(_msg_fixture(body))
         assert "Тело письма:\n" + body in out
 
+    def test_mini_cutoff_boundary_bodies(self):
+        """Bodies straddling the 4096-byte mini-stream cutoff must round-trip
+        through both storage paths (UTF-16LE: 2048 chars = exactly 4096 B)."""
+        for n_chars in (2047, 2048, 2049):
+            body = "b" * n_chars
+            out = msg_to_text(_msg_fixture(body))
+            assert "Тело письма:\n" + body in out, f"lost body at {n_chars} chars"
+
     def test_ansi_string_property_fallback(self):
         raw = build_cfb({"__substg1.0_0037001E": "ansi subject".encode()})
         assert msg_to_text(raw).startswith("Тема: ansi subject")
