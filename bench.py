@@ -44,16 +44,17 @@ def sf_of(sf_dir: str) -> float:
 def corpus_cache_path(sf_dir: str) -> str:
     # key the cache on the corpus recipe source (plus the kernels it pulls
     # in, e.g. cfb_build for msg spans) so a recipe change regenerates
-    # instead of silently benchmarking a stale corpus
+    # instead of silently benchmarking a stale corpus. inspect.getsource,
+    # not open(__file__): the package may be imported from a --py-files zip
     import hashlib
+    import inspect
 
     import ocr_search_spark.corpus as _corpus
     import ocr_search_spark.kernels.cfb_build as _cfb
 
     h = hashlib.md5()
     for mod in (_corpus, _cfb):
-        with open(mod.__file__, "rb") as fh:
-            h.update(fh.read())
+        h.update(inspect.getsource(mod).encode())
     sf = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     return os.path.join(CACHE_ROOT, f"corpus_{sf}_{h.hexdigest()[:10]}.parquet")
 

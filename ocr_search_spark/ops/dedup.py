@@ -190,12 +190,15 @@ def verified_near_dup_pairs(
     n_hashes: int = 8,
     band_size: int = 2,
     shingle_k: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Verified near-duplicate pairs (a_id, b_id), a_id < b_id: MinHash
     signatures → LSH band candidates → exact Jaccard ≥ threshold on the
-    candidates only. The shared front half of both keeper policies."""
+    candidates only. The shared front half of both keeper policies.
+    ``max_bucket_size`` is the LSH mega-bucket skew guard (see
+    :func:`lsh_candidate_pairs`) — set it at production scale."""
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
-    cand = lsh_candidate_pairs(sig, n_hashes, band_size)
+    cand = lsh_candidate_pairs(sig, n_hashes, band_size, max_bucket_size)
 
     sh = _with_shingles(df, id_col, text_col, shingle_k)
     pairs = cand.join(
@@ -216,6 +219,7 @@ def near_dedup(
     n_hashes: int = 8,
     band_size: int = 2,
     shingle_k: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end near-duplicate removal — the composition a pipeline user
     actually calls: MinHash signatures → LSH band candidates → exact Jaccard
@@ -237,7 +241,8 @@ def near_dedup(
     (asserted in tests/test_plans.py).
     """
     verified = verified_near_dup_pairs(
-        df, id_col, text_col, threshold, n_hashes, band_size, shingle_k
+        df, id_col, text_col, threshold, n_hashes, band_size, shingle_k,
+        max_bucket_size,
     )
     # a_id < b_id by construction: the b side always loses to a smaller id
     losers = verified.select(F.col("b_id").alias("__loser")).distinct()
@@ -335,6 +340,7 @@ def near_dedup_cc(
     band_size: int = 2,
     shingle_k: int = 3,
     max_iters: int = 20,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate removal with a CONNECTED-COMPONENTS keeper: the same
     LSH + exact-Jaccard verification as :func:`near_dedup`, then min-label
@@ -350,7 +356,8 @@ def near_dedup_cc(
     passes over the verified-pair set, which is tiny relative to the corpus.
     """
     verified = verified_near_dup_pairs(
-        df, id_col, text_col, threshold, n_hashes, band_size, shingle_k
+        df, id_col, text_col, threshold, n_hashes, band_size, shingle_k,
+        max_bucket_size,
     ).persist()
     # labels come back localCheckpoint-ed (materialized, lineage-free), so
     # the verified-pair cache can be dropped here — the final anti-join

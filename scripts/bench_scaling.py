@@ -144,18 +144,18 @@ def run_level(cores: int, corpus: str, partitions: int) -> dict:
 def ensure_scaling_corpus() -> str:
     sys.path.insert(0, REPO)
     import hashlib
+    import inspect
 
     import ocr_search_spark.corpus as _corpus
     import ocr_search_spark.kernels.cfb_build as _cfb
     from ocr_search_spark.corpus import corpus_df
     from ocr_search_spark.session import get_spark
 
-    # recipe-hash-keyed like bench.py: a corpus change regenerates rather
-    # than silently measuring a stale corpus
+    # recipe-hash-keyed like bench.py (inspect.getsource: zip-import-safe):
+    # a corpus change regenerates rather than silently measuring stale data
     h = hashlib.md5()
     for mod in (_corpus, _cfb):
-        with open(mod.__file__, "rb") as fh:
-            h.update(fh.read())
+        h.update(inspect.getsource(mod).encode())
     path = os.path.join(
         REPO, ".data",
         f"corpus_scaling_{SCALING_DOCS}_{h.hexdigest()[:10]}.parquet",
