@@ -344,7 +344,10 @@ GOPHER_REPETITION_CAPS = {
 
 
 def repetition_filter(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    signals: DataFrame | None = None,
 ) -> DataFrame:
     """The composed Gopher repetition GATE: documents surviving every
     repetition cap (:data:`GOPHER_REPETITION_CAPS`) over the
@@ -355,11 +358,13 @@ def repetition_filter(
     Cost note: Catalyst substitutes the cap predicates into a scan-level
     filter, so each referenced signal's producer chain re-evaluates inside
     the predicate (bounded and linear — the sorted-run aggregates are
-    pushdown-safe by construction). In a production pipeline, materialize
-    :func:`repetition_signals` as a table compute-once-on-write (like the
-    postings table) and gate on the stored columns instead."""
+    pushdown-safe by construction; measured 217 s for 100k long docs at
+    local[32]). At production scale pass ``signals=`` a MATERIALIZED
+    :func:`repetition_signals` table (compute-once-on-write, like the
+    postings table): the gate is then a plain column filter over stored
+    integers — no text is touched."""
     c = GOPHER_REPETITION_CAPS
-    sig = repetition_signals(df, id_col, text_col)
+    sig = signals if signals is not None else repetition_signals(df, id_col, text_col)
     # The gate predicates get substituted down through the signals
     # projections by PushDownPredicate (conjunct-split, so projection
     # barriers don't help) — safe ONLY because every repetition aggregate is

@@ -540,6 +540,30 @@ class TestRepetitionSignals:
         assert r.para_chars == sum(len(p) for p in paras)
         assert r.dup_para_chars == 2 * len("para one body")
 
+    def test_gate_over_materialized_signals_matches_inline(self, spark, tmp_path):
+        """The production path (gate over a stored signals table) must
+        select exactly the docs the inline composition selects."""
+        from ocr_search_spark.ops.text_analysis import (
+            repetition_filter,
+            repetition_signals,
+        )
+
+        # the clean doc must be long enough that a single n-gram occurrence
+        # stays under the char-fraction caps (Gopher gates long documents)
+        rows = [
+            ("ok", " ".join(f"word{i}" for i in range(80))),
+            ("spam", "buy now " * 30),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        p = str(tmp_path / "signals.parquet")
+        repetition_signals(df).write.parquet(p)
+        stored = spark.read.parquet(p)
+        inline = {r.id for r in repetition_filter(df).collect()}
+        materialized = {
+            r.id for r in repetition_filter(df, signals=stored).collect()
+        }
+        assert inline == materialized == {"ok"}
+
     def test_no_dups_zero(self, spark):
         from ocr_search_spark.ops.text_analysis import repetition_signals
 
