@@ -816,6 +816,15 @@ def q_media_dedup(spark, sf_dir):
     return media_exact_dedup(synth_media_df(spark, n=64, groups=8))
 
 
+def q_media_near_dedup(spark, sf_dir):
+    """Multimodal near-dedup composition: payloads → stub feature vectors →
+    banded-LSH cosine dedup (min-ref keeper) over the planted-dup synth
+    table (ops/multimodal.py media_near_dedup)."""
+    from ocr_search_spark.ops.multimodal import media_near_dedup, synth_media_df
+
+    return media_near_dedup(synth_media_df(spark, n=64, groups=8)).select("media_ref")
+
+
 def q_media_resize(spark, sf_dir):
     """Multimodal resize plumbing: batch kernel → fixed-dim thumbnails
     (pixel resample stubbed deterministically — ops/multimodal.py)."""
@@ -890,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
         "media_dedup": q_media_dedup,
+        "media_near_dedup": q_media_near_dedup,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
     }
@@ -1450,6 +1460,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_near_dedup": _cosine_near_dedup_oracle_sql(),
         "cosine_near_dedup_cc": _cosine_near_dedup_cc_oracle_sql(),
         "media_features": _media_features_oracle_sql(),
+        "media_near_dedup": _media_near_dedup_oracle_sql(),
         "media_dedup": """
             WITH m AS (
               SELECT 'media://synth/' || i AS media_ref,
@@ -1998,6 +2009,55 @@ def _cosine_near_dedup_cc_oracle_sql(
         )
         SELECT vec_id FROM embeddings
         WHERE vec_id NOT IN (SELECT id FROM lbl WHERE label < id)
+    """
+
+
+def _media_near_dedup_oracle_sql(
+    threshold: float = 0.999, n_bands: int = 16, band_size: int = 8
+) -> str:
+    """Twin of ops.multimodal.media_near_dedup over the planted-dup synth
+    table: features from hex pairs of the payload fingerprint, then the
+    same banded hyperplane LSH + exact-cosine verify as the embedding
+    oracle, at dim 8."""
+    from ocr_search_spark.ops.similarity import _planes
+
+    planes = _planes(8, n_bands * band_size)
+    bit_exprs = []
+    for plane in planes:
+        dot = " + ".join(
+            f"feature[{i + 1}]::DOUBLE * ({v!r})" for i, v in enumerate(plane)
+        )
+        bit_exprs.append(f"(CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END)")
+    band_keys = ", ".join(
+        f"'{b}:' || " + " || ".join(bit_exprs[b * band_size : (b + 1) * band_size])
+        for b in range(n_bands)
+    )
+    cos = _dd_cos("va.e", "vb.e", 8)
+    return f"""
+        WITH m AS (
+          SELECT 'media://synth/' || i AS id,
+                 md5(upper(repeat(md5('media://synth/' || (i % 8)),
+                                  CAST(1 + i % 5 AS INTEGER)))) AS fp
+          FROM range(64) t(i)
+        ), f AS (
+          SELECT id,
+                 list_transform(range(0, 8),
+                   k -> round((('0x' || substring(fp, 2 * k + 5, 2))::INT)::DOUBLE / 255, 6)
+                 ) AS feature
+          FROM m
+        ), banded AS (
+          SELECT id, unnest([{band_keys}]) AS band_key FROM f
+        ), cand AS (
+          SELECT DISTINCT a.id AS a_id, b.id AS b_id
+          FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.id < b.id
+        ), v AS (SELECT id, feature AS e FROM f
+        ), pairs AS (
+          SELECT c.a_id, c.b_id
+          FROM cand c JOIN v va ON va.id = c.a_id JOIN v vb ON vb.id = c.b_id
+          WHERE round({cos}, 6) >= {threshold}
+        )
+        SELECT id AS media_ref FROM f
+        WHERE id NOT IN (SELECT b_id FROM pairs)
     """
 
 

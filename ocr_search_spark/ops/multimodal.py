@@ -187,6 +187,38 @@ def synth_media_df(spark, n: int = 64, groups: int | None = None) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def media_near_dedup(
+    media: DataFrame,
+    threshold: float = 0.999,
+    n_bands: int = 16,
+    band_size: int = 8,
+) -> DataFrame:
+    """Feature-space media near-dedup — the full multimodal composition:
+    binary payloads → decoded feature vectors → banded-LSH cosine near-dup
+    (min-ref keeper) → surviving feature rows.
+
+    With the deterministic stub decoder, features are hash-derived, so only
+    byte-identical payloads reach cos ≈ 1 and the outcome equals exact
+    dedup — the value is the WIRING: when ``decode_real`` lands,
+    perceptually similar media cluster through the identical plan (lower
+    the threshold to taste). Scale shape is inherited from
+    ``ops.similarity.cosine_near_dedup``: exploded-band shuffle, keyed
+    joins, broadcastable loser anti-join — no all-pairs product.
+    """
+    from .similarity import cosine_near_dedup
+
+    feats = extract_media_features(media)
+    return cosine_near_dedup(
+        feats,
+        dim=8,
+        threshold=threshold,
+        n_bands=n_bands,
+        band_size=band_size,
+        id_col="media_ref",
+        vec_col="feature",
+    )
+
+
 def media_exact_dedup(media: DataFrame) -> DataFrame:
     """Exact media dedup by content fingerprint — the binary twin of
     ``ops.dedup.exact_dedup_groups``: md5-over-hex groupBy (map-side

@@ -196,6 +196,23 @@ class TestMultimodal:
         }
         assert keepers == expected
 
+    def test_media_near_dedup_composition_drops_payload_dups(self, spark):
+        """payloads → stub features → banded-LSH cosine keeper: with
+        hash-derived features only byte-identical payloads cluster, so the
+        survivor set equals exact dedup's keepers — the composition is the
+        contract, the threshold the knob once real codecs land."""
+        from ocr_search_spark.ops.multimodal import (
+            media_exact_dedup,
+            media_near_dedup,
+        )
+
+        media = synth_media_df(spark, n=64, groups=8)
+        near = {r.media_ref for r in media_near_dedup(media).collect()}
+        exact = {
+            g.keeper_ref for g in media_exact_dedup(media).collect()
+        }
+        assert near == exact and len(near) == 40
+
     def test_feature_extraction_plumbing(self, spark):
         media = synth_media_df(spark, n=32)
         feats = extract_media_features(media).collect()

@@ -137,6 +137,25 @@ class TestMsg:
         assert msg_to_text(b"not a compound file at all") == ""
         assert msg_to_text(_msg_fixture()[:700]) == ""
 
+    def test_fuzzed_containers_never_raise(self):
+        """P5 contract for a binary parser: random bytes, truncations, and
+        bit-flipped valid containers return '' or a best-effort string —
+        never an exception."""
+        import random
+
+        rng = random.Random(20260816)
+        base = _msg_fixture()
+        for _ in range(40):
+            raw = bytes(rng.getrandbits(8) for _ in range(rng.randint(0, 1200)))
+            assert isinstance(msg_to_text(raw), str)
+        for _ in range(40):
+            mutated = bytearray(base)
+            for _ in range(rng.randint(1, 8)):
+                mutated[rng.randrange(len(mutated))] ^= 1 << rng.randrange(8)
+            assert isinstance(msg_to_text(bytes(mutated)), str)
+        for cut in (0, 1, 511, 512, 513, len(base) // 2, len(base) - 1):
+            assert isinstance(msg_to_text(base[:cut]), str)
+
     def test_latin1_str_roundtrip(self):
         # the span text column carries binary kinds latin-1-mapped
         raw = _msg_fixture().decode("latin-1")
