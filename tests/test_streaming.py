@@ -58,6 +58,39 @@ class TestStreamExtract:
 
 
 class TestWindowedCounts:
+    def test_stream_quality_gate_equals_batch(self, spark, tmp_path):
+        """Stateless training-data gates drop straight into foreachBatch —
+        one code path for batch and streaming filtering (the composition a
+        continuously-ingesting training pipeline runs)."""
+        from ocr_search_spark.ops.text_analysis import repetition_filter
+
+        rows = [
+            ("clean1", " ".join(f"w{i}" for i in range(60))),
+            ("spam", "buy now " * 40),
+            ("clean2", " ".join(f"v{i}" for i in range(70))),
+        ]
+        src = str(tmp_path / "gate_in")
+        out = str(tmp_path / "gate_out")
+        ckpt = str(tmp_path / "gate_ckpt")
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        df.coalesce(1).write.parquet(src)
+
+        stream = spark.readStream.schema("doc_id string, text string").parquet(src)
+
+        def gate_batch(batch_df, batch_id):
+            repetition_filter(batch_df).write.mode("append").parquet(out)
+
+        q = (
+            stream.writeStream.foreachBatch(gate_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = {r.id for r in spark.read.parquet(out).collect()}
+        batch = {r.id for r in repetition_filter(df).collect()}
+        assert streamed == batch == {"clean1", "clean2"}
+
     def test_watermarked_window_agg(self, spark, tmp_path):
         rows = [
             ("2024-01-01 10:05:00", "click"),
