@@ -118,6 +118,18 @@ def build_cfb(top_streams: dict[str, bytes],
         + large_raw
     )
 
+    # Capacity guards: the writer assumes a single FAT sector (≤128 sector
+    # entries ≈ 64 KB file), a single miniFAT sector (≤128 mini-sector
+    # entries ≈ 8 KB of small-stream data) and one DIFAT header slot. An
+    # oversized fixture must fail loudly here — exceeding either silently
+    # shifts every subsequent sector and emits a corrupt container.
+    if len(fat) > _SS // 4:
+        raise ValueError(f"fixture too large: {len(fat)} FAT entries > {_SS // 4}")
+    if len(minifat) > _SS // 4:
+        raise ValueError(
+            f"fixture too large: {len(minifat)} miniFAT entries > {_SS // 4}"
+        )
+
     fat_raw = b"".join(struct.pack("<I", v) for v in fat).ljust(_SS, b"\xff")
     header = bytearray(512)
     header[:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"

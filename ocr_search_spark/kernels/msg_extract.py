@@ -41,7 +41,7 @@ _MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
 #: 1601-01-01 epoch of FILETIME (100 ns ticks)
 _FILETIME_EPOCH = datetime(1601, 1, 1, tzinfo=timezone.utc)
 
-#: sane upper bound on chain walks — a cycle in a corrupt FAT must not hang
+#: absolute backstop on chain walks (real bound is per-file: see read_chain)
 _MAX_SECTORS = 1 << 20
 
 
@@ -113,18 +113,30 @@ class _Cfb:
         return self.data[off : off + self.ssz]
 
     def read_chain(self, start: int, size: int | None = None) -> bytes:
+        # Hop bound = sectors that physically fit in the file (+2 slack), so a
+        # crafted FAT cycle over valid sectors can accumulate at most one file
+        # length of data, never sector_size * 1M (executor-OOM class on the
+        # never-throw extraction path). Also stop as soon as the declared
+        # stream size is satisfied — a cycle past that point is unreachable.
         out, sect, hops = bytearray(), start, 0
-        while sect not in (ENDOFCHAIN, FREESECT) and hops < _MAX_SECTORS:
+        max_hops = min(len(self.data) // self.ssz + 2, _MAX_SECTORS)
+        while sect not in (ENDOFCHAIN, FREESECT) and hops < max_hops:
             out.extend(self._sector(sect))
+            if size is not None and len(out) >= size:
+                break
             sect = self.fat[sect] if sect < len(self.fat) else ENDOFCHAIN
             hops += 1
         return bytes(out[:size]) if size is not None else bytes(out)
 
     def _read_mini_chain(self, start: int, size: int) -> bytes:
+        # Same cycle guard: a mini chain cannot be longer than the miniFAT.
         out, sect, hops = bytearray(), start, 0
-        while sect not in (ENDOFCHAIN, FREESECT) and hops < _MAX_SECTORS:
+        max_hops = min(len(self.minifat) + 2, _MAX_SECTORS)
+        while sect not in (ENDOFCHAIN, FREESECT) and hops < max_hops:
             off = sect * self.mssz
             out.extend(self._mini_data[off : off + self.mssz])
+            if len(out) >= size:
+                break
             sect = self.minifat[sect] if sect < len(self.minifat) else ENDOFCHAIN
             hops += 1
         return bytes(out[:size])

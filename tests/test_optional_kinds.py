@@ -156,6 +156,45 @@ class TestMsg:
         for cut in (0, 1, 511, 512, 513, len(base) // 2, len(base) - 1):
             assert isinstance(msg_to_text(base[:cut]), str)
 
+    def test_fat_cycle_reads_are_file_bounded(self):
+        """A crafted FAT cycle over valid in-file sectors must accumulate at
+        most ~one file length, not _MAX_SECTORS × sector_size (executor-OOM
+        class on the never-throw extraction path)."""
+        from ocr_search_spark.kernels.msg_extract import _Cfb
+
+        base = _msg_fixture(" ".join(f"w{i}" for i in range(1500)))
+        cfb = _Cfb(base)
+        cfb.fat = tuple(1 for _ in cfb.fat)  # every sector chains to sector 1
+        assert len(cfb.read_chain(1)) <= len(base) + 2 * cfb.ssz
+        assert len(cfb.read_chain(1, size=100)) == 100  # early stop at size
+
+        cfb2 = _Cfb(base)
+        if cfb2.minifat:
+            cfb2.minifat = tuple(0 for _ in cfb2.minifat)
+            out = cfb2._read_mini_chain(0, 1 << 40)
+            assert len(out) <= (len(cfb2.minifat) + 2) * cfb2.mssz
+
+        # end-to-end: rewrite the on-disk FAT sector into a cycle; kernel
+        # must still return a str without ballooning
+        import struct as _s
+
+        mutated = bytearray(base)
+        for off in range(512 + 4, 1024, 4):  # keep entry 0 (FATSECT)
+            _s.pack_into("<I", mutated, off, 1)
+        assert isinstance(msg_to_text(bytes(mutated)), str)
+
+    def test_build_cfb_capacity_guards(self):
+        """Oversized fixtures must fail loudly, not emit a silently corrupt
+        container (single-FAT/single-miniFAT writer limits)."""
+        import pytest
+
+        # 20 KB of mini-stream data → 320 miniFAT entries > 128 capacity
+        with pytest.raises(ValueError, match="miniFAT"):
+            build_cfb({f"s{i:03d}": b"x" * 1000 for i in range(20)})
+        # one 100 KB large stream → ~200 FAT entries > 128 capacity
+        with pytest.raises(ValueError, match="FAT"):
+            build_cfb({"big": b"y" * 100_000})
+
     def test_latin1_str_roundtrip(self):
         # the span text column carries binary kinds latin-1-mapped
         raw = _msg_fixture().decode("latin-1")
