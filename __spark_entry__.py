@@ -730,9 +730,14 @@ def q_extract_kind_stats(spark, sf_dir):
 
 
 def q_html_main_content(spark, sf_dir):
-    """Link-density main-content variant over the corpus html spans."""
+    """Link-density main-content variant over the corpus html spans.
+
+    Runs the fast-scanner kernel (html_fast.html_main_text_fast); the
+    DuckDB oracle reads a golden parquet generated by the independent
+    parser-based implementation (html_extract.html_main_text), mirroring
+    the extract_spans golden design."""
     from ocr_search_spark.corpus import corpus_df
-    from ocr_search_spark.kernels.html_extract import html_main_text
+    from ocr_search_spark.kernels.html_fast import html_main_text_fast
     import pandas as pd
 
     docs = corpus_df(spark, sf_dir, n_docs=500)
@@ -747,7 +752,10 @@ def q_html_main_content(spark, sf_dir):
         for pdf in it:
             if len(pdf):
                 yield pd.DataFrame(
-                    {"doc_id": pdf["doc_id"], "main_text": pdf["html"].map(html_main_text)}
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "main_text": pdf["html"].map(html_main_text_fast),
+                    }
                 )
 
     return flat.mapInPandas(kern, "doc_id string, main_text string")
@@ -1513,6 +1521,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, kind, text, media_ref, "order"
             FROM read_parquet('{_golden_spans_parquet()}')
         """,
+        "html_main_content": f"""
+            SELECT doc_id, main_text
+            FROM read_parquet('{_golden_main_content_parquet()}')
+        """,
         "extract_kind_stats": f"""
             SELECT kind, count(*) AS n_spans,
                    CAST(sum(length(text)) AS BIGINT) AS total_chars
@@ -1888,6 +1900,53 @@ def _golden_spans_parquet(sf_dir: str = "/root/testdata/sf0.01") -> str:
             "text": pa.array(texts, pa.string()),
             "media_ref": pa.array(refs, pa.string()),
             "order": pa.array(orders, pa.int32()),
+        }
+    )
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    tmp = out + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, out)
+    return out
+
+
+def _golden_main_content_parquet(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Golden (doc_id, main_text) table for q_html_main_content, built by
+    the parser-based html_extract.html_main_text — an independent code path
+    from the fast-scanner kernel the Spark query runs. Same cache-key scheme
+    as _golden_spans_parquet (hash of corpus + kernel sources)."""
+    import glob
+    import hashlib
+    import os
+
+    import ocr_search_spark.corpus as _corpus
+    import ocr_search_spark.kernels as _kernels
+
+    h = hashlib.md5()
+    kdir = os.path.dirname(_kernels.__file__)
+    for path in sorted([_corpus.__file__, *glob.glob(os.path.join(kdir, "*.py"))]):
+        with open(path, "rb") as fh:
+            h.update(fh.read())
+    out = f"/root/repo/.data/golden_main_sf0.01_{h.hexdigest()[:10]}.parquet"
+    if os.path.exists(out):
+        return out
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_search_spark.corpus import build_document, load_base_texts
+    from ocr_search_spark.kernels.html_extract import html_main_text
+
+    base = load_base_texts(sf_dir)
+    doc_ids, mains = [], []
+    for i in range(500):  # must match q_html_main_content's n_docs
+        doc = build_document(i, base)
+        for s in doc["spans"]:
+            if s["kind"] == "html":
+                doc_ids.append(doc["doc_id"])
+                mains.append(html_main_text(s["text"]))
+    table = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "main_text": pa.array(mains, pa.string()),
         }
     )
     os.makedirs(os.path.dirname(out), exist_ok=True)

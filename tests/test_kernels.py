@@ -227,3 +227,44 @@ class TestHtmlFastParity:
                     assert html_to_text_fast(s["text"]) == html_to_text(s["text"])
                     n += 1
         assert n > 100
+
+    MAIN_CASES = [
+        # link-density boilerplate dropped, mixed block
+        "<body><div><a href='1'>l1</a> <a href='2'>l2</a></div>"
+        "<p>real content with <a href='4'>one link</a> in a long sentence</p></body>",
+        # block segmentation tags
+        "<h1>t</h1><ul><li><a>x</a></li><li>keep this item text</li></ul>",
+        "<table><tr><td>c1</td><td><a>only link</a></td></tr></table>",
+        "a<br><a href='x'>linkonly</a><br>b",
+        # anchors straddling block boundaries (unbalanced nesting)
+        "<a href='x'>before<p>after</a>plain</p>tail",
+        "<div>text <a>anchor <div>nested block inside anchor</div> more</a></div>",
+        # drop containers with anchors inside
+        "<nav><a>n1</a><a>n2</a></nav><p>body text here</p>",
+        "<p>x</p><aside><a>a</a>side</aside><p>y</p>",
+        # entities, selfclosed, unclosed
+        "<p>&amp; &nbsp;</p><p><a>&lt;3</a></p>",
+        "<a/>selfclosed anchor<p>para</p>",
+        "<div><p>unclosed <a>link",
+        "",
+        "plain no tags",
+    ]
+
+    def test_main_text_fast_parity_hand_cases(self):
+        from ocr_search_spark.kernels.html_fast import html_main_text_fast
+
+        for case in self.CASES + self.MAIN_CASES:
+            assert html_main_text_fast(case) == html_main_text(case), case
+
+    def test_main_text_fast_parity_corpus(self):
+        from ocr_search_spark.corpus import build_local, load_base_texts
+        from ocr_search_spark.kernels.html_fast import html_main_text_fast
+
+        base = load_base_texts("/root/testdata/sf0.001")
+        n = 0
+        for d in build_local(base, 300):
+            for s in d["spans"]:
+                if s["kind"] == "html":
+                    assert html_main_text_fast(s["text"]) == html_main_text(s["text"])
+                    n += 1
+        assert n > 100
