@@ -80,19 +80,92 @@ def _nearest_cell(vec_col: str, centroids: list[tuple[int, list[float]]]):
     return F.array_max(F.array(*cells))
 
 
+#: above this cell count the literal-expression assignment switches to the
+#: broadcast-join path: a k-wide literal projection is O(k·dim) PLAN SIZE
+#: (analysis cost per query compilation), fine at coarse k≈16–64 but the
+#: wrong shape at production cell counts (e.g. 65k cells for a 10^12-vector
+#: IVF), where centroids must be data, not expression trees.
+_LITERAL_CELL_LIMIT = 64
+
+
+def centroids_to_df(spark, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """Driver-side centroid list as a (cid, cvec) DataFrame for the
+    broadcast-join assignment path."""
+    return spark.createDataFrame(
+        [(int(cid), [float(v) for v in vec]) for cid, vec in centroids],
+        "cid int, cvec array<double>",
+    )
+
+
+def _ivf_assign_join(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Broadcast-join nearest-centroid assignment (scale path).
+
+    Corpus ⋈ broadcast(centroids) → per-pair cosine → lexicographic
+    ``max(struct(cos, cid))`` per vector. The struct-max tie-break (best
+    cos, then largest cid) is identical to the literal path's
+    ``array_max(array(struct(cos, cid)))``, and the cosine fold order is
+    the same ``_dot``/``_norm`` left fold, so the two paths are
+    bit-identical. Map-side partial aggregation collapses the k candidate
+    rows per vector before the shuffle, so the exchange carries one row
+    per vector regardless of k.
+    """
+    cent = centroids_to_df(df.sparkSession, centroids)
+    pairs = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
+    ).crossJoin(F.broadcast(cent))
+    cos = _dot(F.col("__v"), F.col("cvec")) / (
+        _norm(F.col("__v")) * _norm(F.col("cvec"))
+    )
+    aggs = [F.max("c").alias("b")]
+    if keep_vec:
+        aggs.append(F.any_value("__v").alias("v"))  # constant within the group
+    best = (
+        pairs.select(
+            "id",
+            F.struct(cos.alias("cos"), F.col("cid").alias("cid")).alias("c"),
+            "__v",
+        )
+        .groupBy("id")
+        .agg(*aggs)
+    )
+    out = best.select(
+        "id",
+        F.col("b.cid").alias("centroid_id"),
+        F.round(F.col("b.cos"), 6).alias("cos"),
+        *(["v"] if keep_vec else []),
+    )
+    return out
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest centroid.
 
-    ``centroids`` is a small driver-side list (broadcast as literals);
-    returns (id, centroid_id, cos). One corpus scan, no shuffle beyond the
-    final projection — the inverted-file layout is then a
-    ``partitionBy(centroid_id)`` write.
+    Returns (id, centroid_id, cos). Two bit-identical physical strategies:
+
+    * ``literal`` — centroids broadcast as literal expression trees; one
+      corpus scan, zero shuffle. Best for coarse k (≤ _LITERAL_CELL_LIMIT).
+    * ``join`` — centroids as a broadcast DataFrame, struct-max argmax via
+      partial aggregation; plan size independent of k. The production
+      shape for large cell counts.
+
+    ``auto`` picks by cell count.
     """
+    if method == "auto":
+        method = "literal" if len(centroids) <= _LITERAL_CELL_LIMIT else "join"
+    if method == "join":
+        return _ivf_assign_join(df, centroids, id_col, vec_col)
     best = _nearest_cell(vec_col, centroids)
     return df.select(
         F.col(id_col).alias("id"),
@@ -107,6 +180,7 @@ def ivf_refine(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> list[tuple[int, list[float]]]:
     """Deterministic Lloyd refinement of the IVF coarse centroids.
 
@@ -121,12 +195,19 @@ def ivf_refine(
     """
     if not centroids:
         raise ValueError("need at least one centroid")
+    if method == "auto":
+        method = "literal" if len(centroids) <= _LITERAL_CELL_LIMIT else "join"
     dim = len(centroids[0][1])
     for _ in range(iters):
-        assigned = df.select(
-            _nearest_cell(vec_col, centroids)["cid"].alias("cid"),
-            F.col(vec_col).alias("v"),
-        )
+        if method == "join":
+            assigned = _ivf_assign_join(
+                df, centroids, id_col, vec_col, keep_vec=True
+            ).select(F.col("centroid_id").alias("cid"), "v")
+        else:
+            assigned = df.select(
+                _nearest_cell(vec_col, centroids)["cid"].alias("cid"),
+                F.col(vec_col).alias("v"),
+            )
         aggs = [F.avg(F.element_at("v", i + 1)).alias(f"c{i}") for i in range(dim)]
         rows = assigned.groupBy("cid").agg(*aggs).collect()
         new = dict(centroids)
@@ -157,6 +238,30 @@ def ivf_centroids_from_sample(
     return [(i, list(map(float, r.v))) for i, r in enumerate(rows)]
 
 
+def _ivf_probes_join(
+    q: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int,
+) -> DataFrame:
+    """Per-query probe cells via broadcast join + window rank — plan size
+    independent of the cell count (twin of the literal probe expression;
+    same (ccos desc, cid desc) tie-break as reverse(array_sort(structs)))."""
+    cent = centroids_to_df(q.sparkSession, centroids)
+    ccos = _dot(F.col("qvec"), F.col("cvec")) / (
+        _norm(F.col("qvec")) * _norm(F.col("cvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("cid").desc()
+    )
+    return (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "qvec", F.col("cid").alias("cid"), ccos.alias("ccos"))
+        .withColumn("__pr", F.row_number().over(w))
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", "qvec", F.col("cid").alias("centroid_id"))
+    )
+
+
 def ivf_search(
     corpus: DataFrame,
     queries: DataFrame,
@@ -165,36 +270,47 @@ def ivf_search(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
     """IVF probe search: queries visit only their ``n_probe`` nearest cells.
 
     Corpus side: one assignment pass (in production, a materialized
     partitioned table — the scan then prunes to probed cells). Query side:
     per-query probe list, joined on cell id, exact cosine re-rank, top-k.
+    ``method`` threads through to :func:`ivf_assign` and the probe-list
+    strategy (``literal`` expression trees vs ``join`` on a broadcast
+    centroid DataFrame — bit-identical results; join is the large-k shape).
     """
+    if method == "auto":
+        method = "literal" if len(centroids) <= _LITERAL_CELL_LIMIT else "join"
     assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     ).join(
-        ivf_assign(corpus, centroids, id_col, vec_col).withColumnRenamed(
-            "id", "neighbor_id"
-        ).select("neighbor_id", "centroid_id"),
+        ivf_assign(corpus, centroids, id_col, vec_col, method=method)
+        .withColumnRenamed("id", "neighbor_id")
+        .select("neighbor_id", "centroid_id"),
         "neighbor_id",
     )
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    probe_rows = []
-    for cid, vec in centroids:
-        lit = F.array(*[F.lit(float(v)) for v in vec])
-        cos = _dot(F.col("qvec"), lit) / (_norm(F.col("qvec")) * _norm(lit))
-        # ccos first: default struct ordering sorts by it
-        probe_rows.append(F.struct(cos.alias("ccos"), F.lit(cid).alias("centroid_id")))
-    probes = q.select(
-        "query_id",
-        "qvec",
-        F.explode(
-            F.slice(F.reverse(F.array_sort(F.array(*probe_rows))), 1, n_probe)
-        ).alias("p"),
-    ).select("query_id", "qvec", F.col("p.centroid_id").alias("centroid_id"))
+    if method == "join":
+        probes = _ivf_probes_join(q, centroids, n_probe)
+    else:
+        probe_rows = []
+        for cid, vec in centroids:
+            lit = F.array(*[F.lit(float(v)) for v in vec])
+            cos = _dot(F.col("qvec"), lit) / (_norm(F.col("qvec")) * _norm(lit))
+            # ccos first: default struct ordering sorts by it
+            probe_rows.append(
+                F.struct(cos.alias("ccos"), F.lit(cid).alias("centroid_id"))
+            )
+        probes = q.select(
+            "query_id",
+            "qvec",
+            F.explode(
+                F.slice(F.reverse(F.array_sort(F.array(*probe_rows))), 1, n_probe)
+            ).alias("p"),
+        ).select("query_id", "qvec", F.col("p.centroid_id").alias("centroid_id"))
 
     cand = assigned.join(F.broadcast(probes), "centroid_id").filter(
         F.col("neighbor_id") != F.col("query_id")

@@ -701,6 +701,61 @@ class TestIvf:
         res2 = ivf_search(emb, q, cents, k=5, n_probe=2).collect()
         assert res2[0].neighbor_id == 7
 
+    def test_join_path_bit_identical_to_literal(self, emb):
+        """The broadcast-join assignment/probe strategy must be
+        bit-identical to the literal-expression strategy (same fold order,
+        same struct-max tie-break) — it's the same operator at a different
+        physical shape, not an approximation."""
+        from ocr_search_spark.ops.similarity import (
+            ivf_assign,
+            ivf_centroids_from_sample,
+            ivf_search,
+        )
+
+        cents = ivf_centroids_from_sample(emb, k=8)
+        lit = sorted(map(tuple, ivf_assign(emb, cents, method="literal").collect()))
+        jn = sorted(map(tuple, ivf_assign(emb, cents, method="join").collect()))
+        assert lit == jn
+
+        q = emb.filter(F.col("vec_id") < 5)
+        s_lit = sorted(
+            map(tuple, ivf_search(emb, q, cents, k=5, n_probe=3, method="literal").collect())
+        )
+        s_jn = sorted(
+            map(tuple, ivf_search(emb, q, cents, k=5, n_probe=3, method="join").collect())
+        )
+        assert s_lit == s_jn
+
+    def test_large_k_uses_broadcast_join_plan(self, emb, spark):
+        """At production cell counts the auto strategy must be the
+        broadcast join (plan size independent of k): BroadcastExchange in
+        the plan, no k-wide literal projection."""
+        from ocr_search_spark.ops.similarity import ivf_assign
+
+        # k=256 synthetic centroids (> _LITERAL_CELL_LIMIT)
+        rng = np.random.RandomState(7)
+        cents = [(i, [float(x) for x in rng.rand(16)]) for i in range(256)]
+        df = ivf_assign(emb, cents)  # auto -> join
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan
+        out = {r.id: r.centroid_id for r in df.collect()}
+        assert len(out) == 60 and set(out.values()) <= set(range(256))
+
+    def test_refine_join_matches_literal(self, emb):
+        from ocr_search_spark.ops.similarity import (
+            ivf_centroids_from_sample,
+            ivf_refine,
+        )
+
+        cents = ivf_centroids_from_sample(emb, k=8)
+        r_lit = ivf_refine(emb, cents, iters=1, method="literal")
+        r_jn = ivf_refine(emb, cents, iters=1, method="join")
+        assert [cid for cid, _ in r_lit] == [cid for cid, _ in r_jn]
+        for (_, a), (_, b) in zip(r_lit, r_jn):
+            # per-dim means: float partial-sum order may differ between the
+            # two shuffle shapes — compare at oracle rounding precision
+            assert all(abs(x - y) < 1e-9 for x, y in zip(a, b))
+
 
 class TestSampling:
     @pytest.fixture(scope="class")
