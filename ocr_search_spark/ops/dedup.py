@@ -261,10 +261,15 @@ def connected_components_labels(
     min-label propagation — no GraphFrames dependency.
 
     Returns (id, label) for every node appearing in ``pairs``; ``label`` is
-    the minimum id in the node's connected component. Each iteration is one
-    join + one partial-aggregated min — a bounded number of linear passes
-    (converges in O(cluster diameter) iterations; near-dup clusters are
-    shallow in practice, and ``max_iters`` caps pathological chains).
+    the minimum id in the node's connected component. Each iteration is a
+    neighbour-offer join + partial-aggregated min, followed by a POINTER-
+    HALVING shortcut (label ← label(label), the pointer-jumping step of
+    star-contraction CC algorithms): labels always point at other node ids,
+    so following one extra hop per round makes label depth shrink
+    geometrically — convergence in O(log diameter) rounds instead of
+    O(diameter), which is what saves deep chain-shaped clusters (a
+    100-node path converges in ~8 rounds, not 99). Near-dup clusters are
+    shallow in practice, and ``max_iters`` caps pathological shapes.
 
     LINEAGE TRUNCATION: every iteration's labels are ``localCheckpoint``-ed.
     Each step references the previous labels plan twice (self ∪ offered),
@@ -301,10 +306,23 @@ def connected_components_labels(
             offered = edges.join(
                 labels.select(F.col("id").alias("src"), "label"), "src"
             ).select(F.col("dst").alias("id"), "label")
-            new_labels = (
+            prop = (
                 labels.unionByName(offered)
                 .groupBy("id")
                 .agg(F.min("label").alias("label"))
+            )
+            # pointer halving: every label is itself a node id present in
+            # prop, so label(label) exists and is ≤ label — follow it. The
+            # inner join is total by construction; the extra hop is one
+            # keyed join per round and buys geometric depth reduction.
+            new_labels = (
+                prop.join(
+                    prop.select(
+                        F.col("id").alias("label"), F.col("label").alias("__l2")
+                    ),
+                    "label",
+                )
+                .select("id", F.col("__l2").alias("label"))
                 .localCheckpoint()
             )
             changed = (

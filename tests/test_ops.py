@@ -99,12 +99,26 @@ class TestConnectedComponents:
 
         from ocr_search_spark.ops.dedup import connected_components_labels
 
-        chain = [(f"c{i}", f"c{i+1}") for i in range(8)]
+        chain = [(f"c{i:03d}", f"c{i+1:03d}") for i in range(99)]
         df = spark.createDataFrame(chain, "a_id string, b_id string")
         with _pytest.raises(RuntimeError, match="did not converge"):
-            connected_components_labels(df, max_iters=3)
+            connected_components_labels(df, max_iters=2)
         labels = {r.id: r.label for r in connected_components_labels(df).collect()}
-        assert set(labels.values()) == {"c0"}  # default budget converges
+        assert set(labels.values()) == {"c000"}  # default budget converges
+
+    def test_deep_chain_converges_in_log_rounds(self, spark):
+        """Pointer halving: a 100-node path (diameter 99) must converge
+        well within O(log d) rounds — 12 iterations, where plain min-label
+        propagation would need 99."""
+        from ocr_search_spark.ops.dedup import connected_components_labels
+
+        chain = [(f"c{i:03d}", f"c{i+1:03d}") for i in range(99)]
+        df = spark.createDataFrame(chain, "a_id string, b_id string")
+        labels = {
+            r.id: r.label
+            for r in connected_components_labels(df, max_iters=12).collect()
+        }
+        assert len(labels) == 100 and set(labels.values()) == {"c000"}
 
     def test_cc_keeper_differs_from_pairwise_on_star(self, spark):
         """a~c and b~c verified, a≁b: the pairwise keeper keeps both a and
