@@ -43,9 +43,7 @@ def stream_extract(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        extract_documents(batch_df, num_partitions).write.mode("append").parquet(
-            output_path
-        )
+        write_batch_idempotent(batch_df, batch_id, output_path, num_partitions)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)
@@ -54,6 +52,28 @@ def stream_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_batch_idempotent(
+    batch_df: DataFrame,
+    batch_id: int,
+    output_path: str,
+    num_partitions: int | None = None,
+) -> None:
+    """Extract one micro-batch and land it under a DETERMINISTIC per-batch
+    directory ``output_path/b=<batch_id>`` with overwrite semantics.
+
+    foreachBatch is at-least-once: a crash between the sink write and the
+    streaming-checkpoint commit replays the same (batch_id, data) on
+    restart. A plain append would duplicate every replayed span; keying the
+    write by batch_id makes the replay overwrite its own previous attempt —
+    the streaming twin of the batch ledger's stage-then-publish idempotence
+    (attempt dirs ``spans/g=<g>/r=<run_id>``, pipeline/checkpoint.py).
+    Readers scan ``output_path`` and see ``b`` as a partition column.
+    """
+    extract_documents(batch_df, num_partitions).write.mode("overwrite").parquet(
+        f"{output_path}/b={int(batch_id)}"
+    )
 
 
 def windowed_event_counts(

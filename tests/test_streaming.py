@@ -56,6 +56,34 @@ class TestStreamExtract:
         }
         assert got == want  # exactly-once across two incremental drains
 
+    def test_batch_replay_never_duplicates(self, spark, docs, tmp_path):
+        """foreachBatch is at-least-once: after a crash between the sink
+        write and the checkpoint commit, the SAME (batch_id, data) is
+        replayed on restart. The idempotent per-batch-id writer must absorb
+        the replay (overwrite, not append) so the output has no duplicate
+        spans — the streaming twin of the ledger's stage-then-publish."""
+        from ocr_search_spark.streaming.stream import write_batch_idempotent
+
+        out = str(tmp_path / "replay_out")
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [d["doc_id"] for d in docs[:50]],
+                "spans": [d["spans"] for d in docs[:50]],
+            }
+        )
+        batch = spark.createDataFrame(pdf, schema=SPANS_IN_SCHEMA)
+
+        write_batch_idempotent(batch, 0, out, num_partitions=4)
+        n_first = spark.read.parquet(out).count()
+        # simulated post-crash replay of the same micro-batch
+        write_batch_idempotent(batch, 0, out, num_partitions=4)
+        assert spark.read.parquet(out).count() == n_first == 50
+        # a genuinely new batch appends under its own key
+        write_batch_idempotent(batch, 1, out, num_partitions=4)
+        assert spark.read.parquet(out).count() == 100
+        ids = [r.doc_id for r in spark.read.parquet(out).filter("b = 0").collect()]
+        assert sorted(ids) == sorted(pdf["doc_id"])
+
 
 class TestWindowedCounts:
     def test_stream_quality_gate_equals_batch(self, spark, tmp_path):
