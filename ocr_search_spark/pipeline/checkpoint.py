@@ -38,7 +38,6 @@ from __future__ import annotations
 import os
 import time
 import uuid
-from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -174,16 +173,30 @@ def committed_spans_latest(spark: SparkSession, out_dir: str) -> DataFrame:
     latest = _latest_publications(spark, out_dir, None)
     if not latest:
         return spark.createDataFrame([], SPANS_OUT_SCHEMA)
-    parts = []
-    for r in latest.values():
+    # ONE scan node regardless of attempt count: read every live attempt
+    # path in a single multi-path parquet read with basePath so the g/r
+    # partition columns surface, then attach the publication key by
+    # broadcast-joining the (num-live-attempts)-sized ledger resolution.
+    # (The round-3 formulation built one DataFrame per attempt and reduced
+    # with unionByName — an O(attempts)-leg plan that is driver-slow to
+    # analyze at the documented production shape of thousands of groups.)
+    paths = [group_attempt_path(out_dir, r.group_id, r.run_id) for r in latest.values()]
+    pub_rows = [
         # fixed-width timestamp + run_id → lexicographic == publication order
-        pub = r.committed_at.strftime("%Y-%m-%d %H:%M:%S.%f") + "|" + r.run_id
-        parts.append(
-            spark.read.schema(SPANS_OUT_SCHEMA)
-            .parquet(group_attempt_path(out_dir, r.group_id, r.run_id))
-            .withColumn("__pub", F.lit(pub))
+        (
+            int(r.group_id),
+            r.run_id,
+            r.committed_at.strftime("%Y-%m-%d %H:%M:%S.%f") + "|" + r.run_id,
         )
-    allp = reduce(lambda a, b: a.unionByName(b), parts)
+        for r in latest.values()
+    ]
+    allp = (
+        spark.read.schema(SPANS_OUT_SCHEMA + ", g int, r string")
+        .option("basePath", output_path(out_dir))
+        .parquet(*paths)
+    )
+    pub = spark.createDataFrame(pub_rows, "g int, r string, __pub string")
+    allp = allp.join(F.broadcast(pub), ["g", "r"]).drop("g", "r")
     payload = [c for c in allp.columns if c not in ("doc_id", "__pub")]
     return (
         allp.groupBy("doc_id")
@@ -207,33 +220,56 @@ def compact_group_outputs(
     extraction: readers never see a half-written rewrite, and a crash
     mid-compaction leaves the previous publication live. (On Iceberg this is
     `rewrite_data_files` — same idea, catalog-native.)"""
-    rows = _ledger_rows(spark, out_dir, run_group)
-    latest: dict[int, object] = {}
-    for r in rows:
-        if r.group_id not in latest:
-            latest[r.group_id] = r
+    latest = {
+        key[1]: r
+        for key, r in _latest_publications(spark, out_dir, run_group).items()
+    }
+    if not latest:
+        return {"run_group": run_group, "groups_compacted": 0, "run_id": None}
     compact_id = f"{run_group}-compact-{uuid.uuid4().hex[:8]}"
-    ledger = read_ledger(spark, out_dir)
-    done = 0
-    for g in sorted(latest):
-        live = (
-            ledger.filter(
-                (F.col("run_group") == run_group) & (F.col("group_id") == g)
-            )
-            .orderBy(F.col("committed_at").desc(), F.col("run_id").desc())
-            .limit(1)
-            .collect()[0]
-        )
-        src = group_attempt_path(out_dir, g, live.run_id)
-        df = spark.read.parquet(src).coalesce(target_partitions)
-        write_table(df, group_attempt_path(out_dir, g, compact_id), mode="overwrite")
-        ledger_row = spark.createDataFrame(
-            [(run_group, g, compact_id, live.num_groups)],
-            "run_group string, group_id int, run_id string, num_groups int",
-        ).withColumn("committed_at", F.current_timestamp())
-        write_table(ledger_row.coalesce(1), _ledger_path(out_dir), mode="append")
-        done += 1
-    return {"run_group": run_group, "groups_compacted": done, "run_id": compact_id}
+    num_groups = _ledger_rows(spark, out_dir, run_group)[0].num_groups
+
+    # Stage: ONE job rewrites every live group. Multi-path read with
+    # basePath surfaces the g partition column; repartitioning on (g [,
+    # salt]) gives each group target_partitions output files; the same
+    # partitionBy(g, r) append used by run_extraction lands each group
+    # under spans/g=<g>/r=<compact_id>. (The round-3 formulation ran one
+    # Spark job + one 1-row ledger append per group — a driver-bound
+    # afternoon at 10k groups.)
+    paths = [group_attempt_path(out_dir, g, r.run_id) for g, r in latest.items()]
+    src = (
+        spark.read.schema(SPANS_OUT_SCHEMA + ", g int, r string")
+        .option("basePath", output_path(out_dir))
+        .parquet(*paths)
+        .drop("r")
+    )
+    if target_partitions > 1:
+        salt = F.pmod(F.xxhash64("doc_id"), F.lit(target_partitions))
+        src = src.repartition(len(latest) * target_partitions, "g", salt)
+    else:
+        src = src.repartition(len(latest), "g")
+    write_table(
+        src.withColumn("r", F.lit(compact_id)),
+        output_path(out_dir),
+        mode="append",
+        partition_by=("g", "r"),
+    )
+    for g in latest:
+        _ensure_local_dir(group_attempt_path(out_dir, g, compact_id))
+
+    # Publish: ONE ledger append carrying every group's row. A crash before
+    # this append leaves the previous publications live (staged rewrite is
+    # an invisible orphan — same stage-then-publish contract as extraction).
+    ledger_rows = spark.createDataFrame(
+        [(run_group, int(g), compact_id, int(num_groups)) for g in sorted(latest)],
+        "run_group string, group_id int, run_id string, num_groups int",
+    ).withColumn("committed_at", F.current_timestamp())
+    write_table(ledger_rows.coalesce(1), _ledger_path(out_dir), mode="append")
+    return {
+        "run_group": run_group,
+        "groups_compacted": len(latest),
+        "run_id": compact_id,
+    }
 
 
 def vacuum_uncommitted(spark: SparkSession, out_dir: str) -> list[str]:
@@ -359,18 +395,36 @@ def run_extraction(
         write_table(audit.coalesce(1), _audit_path(out_dir), mode="append")
 
     done_groups = 0
-    for g in pending:
-        if fail_before_publish is not None and g >= fail_before_publish:
-            raise SimulatedFailure(f"simulated kill before publishing group {g}")
-        # publish: the ledger row makes this group's staged attempt live
-        ledger_row = spark.createDataFrame(
-            [(run_group, g, run_id, num_groups)],
-            "run_group string, group_id int, run_id string, num_groups int",
-        ).withColumn("committed_at", F.current_timestamp())
-        write_table(ledger_row.coalesce(1), _ledger_path(out_dir), mode="append")
-        done_groups += 1
-        if fail_after_group is not None and g >= fail_after_group:
-            raise SimulatedFailure(f"simulated kill after group {g}")
+    if fail_before_publish is None and fail_after_group is None:
+        # publish: ONE ledger append makes every pending group's staged
+        # attempt live. (The round-3 formulation appended one 1-row file
+        # per group — O(groups) sequential driver jobs, with each append
+        # re-listing the growing ledger dir: quadratic at 10k groups. A
+        # single coalesce(1) append is also a smaller crash window — the
+        # publish is all-or-nothing, and a crash before it leaves every
+        # staged group as an invisible orphan for resume, same contract.)
+        if pending:
+            ledger_rows = spark.createDataFrame(
+                [(run_group, int(g), run_id, int(num_groups)) for g in pending],
+                "run_group string, group_id int, run_id string, num_groups int",
+            ).withColumn("committed_at", F.current_timestamp())
+            write_table(ledger_rows.coalesce(1), _ledger_path(out_dir), mode="append")
+        done_groups = len(pending)
+    else:
+        # test-only crash simulation: publish per group so the hooks can
+        # model a crash mid-publish (on a real cluster this corresponds to
+        # a partially-durable ledger append)
+        for g in pending:
+            if fail_before_publish is not None and g >= fail_before_publish:
+                raise SimulatedFailure(f"simulated kill before publishing group {g}")
+            ledger_row = spark.createDataFrame(
+                [(run_group, g, run_id, num_groups)],
+                "run_group string, group_id int, run_id string, num_groups int",
+            ).withColumn("committed_at", F.current_timestamp())
+            write_table(ledger_row.coalesce(1), _ledger_path(out_dir), mode="append")
+            done_groups += 1
+            if fail_after_group is not None and g >= fail_after_group:
+                raise SimulatedFailure(f"simulated kill after group {g}")
 
     return {
         "run_id": run_id,

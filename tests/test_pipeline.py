@@ -225,6 +225,40 @@ class TestResume:
         assert len(glob.glob(f"{out}/spans/g=*/r=*")) == 2  # live attempts only
         assert _collected(committed_spans(spark, out, "rgV")) == golden
 
+    def test_maintenance_paths_bounded_jobs_at_200_groups(
+        self, spark, docs, input_df, tmp_path
+    ):
+        """compact_group_outputs and committed_spans_latest must run a
+        GROUP-COUNT-INDEPENDENT number of Spark jobs (the round-3
+        formulations were O(groups): a per-group job + 1-row ledger append
+        loop, and an O(attempts)-leg union plan)."""
+        from ocr_search_spark.pipeline import committed_spans_latest
+        from ocr_search_spark.pipeline.checkpoint import compact_group_outputs
+
+        out = str(tmp_path / "many")
+        sc = spark.sparkContext
+        sc.setJobGroup("extract200", "extraction job-count probe")
+        run_extraction(spark, input_df, out, "rgM", num_partitions=8, num_groups=200)
+
+        sc.setJobGroup("compact200", "compaction job-count probe")
+        stats = compact_group_outputs(spark, out, "rgM", target_partitions=1)
+        sc.setJobGroup("latest200", "latest-view job-count probe")
+        n_rows = committed_spans_latest(spark, out).count()
+        sc.setJobGroup("probe-done", "")
+        assert stats["groups_compacted"] == 200
+        assert n_rows == N_DOCS
+        tracker = sc.statusTracker()
+        n_extract = len(tracker.getJobIdsForGroup("extract200"))
+        n_compact = len(tracker.getJobIdsForGroup("compact200"))
+        n_latest = len(tracker.getJobIdsForGroup("latest200"))
+        # small constants (ledger resolution + parallel file listing +
+        # stage/publish or scan) — NOT proportional to the 200 groups
+        assert n_extract <= 8, f"extraction ran {n_extract} jobs for 200 groups"
+        assert n_compact <= 8, f"compaction ran {n_compact} jobs for 200 groups"
+        assert n_latest <= 8, f"latest view ran {n_latest} jobs for 200 groups"
+        # committed view unchanged by compaction
+        assert _collected(committed_spans(spark, out, "rgM")) == _golden(docs)
+
     def test_single_pass_stages_all_pending_groups(
         self, spark, docs, input_df, tmp_path, monkeypatch
     ):
