@@ -149,7 +149,15 @@ def write_text_sink(flat_spans: DataFrame, out_dir: str) -> int:
     """S8: one ``<doc_id>.txt`` per document with its concatenated span
     texts (save_outputs.py:84-102 semantics, deterministic names).
 
-    Executor-side writes to a shared directory; returns files written.
+    Executor-side ``open()`` writes into ``out_dir``; returns files written.
+
+    CLUSTER CAVEAT: on a multi-executor cluster ``out_dir`` must be a
+    filesystem every executor can write (NFS/FUSE-mounted object store) —
+    a plain local path scatters files across executor-local disks. For
+    object stores prefer the durable parquet span table (S7/``tables.py``)
+    and export per-doc text files from it as a separate driver-side or
+    fs-native step; this sink is the reference's local-directory analogue
+    (optional per SURVEY S8), not the 100 TB path.
     """
     os.makedirs(out_dir, exist_ok=True)
     from .pipeline.extract import ordered_text_agg
