@@ -7,18 +7,35 @@ compiled-regex scan:
 * DROP_TAGS subtrees removed (depth-tracked, like ``decompose()``);
 * ``script``/``style`` treated as CDATA containers (content skipped to the
   matching close tag, as tokenizers must);
-* comments stripped; entities unescaped; each text node stripped, empties
-  skipped, nodes joined with one space — ``get_text(" ", strip=True)``.
+* comments, doctypes, processing instructions, marked sections, BOGUS
+  declarations (``<!anything>``) and bogus end tags (``</5>``, ``</ >``)
+  stripped exactly like HTMLParser;
+* a ``<`` that starts no recognizable construct (``a< b``, ``<5>``, ``<>``,
+  ``<д``) is emitted as a lone ``"<"`` data node with scanning resuming at
+  the next character — HTMLParser's invalid-markup fallback;
+* an INCOMPLETE construct at EOF (``<!-- unterminated``, ``<p``) mirrors
+  the parser's close() flush: everything through the next ``>`` as one
+  data node, else up to the next ``<``, else the lone ``<``;
+* entities unescaped; each text node stripped, empties skipped, nodes
+  joined with one space — ``get_text(" ", strip=True)``.
 
 The slow parser in ``html_extract`` remains the *independent golden truth*:
 the pipeline uses this fast path, the scalar reference implementation uses
-the parser path, and the span-equality suite + a dedicated parity test keep
-them identical. Any divergence is a test failure, never silent drift.
+the parser path, and the span-equality suite + dedicated parity tests
+(hand cases, corpus, and hypothesis tag-soup properties in
+``tests/test_property_html.py``) keep them identical. Any divergence is a
+test failure, never silent drift.
 
-Known limitation vs the parser path: attribute values containing a literal
-``>`` (quoted) end the tag early here — not emitted by any well-formed
-serializer and absent from the corpus; the parity suite pins the behaviors
-that matter.
+The scan loop is INLINED in both consumers (visible-text and main-content)
+rather than shared through a generator: the event-iterator formulation
+measured 1.4× slower on corpus HTML, and this function is the single
+hottest spot of the extraction pipeline.
+
+Known limitations vs the parser path (absent from well-formed serializers
+and from the corpus; the parity suite pins the behaviors that matter):
+attribute values containing a literal ``>`` end the tag early here, and
+exotic marked-section bodies containing ``]>`` before their real ``]]>``
+terminate early.
 """
 
 from __future__ import annotations
@@ -28,16 +45,58 @@ from html import unescape
 
 from .html_extract import DROP_TAGS, _VOID_TAGS
 
+# Ordered alternatives mirroring HTMLParser's dispatch in goahead():
+# complete comment / marked section / doctype / bogus declaration / PI /
+# end tag (incl. bogus ``</...>`` and ``</>``) / start tag — then the
+# lone-'<' fallback. None of the bracketed constructs match without their
+# terminator, so truncation at EOF falls through to the lone-'<' rule
+# exactly like the parser's close() flush.
 _TOKEN_RE = re.compile(
-    r"<!--.*?(?:-->|$)"                 # comments
-    r"|<!\[CDATA\[.*?(?:\]\]>|$)"       # CDATA sections
-    r"|<!DOCTYPE[^>]*>"                 # doctype
-    r"|<\?[^>]*>"                       # processing instructions
-    r"|<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9:-]*)[^>]*?(/?)\s*>",  # tags
+    r"<!--.*?-->"                          # comments
+    r"|<!\[.*?\]>"                         # marked sections incl. CDATA
+    r"|<!DOCTYPE[^>]*>"                    # doctype
+    r"|<!(?!--|\[)[^>]*>"                  # bogus declaration <!...> (but an
+                                           # UNTERMINATED comment/section must
+                                           # fall to the EOF-flush rule, like
+                                           # the parser — hence the lookahead)
+    r"|<\?[^>]*>"                          # processing instructions
+    r"|</\s*([a-zA-Z][a-zA-Z0-9:._-]*)?[^>]*>"       # end tag / bogus </..> / </>
+    r"|<([a-zA-Z][a-zA-Z0-9:._-]*)[^>]*?(/?)\s*>"    # start tag
+    r"|<",                                 # invalid / incomplete fallback
     re.DOTALL | re.IGNORECASE,
 )
 
 _CDATA_TAGS = ("script", "style")
+
+
+def _lone_lt(html: str, i: int, n: int) -> tuple[str, int]:
+    """HTMLParser's fallback for a '<' that matched no complete construct:
+    returns (data_chunk, resume_pos).
+
+    A construct-looking '<' (ASCII letter / '!' / '/' / '?' next — the
+    parser's tagfind is ASCII-only, unicode isalpha() letters are invalid
+    markup) is an INCOMPLETE construct at EOF: flush through the next '>'
+    as one data node, else up to the next '<', else the lone '<'. Anything
+    else is invalid markup: the lone '<' with scanning resuming at i+1."""
+    nxt = html[i + 1] if i + 1 < n else ""
+    if nxt and ("a" <= nxt <= "z" or "A" <= nxt <= "Z" or nxt in "!/?"):
+        k = html.find(">", i + 1)
+        if k >= 0:
+            return html[i : k + 1], k + 1
+        k2 = html.find("<", i + 1)
+        if k2 >= 0:
+            return html[i:k2], k2
+    return "<", i + 1
+
+
+def _clean(seg: str) -> str:
+    """Strip; unescape only on '&' (entities can decode to whitespace, so
+    re-strip after)."""
+    seg = seg.strip()
+    if seg and "&" in seg:
+        seg = unescape(seg).strip()
+    return seg
+
 
 def html_to_text_fast(html: str) -> str:
     if not html:
@@ -45,54 +104,52 @@ def html_to_text_fast(html: str) -> str:
     parts: list[str] = []
     drop_depth = 0
     pos = 0
+    n = len(html)
+    lower = None
     out = parts.append
-    lower = None  # full-doc lowercase computed lazily (CDATA scan only)
 
     for m in _TOKEN_RE.finditer(html):
         start = m.start()
         if start < pos:
-            continue  # match inside a region already skipped (CDATA jump)
+            continue  # inside a region already consumed (CDATA / EOF flush)
         if start > pos and drop_depth == 0:
-            # strip first (C-level) as the emptiness prefilter; entities are
-            # rare, so unescape only on '&' — its output is re-stripped since
-            # entities can decode to whitespace (&nbsp;)
-            seg = html[pos:start].strip()
-            if seg:
-                if "&" in seg:
-                    seg = unescape(seg).strip()
-                if seg:
-                    out(seg)
-        pos = m.end()
-
-        closing, tag, selfclose = m.group(1, 2, 3)
-        if tag is None:
-            continue  # comment / doctype / CDATA / PI
-        tag = tag.lower()
-        if tag in _CDATA_TAGS and not closing and not selfclose:
-            # CDATA container: skip straight to its close tag
-            if lower is None:
-                lower = html.lower()
-            close = lower.find(f"</{tag}", pos)
-            if tag in DROP_TAGS:
-                pass  # content dropped entirely
-            pos = len(html) if close == -1 else lower.find(">", close) + 1
-            if pos == 0:  # no '>' after close tag
-                pos = len(html)
-            continue
-        if tag in DROP_TAGS and tag not in _VOID_TAGS:
-            if closing:
-                if drop_depth > 0:
-                    drop_depth -= 1
-            elif not selfclose:
-                drop_depth += 1
-
-    if pos < len(html) and drop_depth == 0:
-        seg = html[pos:].strip()
-        if seg:
-            if "&" in seg:
-                seg = unescape(seg).strip()
+            seg = _clean(html[pos:start])
             if seg:
                 out(seg)
+        pos = m.end()
+
+        if m.group(0) == "<":
+            chunk, pos = _lone_lt(html, start, n)
+            if drop_depth == 0:
+                seg = _clean(chunk)
+                if seg:
+                    out(seg)
+            continue
+        end_name, start_name = m.group(1), m.group(2)
+        if start_name is not None:
+            tag = start_name.lower()
+            selfclose = m.group(3)
+            if tag in _CDATA_TAGS and not selfclose:
+                # CDATA container: skip straight to its close tag
+                if lower is None:
+                    lower = html.lower()
+                close = lower.find(f"</{tag}", pos)
+                pos = n if close == -1 else lower.find(">", close) + 1
+                if pos == 0:  # no '>' after the close tag
+                    pos = n
+                continue  # start+end cancel for drop accounting
+            if tag in DROP_TAGS and tag not in _VOID_TAGS and not selfclose:
+                drop_depth += 1  # selfclose: +1 then -1 — net no-op
+        elif end_name is not None:
+            tag = end_name.lower()
+            if tag in DROP_TAGS and tag not in _VOID_TAGS and drop_depth > 0:
+                drop_depth -= 1
+        # else: comment / declaration / PI / bogus end tag — dropped
+
+    if pos < n and drop_depth == 0:
+        seg = _clean(html[pos:])
+        if seg:
+            out(seg)
     return " ".join(parts)
 
 
@@ -108,6 +165,8 @@ def html_main_text_fast(
     The parser-based ``html_main_text`` is the independent golden truth —
     the golden main-content parquet is generated from it and the parity
     suite keeps the two identical; the pipeline/query path uses this one.
+    A self-closed tag behaves like start immediately followed by end
+    (HTMLParser's handle_startendtag runs both handlers).
     """
     if not html:
         return ""
@@ -118,7 +177,17 @@ def html_main_text_fast(
     cur_chars = cur_link = 0
     drop_depth = anchor_depth = 0
     pos = 0
+    n = len(html)
     lower = None
+
+    def emit(raw: str) -> None:
+        nonlocal cur_chars, cur_link
+        seg = _clean(raw)
+        if seg:
+            cur_parts.append(seg)
+            cur_chars += len(seg)
+            if anchor_depth:
+                cur_link += len(seg)
 
     def flush() -> None:
         nonlocal cur_parts, cur_chars, cur_link
@@ -129,57 +198,53 @@ def html_main_text_fast(
     for m in _TOKEN_RE.finditer(html):
         start = m.start()
         if start < pos:
-            continue  # inside a CDATA region already skipped
+            continue
         if start > pos and drop_depth == 0:
-            seg = html[pos:start].strip()
-            if seg and "&" in seg:
-                seg = unescape(seg).strip()
-            if seg:
-                cur_parts.append(seg)
-                cur_chars += len(seg)
-                if anchor_depth:
-                    cur_link += len(seg)
+            emit(html[pos:start])
         pos = m.end()
 
-        closing, tag, selfclose = m.group(1, 2, 3)
-        if tag is None:
-            continue  # comment / doctype / CDATA / PI
-        tag = tag.lower()
-        if tag in _CDATA_TAGS and not closing and not selfclose:
-            if lower is None:
-                lower = html.lower()
-            close = lower.find(f"</{tag}", pos)
-            pos = len(html) if close == -1 else lower.find(">", close) + 1
-            if pos == 0:
-                pos = len(html)
+        if m.group(0) == "<":
+            chunk, pos = _lone_lt(html, start, n)
+            if drop_depth == 0:
+                emit(chunk)
             continue
-        if tag in DROP_TAGS and tag not in _VOID_TAGS:
-            # parser's handle_starttag/endtag return before anchor/block
-            # handling for drop tags — mirror that
-            if closing:
+        end_name, start_name = m.group(1), m.group(2)
+        if start_name is not None:
+            tag = start_name.lower()
+            selfclose = m.group(3)
+            if tag in _CDATA_TAGS and not selfclose:
+                if lower is None:
+                    lower = html.lower()
+                close = lower.find(f"</{tag}", pos)
+                pos = n if close == -1 else lower.find(">", close) + 1
+                if pos == 0:
+                    pos = n
+                continue  # drop-start+end cancel; no anchor/block effect
+            # parser's handle_starttag returns before anchor/block handling
+            # for drop tags — mirror that (selfclose: +1/-1 cancels)
+            if tag in DROP_TAGS and tag not in _VOID_TAGS:
+                if not selfclose:
+                    drop_depth += 1
+                continue
+            if tag == "a" and not selfclose:
+                anchor_depth += 1
+            if tag in _BLOCK_TAGS:
+                flush()
+                if selfclose:
+                    flush()  # startendtag flushes in both handlers (no-op 2nd)
+        elif end_name is not None:
+            tag = end_name.lower()
+            if tag in DROP_TAGS and tag not in _VOID_TAGS:
                 if drop_depth > 0:
                     drop_depth -= 1
-            elif not selfclose:
-                drop_depth += 1
-            continue
-        if tag == "a" and not selfclose:
-            if closing:
-                if anchor_depth > 0:
-                    anchor_depth -= 1
-            else:
-                anchor_depth += 1
-        if tag in _BLOCK_TAGS:
-            flush()
+                continue
+            if tag == "a" and anchor_depth > 0:
+                anchor_depth -= 1
+            if tag in _BLOCK_TAGS:
+                flush()
 
-    if pos < len(html) and drop_depth == 0:
-        seg = html[pos:].strip()
-        if seg and "&" in seg:
-            seg = unescape(seg).strip()
-        if seg:
-            cur_parts.append(seg)
-            cur_chars += len(seg)
-            if anchor_depth:
-                cur_link += len(seg)
+    if pos < n and drop_depth == 0:
+        emit(html[pos:])
     flush()
     kept = [
         text
