@@ -307,6 +307,23 @@ def q_near_dedup_survivors(spark, sf_dir):
     ).select("doc_id")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: documents sharing any 5-token shingle
+    with a deterministic 10-doc 'benchmark' set (smallest md5(doc_id) —
+    the IVF-centroid sampling trick, SQL-reproducible) are dropped."""
+    from ocr_search_spark.ops.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = (
+        docs.orderBy(F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")), "doc_id")
+        .limit(10)
+        .select("text")
+    )
+    return decontaminate(
+        docs, bench, "doc_id", "text", shingle_k=5, min_shared=1
+    ).select("doc_id")
+
+
 def q_near_dedup_cc(spark, sf_dir):
     """Near-dedup with a CONNECTED-COMPONENTS keeper: the same LSH
     candidates → exact-Jaccard verify as near_dedup_survivors, then
@@ -871,12 +888,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     media_features, media_dedup, media_near_dedup, media_resize, media_frames)
     inside the window and rotates out 8 entries hash-exact in every prior round
     (fts_count_postings, fts_phrase, fts_phrase_postings, fts_or_not,
-    snippet_multi, ilike_source, date_range_count, latest_k — r1/r2/r3 green).
+    snippet_multi, ilike_source, date_range_count, latest_k — r1/r2/r3 green);
+    `snippet` (also r1–r3 green) rotates out in favour of the new
+    `decontaminate` operator so it certifies this round.
     """
     return {
         "fts_count": q_fts_count,
         "fts_search_topk": q_fts_search_topk,
-        "snippet": q_snippet,
+        "decontaminate": q_decontaminate,
         "trigram_topk": q_trigram_topk,
         "normalize_chain": q_normalize_chain,
         "charset_score": q_charset_score,
@@ -937,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ilike_source": q_ilike_source,
         "date_range_count": q_date_range_count,
         "latest_k": q_latest_k,
+        "snippet": q_snippet,
     }
 
 
@@ -1086,6 +1106,25 @@ def oracle_sql() -> dict[str, str]:
                    (length(text) - length(regexp_replace(text, '[a-z0-9 .,;:!?()=+-]', '', 'g'))) * 10
                      >= length(text) * 4 AS is_match
             FROM documents
+        """,
+        "decontaminate": f"""
+            WITH bench AS (
+              SELECT text FROM documents ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 10
+            ), bsh AS (
+              SELECT DISTINCT unnest(list_distinct(list_transform(
+                  range(1, greatest(len({_TOK}) - 3, 1)),
+                  i -> array_to_string(list_slice({_TOK}, i, i + 4), ' ')))) AS s
+              FROM bench
+            ), contam AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, greatest(len({_TOK}) - 3, 1)),
+                    i -> array_to_string(list_slice({_TOK}, i, i + 4), ' ')))) AS s
+                FROM documents) d
+              JOIN bsh USING (s)
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM contam)
         """,
         "dedup_exact": """
             SELECT md5(text) AS fingerprint, count(*) AS n_dups, min(doc_id) AS keeper_id

@@ -771,6 +771,59 @@ class TestIvf:
             assert all(abs(x - y) < 1e-9 for x, y in zip(a, b))
 
 
+class TestDecontaminate:
+    def _frames(self, spark):
+        passage = " ".join(f"bench{i}" for i in range(10))
+        docs = spark.createDataFrame(
+            [
+                ("d1", "clean one " + " ".join(f"w{i}" for i in range(20))),
+                ("d2", "intro " + passage + " outro words here"),   # contaminated
+                ("d3", "short"),                                    # < k tokens
+                ("d4", passage),                                    # exact bench text
+                ("d5", " ".join(f"v{i}" for i in range(20))),
+            ],
+            "doc_id string, text string",
+        )
+        bench = spark.createDataFrame([(passage,)], "text string")
+        return docs, bench
+
+    def test_drops_overlapping_docs_keeps_rest(self, spark):
+        from ocr_search_spark.ops.dedup import decontaminate
+
+        docs, bench = self._frames(spark)
+        kept = {
+            r.doc_id
+            for r in decontaminate(docs, bench, "doc_id", "text", shingle_k=8).collect()
+        }
+        assert kept == {"d1", "d3", "d5"}
+
+    def test_min_shared_threshold(self, spark):
+        from ocr_search_spark.ops.dedup import decontaminate
+
+        docs, bench = self._frames(spark)
+        # d2/d4 share 3 distinct 8-shingles (passage has 10 tokens);
+        # a threshold above that keeps everything
+        kept = {
+            r.doc_id
+            for r in decontaminate(
+                docs, bench, "doc_id", "text", shingle_k=8, min_shared=4
+            ).collect()
+        }
+        assert kept == {"d1", "d2", "d3", "d4", "d5"}
+
+    def test_broadcast_plan_no_corpus_shuffle_on_bench_side(self, spark):
+        from ocr_search_spark.ops.dedup import decontaminate
+
+        docs, bench = self._frames(spark)
+        plan = (
+            decontaminate(docs, bench, "doc_id", "text", shingle_k=8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastExchange" in plan  # bench shingles + contaminated ids
+
+
 class TestSampling:
     @pytest.fixture(scope="class")
     def docs(self, spark):
