@@ -324,6 +324,64 @@ def q_decontaminate(spark, sf_dir):
     ).select("doc_id")
 
 
+def _planted_pii(docs):
+    """Plant deterministic PII into every third document — computed
+    identically in the DuckDB twin so redaction/counting oracles are
+    hash-exact over non-trivial inputs (the corpus itself is clean)."""
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" tel +7 912 345 67"),
+        (F.col("doc_id") % 89 + 10).cast("string"),
+    )
+    return docs.withColumn(
+        "text", F.when(F.col("doc_id") % 3 == 0, pii).otherwise(F.col("text"))
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing: emails / IPv4 / phones redacted, per-type counts
+    (ops/scrub.py — pure codegen'd regexp chain, no UDF)."""
+    from ocr_search_spark.ops.scrub import redact_pii
+
+    out = redact_pii(_planted_pii(_docs(spark, sf_dir)), "text")
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        F.md5(F.encode(F.col("text_redacted"), "utf-8")).alias("red_md5"),
+    )
+
+
+def q_domain_counts(spark, sf_dir):
+    """Per-domain URL/document counts over planted URLs (source-mixing
+    statistic; ops/scrub.py url explode + map-side-combinable agg)."""
+    from ocr_search_spark.ops.scrub import domain_counts
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" see https://site"),
+                (F.col("doc_id") % 20).cast("string"),
+                F.lit(".example.org/p/"),
+                F.col("doc_id").cast("string"),
+                F.lit(" and https://mirror.example.net/x"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return domain_counts(planted, "doc_id", "text")
+
+
 def q_near_dedup_cc(spark, sf_dir):
     """Near-dedup with a CONNECTED-COMPONENTS keeper: the same LSH
     candidates → exact-Jaccard verify as near_dedup_survivors, then
@@ -920,12 +978,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dedup": q_cosine_near_dedup,
         "cosine_near_dedup_cc": q_cosine_near_dedup_cc,
         "events_hourly": q_events_hourly,
-        "events_rollup": q_events_rollup,
+        "pii_redact": q_pii_redact,
         "sessionize": q_sessionize,
         "bm25": q_bm25,
         "rank_cd": q_rank_cd,
         "revenue_by_nation": q_revenue_by_nation,
-        "running_revenue": q_running_revenue,
+        "domain_counts": q_domain_counts,
         "vocab_topk": q_vocab_topk,
         "hash_split": q_hash_split,
         "deterministic_sample": q_deterministic_sample,
@@ -957,6 +1015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_range_count": q_date_range_count,
         "latest_k": q_latest_k,
         "snippet": q_snippet,
+        "events_rollup": q_events_rollup,
+        "running_revenue": q_running_revenue,
     }
 
 
@@ -1106,6 +1166,50 @@ def oracle_sql() -> dict[str, str]:
                    (length(text) - length(regexp_replace(text, '[a-z0-9 .,;:!?()=+-]', '', 'g'))) * 10
                      >= length(text) * 4 AS is_match
             FROM documents
+        """,
+        "pii_redact": """
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN
+                       text || ' contact u' || doc_id || '@ex.com or 10.0.'
+                            || (doc_id % 256) || '.' || (doc_id % 100)
+                            || ' tel +7 912 345 67' || (doc_id % 89 + 10)
+                     ELSE text END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(text,
+                       '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS n_ipv4,
+                   len(regexp_extract_all(text,
+                       '\\+?\\d[\\d\\- ]{6,}\\d')) AS n_phone,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[PII]', 'g'),
+                       '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '[PII]', 'g'),
+                       '\\+?\\d[\\d\\- ]{6,}\\d', '[PII]', 'g')) AS red_md5
+            FROM planted
+        """,
+        "domain_counts": """
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN
+                       text || ' see https://site' || (doc_id % 20)
+                            || '.example.org/p/' || doc_id
+                            || ' and https://mirror.example.net/x'
+                     ELSE text END AS text
+              FROM documents
+            ), urls AS (
+              SELECT doc_id AS id,
+                     unnest(regexp_extract_all(text,
+                       'https?://[a-z0-9.-]+(/[^\\s]*)?')) AS url
+              FROM planted
+            )
+            SELECT regexp_extract(url, 'https?://([a-z0-9.-]+)', 1) AS domain,
+                   count(*) AS n_urls,
+                   count(DISTINCT id) AS n_docs
+            FROM urls
+            GROUP BY 1
         """,
         "decontaminate": f"""
             WITH bench AS (

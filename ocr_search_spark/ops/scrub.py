@@ -1,0 +1,101 @@
+"""PII scrubbing and URL/domain extraction — training-corpus hygiene ops.
+
+A web-scale training pipeline redacts contact information before a corpus
+ships and routinely needs per-domain statistics for source mixing. The
+reference has no analogue (it is a search service over trusted internal
+documents); these are first-class additions in the spirit of the
+dedup/quality family.
+
+Engine-portable by construction: every pattern stays inside the common
+Java-regex ∩ RE2 subset (no lookaround, no backreferences, and no ``\\b``
+— Java's boundary is unicode-aware while RE2's is ASCII, so a digit next
+to a Cyrillic letter would classify differently), so the DuckDB oracles
+run the same expressions verbatim and match hash-exactly.
+
+Scale shape: pure column expressions (regexp_replace / regexp_extract_all)
+— whole-stage-codegen'd, no UDFs, no shuffle beyond what the caller adds;
+``url_domains`` adds one explode + optional aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: redaction patterns, applied in this order (emails before phones so the
+#: digits in an already-redacted token cannot double-match)
+PII_PATTERNS: dict[str, str] = {
+    # lowercase corpus convention; the char classes are ASCII like the
+    # reference corpus
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "ipv4": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    # international-ish phone: 8+ digits with separators, optional +
+    "phone": r"\+?\d[\d\- ]{6,}\d",
+}
+
+URL_PATTERN = r"https?://[a-z0-9.-]+(?:/[^\s]*)?"
+#: domain part of a URL (group 1)
+DOMAIN_PATTERN = r"https?://([a-z0-9.-]+)"
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-type PII occurrence counts for a text column (codegen'd)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        f"n_{name}": F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    repl: str = "[PII]",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Redact emails / IPv4 addresses / phone numbers and record per-type
+    counts. Adds ``<text_col>_redacted`` (or ``out_col``) plus
+    ``n_email`` / ``n_ipv4`` / ``n_phone`` columns."""
+    out = out_col or f"{text_col}_redacted"
+    red = F.col(text_col)
+    for pat in PII_PATTERNS.values():
+        red = F.regexp_replace(red, pat, repl)
+    counts = pii_counts(text_col)
+    return df.withColumns({**counts, out: red})
+
+
+def url_domains(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """One row per URL found in ``text_col``: (id, url, domain).
+
+    Explode of a computed regexp_extract_all array — cheap to re-evaluate
+    per row when a vanilla session inlines the size()>0 inference (one
+    regex pass, no interpreted lambdas re-reading outer trees), so this
+    shape is driver-session-safe without the outer-generate guard.
+    """
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), F.lit(0))
+    return (
+        df.select(F.col(id_col).alias("id"), urls.alias("__urls"))
+        .select("id", F.explode("__urls").alias("url"))
+        .withColumn("domain", F.regexp_extract("url", DOMAIN_PATTERN, 1))
+    )
+
+
+def domain_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-domain URL and document counts — the source-mixing statistic
+    (map-side combinable aggregation over the URL explode)."""
+    return (
+        url_domains(df, id_col, text_col)
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("id").alias("n_docs"),
+        )
+    )

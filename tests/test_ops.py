@@ -824,6 +824,57 @@ class TestDecontaminate:
         assert "BroadcastExchange" in plan  # bench shingles + contaminated ids
 
 
+class TestScrub:
+    def test_redact_pii_counts_and_text(self, spark):
+        from ocr_search_spark.ops.scrub import redact_pii
+
+        df = spark.createDataFrame(
+            [
+                ("d1", "mail bob.smith@corp-x.io now"),
+                ("d2", "server at 192.168.1.10 port"),
+                ("d3", "call +7 912 345 6789 today"),
+                ("d4", "clean text no pii at all"),
+                ("d5", "a@b.io and 10.0.0.1 and +1 234-567-8901"),
+            ],
+            "doc_id string, text string",
+        )
+        out = {r.doc_id: r for r in redact_pii(df, "text").collect()}
+        assert (out["d1"].n_email, out["d1"].n_ipv4, out["d1"].n_phone) == (1, 0, 0)
+        assert out["d1"].text_redacted == "mail [PII] now"
+        assert out["d2"].n_ipv4 == 1 and "[PII]" in out["d2"].text_redacted
+        assert out["d3"].n_phone == 1 and out["d3"].text_redacted == "call [PII] today"
+        assert out["d4"].text_redacted == "clean text no pii at all"
+        assert (out["d5"].n_email, out["d5"].n_ipv4, out["d5"].n_phone) == (1, 1, 1)
+        assert out["d5"].text_redacted == "[PII] and [PII] and [PII]"
+
+    def test_url_domains_and_counts(self, spark):
+        from ocr_search_spark.ops.scrub import domain_counts, url_domains
+
+        df = spark.createDataFrame(
+            [
+                ("d1", "see https://a.example.org/p/1 and https://b.net/x?q=2"),
+                ("d2", "again https://a.example.org/other"),
+                ("d3", "no links here"),
+            ],
+            "doc_id string, text string",
+        )
+        rows = url_domains(df, "doc_id", "text").collect()
+        assert {(r.id, r.domain) for r in rows} == {
+            ("d1", "a.example.org"),
+            ("d1", "b.net"),
+            ("d2", "a.example.org"),
+        }
+        dc = {r.domain: (r.n_urls, r.n_docs) for r in domain_counts(df, "doc_id", "text").collect()}
+        assert dc == {"a.example.org": (2, 2), "b.net": (1, 1)}
+
+    def test_no_udf_in_plan(self, spark):
+        from ocr_search_spark.ops.scrub import redact_pii
+
+        df = spark.createDataFrame([("d1", "x")], "doc_id string, text string")
+        plan = redact_pii(df, "text")._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 class TestSampling:
     @pytest.fixture(scope="class")
     def docs(self, spark):
