@@ -947,8 +947,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     inside the window and rotates out 8 entries hash-exact in every prior round
     (fts_count_postings, fts_phrase, fts_phrase_postings, fts_or_not,
     snippet_multi, ilike_source, date_range_count, latest_k — r1/r2/r3 green);
-    `snippet` (also r1–r3 green) rotates out in favour of the new
-    `decontaminate` operator so it certifies this round.
+    `snippet`, `events_rollup` and `running_revenue` (also r1–r3 green)
+    rotate out in favour of the new `decontaminate`, `pii_redact` and
+    `domain_counts` operators so they certify this round.
     """
     return {
         "fts_count": q_fts_count,
