@@ -145,6 +145,10 @@ def main() -> None:
         "vocab_topk",
         "revenue_by_nation",
         "training_corpus",
+        "asof_join",
+        "range_join",
+        "line_dedup",
+        "compression_signals",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

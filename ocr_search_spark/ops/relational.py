@@ -1,0 +1,196 @@
+"""Temporal relational operators Spark lacks natively: as-of join and
+time-range (interval) join.
+
+A training-data / event-analytics pipeline routinely needs "the latest
+prior fact per key" (as-of join: attach the last click before each
+purchase, the last price before each trade) and "all facts within a
+window" (range join: error events within N seconds of a purchase).
+Neither has a built-in DataFrame operator in Spark; the naive
+formulations are a theta-join (``r.ts <= l.ts``) that Catalyst executes
+as BroadcastNestedLoopJoin — O(|L|·|R|) per key and a scale-killer. The
+reference (a Postgres search service) gets these "for free" from btree
+indexes; on Spark they have to be re-expressed as shuffle-friendly
+compositions, which is what this module does.
+
+Scale design (the point of the module):
+
+* ``asof_join`` — the union trick: tag right rows side=0 and left rows
+  side=1, union on (key, ts, side), and take a running
+  ``last(right_payload, ignorenulls=True)`` over
+  (partition by key, order by ts, side, tiebreak). Right rows at the
+  same key sort before left rows at equal ts (inclusive semantics), so
+  the running last at each left row is exactly the greatest
+  ``right.ts <= left.ts``. Cost: ONE hash shuffle on key + one
+  in-partition sort — identical shape to a sort-merge join, no pair
+  explosion, no per-key pandas. Skew bounded by per-key row count, same
+  as any keyed window.
+* ``range_join`` — equi-join on (key, coarse time bucket): each left row
+  joins buckets ``floor(ts/width) - ceil(lo/width) .. floor(ts/width)``
+  (backward window), then an exact residual filter. With bucket width =
+  window span the explode factor is ≤ 2 buckets per left row, so the
+  join stays an equi shuffle join with a 2× fan-out instead of a
+  nested-loop theta join. This is the standard interval-bucketing
+  rewrite (same family as the banded LSH joins in ops/dedup.py).
+
+Determinism: ties on right ts are broken by a caller-named tiebreak
+column (max wins), so results are stable and the DuckDB oracle
+(ROW_NUMBER over ts DESC, tiebreak DESC) matches hash-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType, TimestampType
+
+
+def _epoch_s(df: DataFrame, col: str):
+    """Column as epoch seconds (long). Timestamp columns (TZ or NTZ —
+    NTZ→LTZ is identity under the UTC session timezone) go through
+    unix_micros; numeric columns are cast directly."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        return F.floor(
+            F.unix_micros(F.col(col).cast("timestamp_ltz")) / F.lit(1_000_000)
+        ).cast("long")
+    return F.col(col).cast("long")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tiebreak: str | None = None,
+    suffix: str = "_r",
+    tolerance_s: int | None = None,
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` within the same ``on`` key (backward,
+    inclusive as-of join). Left rows with no prior right row keep nulls.
+
+    ``tiebreak``: right column that breaks equal-``right_ts`` ties (the
+    max value wins); defaults to ``right_ts`` itself (only safe when
+    (on, right_ts) is unique). ``tolerance_s``: if set, matches older
+    than this many seconds are nulled out (pandas ``merge_asof``
+    tolerance semantics).
+
+    Plan shape: union → one Exchange(hashpartitioning(on)) → Sort →
+    running Window last() → filter. No join node at all.
+    """
+    tb = tiebreak or right_ts
+    r_payload = F.struct(
+        *[F.col(c).alias(c) for c in right.columns if c != on]
+    ).alias("__asof_r")
+    r2 = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__asof_ts"),
+        F.lit(0).alias("__asof_side"),
+        F.col(tb).alias("__asof_tb"),
+        r_payload,
+    )
+    l2 = left.select(
+        F.col(on),
+        F.col(left_ts).alias("__asof_ts"),
+        F.lit(1).alias("__asof_side"),
+        F.lit(None).cast(r2.schema["__asof_tb"].dataType).alias("__asof_tb"),
+        F.lit(None).cast(r2.schema["__asof_r"].dataType).alias("__asof_r"),
+        F.struct(*[F.col(c).alias(c) for c in left.columns if c != on]).alias(
+            "__asof_l"
+        ),
+    )
+    r2 = r2.withColumn(
+        "__asof_l", F.lit(None).cast(l2.schema["__asof_l"].dataType)
+    )
+    # right rows order before left rows at equal ts (side 0 < 1) so the
+    # running last() is inclusive; among equal right ts the max tiebreak
+    # sorts last and wins.
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__asof_ts", "__asof_side", "__asof_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l2.unionByName(r2)
+        .withColumn("__match", F.last("__asof_r", ignorenulls=True).over(w))
+        .withColumn(
+            "__match_ts", F.last(F.when(F.col("__asof_side") == 0, F.col("__asof_ts")), ignorenulls=True).over(w)
+        )
+        .filter(F.col("__asof_side") == 1)
+    )
+    if tolerance_s is not None:
+        in_tol = (
+            _epoch_s(matched, "__asof_ts") - _epoch_s(matched, "__match_ts")
+            <= F.lit(int(tolerance_s))
+        )
+        matched = matched.withColumn(
+            "__match", F.when(in_tol, F.col("__match"))
+        ).withColumn("__match_ts", F.when(in_tol, F.col("__match_ts")))
+    left_cols = [F.col(on)] + [
+        F.col(f"__asof_l.{c}").alias(c) for c in left.columns if c != on
+    ]
+    right_cols = [
+        F.col(f"__match.{c}").alias(c + suffix)
+        for c in right.columns
+        if c != on
+    ]
+    return matched.select(*left_cols, *right_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback_s: int = 60,
+    suffix: str = "_r",
+) -> DataFrame:
+    """All (left, right) pairs within the same ``on`` key with
+    ``left_ts - lookback_s <= right_ts <= left_ts`` (backward interval
+    join, inclusive both ends). Inner semantics: left rows with no right
+    row in range produce no output.
+
+    Rewrites the theta join as an equi join on (key, time bucket) with
+    bucket width = ``lookback_s``: a backward window of span W can only
+    overlap the left row's own bucket and the one before it, so each
+    left row probes exactly 2 buckets and the join is a plain shuffle
+    hash/sort-merge equi join (fan-out 2×|L|), never a
+    BroadcastNestedLoopJoin. The residual range predicate filters
+    in-bucket false positives after the join.
+    """
+    if lookback_s <= 0:
+        raise ValueError("lookback_s must be positive")
+    w = int(lookback_s)
+    r_bucket = F.floor(_epoch_s(right, right_ts) / w)
+    l_epoch = _epoch_s(left, left_ts)
+    r2 = right.select(
+        F.col(on),
+        r_bucket.alias("__bucket"),
+        _epoch_s(right, right_ts).alias("__r_epoch"),
+        F.struct(
+            *[F.col(c).alias(c) for c in right.columns if c != on]
+        ).alias("__r"),
+    )
+    l2 = left.select(
+        F.col(on),
+        l_epoch.alias("__l_epoch"),
+        F.explode(
+            F.array(F.floor(l_epoch / w) - 1, F.floor(l_epoch / w))
+        ).alias("__bucket"),
+        F.struct(*[F.col(c).alias(c) for c in left.columns if c != on]).alias(
+            "__l"
+        ),
+    )
+    joined = l2.join(r2, [on, "__bucket"]).filter(
+        (F.col("__r_epoch") <= F.col("__l_epoch"))
+        & (F.col("__r_epoch") >= F.col("__l_epoch") - w)
+    )
+    left_cols = [F.col(on)] + [
+        F.col(f"__l.{c}").alias(c) for c in left.columns if c != on
+    ]
+    right_cols = [
+        F.col(f"__r.{c}").alias(c + suffix) for c in right.columns if c != on
+    ]
+    return joined.select(*left_cols, *right_cols)

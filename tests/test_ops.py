@@ -913,3 +913,249 @@ class TestSampling:
 
         with pytest.raises(ValueError):
             hash_split(docs, {"a": 0.5, "b": 0.4})
+
+
+class TestRelational:
+    def _events(self, spark):
+        # (key, ts, id): two users, interleaved purchases/clicks
+        rows = [
+            ("u1", 100, 1, "click"),
+            ("u1", 200, 2, "click"),
+            ("u1", 200, 3, "click"),      # tie on ts with id 2
+            ("u1", 250, 4, "purchase"),
+            ("u1", 300, 5, "purchase"),
+            ("u1", 400, 6, "click"),
+            ("u2", 50, 7, "purchase"),    # no prior click
+            ("u2", 500, 8, "click"),
+            ("u2", 500, 9, "purchase"),   # inclusive: same-ts click matches
+        ]
+        return spark.createDataFrame(
+            rows, "user_id string, ets long, event_id long, kind string"
+        )
+
+    def test_asof_backward_inclusive_with_ties(self, spark):
+        from pyspark.sql import functions as F
+
+        from ocr_search_spark.ops.relational import asof_join
+
+        ev = self._events(spark)
+        l = ev.filter(F.col("kind") == "purchase").drop("kind")
+        r = ev.filter(F.col("kind") == "click").drop("kind")
+        out = {
+            row.event_id: row.event_id_r
+            for row in asof_join(
+                l, r, on="user_id", left_ts="ets", right_ts="ets",
+                tiebreak="event_id",
+            ).collect()
+        }
+        # ties on right ts resolve to the max tiebreak (id 3, not 2)
+        assert out == {4: 3, 5: 3, 7: None, 9: 8}
+
+    def test_asof_tolerance(self, spark):
+        from pyspark.sql import functions as F
+
+        from ocr_search_spark.ops.relational import asof_join
+
+        ev = self._events(spark)
+        l = ev.filter(F.col("kind") == "purchase").drop("kind")
+        r = ev.filter(F.col("kind") == "click").drop("kind")
+        out = {
+            row.event_id: row.event_id_r
+            for row in asof_join(
+                l, r, on="user_id", left_ts="ets", right_ts="ets",
+                tiebreak="event_id", tolerance_s=60,
+            ).collect()
+        }
+        # 250-200=50 in tolerance; 300-200=100 out; 500-500=0 in
+        assert out == {4: 3, 5: None, 7: None, 9: 8}
+
+    def test_asof_plan_has_no_join_node(self, spark):
+        from pyspark.sql import functions as F
+
+        from ocr_search_spark.ops.relational import asof_join
+
+        ev = self._events(spark)
+        l = ev.filter(F.col("kind") == "purchase").drop("kind")
+        r = ev.filter(F.col("kind") == "click").drop("kind")
+        plan = (
+            asof_join(l, r, on="user_id", left_ts="ets", right_ts="ets",
+                      tiebreak="event_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the union+window rewrite must never fall back to a theta join
+        assert "Join" not in plan and "CartesianProduct" not in plan
+        assert "Window" in plan
+
+    def test_range_join_matches_naive(self, spark):
+        from pyspark.sql import functions as F
+
+        from ocr_search_spark.ops.relational import range_join
+
+        ev = self._events(spark)
+        l = ev.filter(F.col("kind") == "purchase").drop("kind")
+        r = ev.filter(F.col("kind") == "click").drop("kind")
+        got = {
+            (row.event_id, row.event_id_r)
+            for row in range_join(
+                l, r, on="user_id", left_ts="ets", right_ts="ets",
+                lookback_s=100,
+            ).collect()
+        }
+        naive = {
+            (lid, rid)
+            for (lu, lt, lid) in [("u1", 250, 4), ("u1", 300, 5),
+                                  ("u2", 50, 7), ("u2", 500, 9)]
+            for (ru, rt, rid) in [("u1", 100, 1), ("u1", 200, 2),
+                                  ("u1", 200, 3), ("u1", 400, 6),
+                                  ("u2", 500, 8)]
+            if lu == ru and rt <= lt and rt >= lt - 100
+        }
+        assert got == naive
+
+    def test_range_join_is_equi_join(self, spark):
+        from pyspark.sql import functions as F
+
+        from ocr_search_spark.ops.relational import range_join
+
+        ev = self._events(spark)
+        l = ev.filter(F.col("kind") == "purchase").drop("kind")
+        r = ev.filter(F.col("kind") == "click").drop("kind")
+        plan = (
+            range_join(l, r, on="user_id", left_ts="ets", right_ts="ets",
+                       lookback_s=100)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_timestamp_columns_accepted(self, spark):
+        import datetime as dt
+
+        from ocr_search_spark.ops.relational import asof_join
+
+        base = dt.datetime(2024, 1, 1)
+        l = spark.createDataFrame(
+            [("u1", base + dt.timedelta(seconds=100), 1)],
+            "user_id string, ts timestamp, event_id long",
+        )
+        r = spark.createDataFrame(
+            [("u1", base + dt.timedelta(seconds=40), 2)],
+            "user_id string, ts timestamp, event_id long",
+        )
+        out = asof_join(
+            l, r, on="user_id", left_ts="ts", right_ts="ts",
+            tiebreak="event_id", tolerance_s=30,
+        ).collect()
+        assert out[0].event_id_r is None  # 60 s gap > 30 s tolerance
+
+
+class TestLineDedup:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                ("d1", "unique one\nshared line\ntail one"),
+                ("d2", "shared line\nunique two"),
+                ("d3", "all mine\n\nstill mine"),
+                ("d4", "shared line\nshared line"),  # twice in one doc
+            ],
+            "doc_id string, text string",
+        )
+
+    def test_duplicate_lines_min_docs(self, spark):
+        from ocr_search_spark.ops.lines import duplicate_lines, explode_lines
+
+        ex = explode_lines(self._df(spark), "doc_id", "text")
+        dups = duplicate_lines(ex, min_docs=2).collect()
+        assert len(dups) == 1
+        assert dups[0].n_docs == 3 and dups[0].n_occurrences == 4
+
+    def test_empty_lines_never_duplicate(self, spark):
+        from ocr_search_spark.ops.lines import duplicate_lines, explode_lines
+
+        df = spark.createDataFrame(
+            [("a", "x\n\ny"), ("b", "z\n\nw")], "doc_id string, text string"
+        )
+        ex = explode_lines(df, "doc_id", "text")
+        assert duplicate_lines(ex, min_docs=2).count() == 0
+
+    def test_remove_preserves_order_and_counts(self, spark):
+        from ocr_search_spark.ops.lines import remove_duplicate_lines
+
+        out = {
+            r.doc_id: r
+            for r in remove_duplicate_lines(
+                self._df(spark), "doc_id", "text", min_docs=2
+            ).collect()
+        }
+        assert out["d1"].text_clean == "unique one\ntail one"
+        assert (out["d1"].n_lines, out["d1"].n_removed) == (3, 1)
+        assert out["d2"].text_clean == "unique two"
+        assert out["d3"].text_clean == "all mine\n\nstill mine"
+        assert out["d3"].n_removed == 0
+        # every line was boilerplate → doc survives with empty text
+        assert out["d4"].text_clean == "" and out["d4"].n_removed == 2
+
+    def test_literal_delimiter_not_regex(self, spark):
+        from ocr_search_spark.ops.lines import remove_duplicate_lines
+
+        df = spark.createDataFrame(
+            [("a", "p. q. r"), ("b", "q. s")], "doc_id string, text string"
+        )
+        out = {
+            r.doc_id: r.text_clean
+            for r in remove_duplicate_lines(
+                df, "doc_id", "text", delim=". ", min_docs=2
+            ).collect()
+        }
+        assert out == {"a": "p. r", "b": "s"}
+
+    def test_no_udf_in_plan(self, spark):
+        from ocr_search_spark.ops.lines import remove_duplicate_lines
+
+        plan = (
+            remove_duplicate_lines(self._df(spark), "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestCompression:
+    def test_signals_match_scalar_twin(self, spark):
+        from ocr_search_spark.ops.compress import (
+            compression_signals,
+            scalar_zlib_len,
+        )
+
+        texts = [
+            ("d1", "word " * 200),            # pathologically repetitive
+            ("d2", "the quick brown fox jumps over the lazy dog. " * 3),
+            ("d3", ""),
+        ]
+        df = spark.createDataFrame(texts, "doc_id string, text string")
+        out = {r.doc_id: r for r in compression_signals(df, "text").collect()}
+        for doc_id, t in texts:
+            assert out[doc_id].n_bytes == len(t.encode("utf-8"))
+            assert out[doc_id].n_zlib == scalar_zlib_len(t)
+
+    def test_filter_bands(self, spark):
+        from ocr_search_spark.ops.compress import compression_filter
+
+        import random
+
+        rng = random.Random(7)
+        noise = "".join(chr(rng.randint(0x21, 0x10FF)) for _ in range(800))
+        df = spark.createDataFrame(
+            [
+                ("rep", "spam " * 400),   # ratio ~1% → below floor
+                ("ok", "a sensible sentence with normal words repeated a little. " * 6),
+                ("noise", noise),         # high-entropy → above cap
+            ],
+            "doc_id string, text string",
+        )
+        kept = {
+            r.doc_id
+            for r in compression_filter(
+                df, "text", min_ratio_pct=5, max_ratio_pct=60
+            ).collect()
+        }
+        assert kept == {"ok"}
