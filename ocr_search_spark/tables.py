@@ -74,3 +74,56 @@ def table_exists(spark: SparkSession, identifier: str) -> bool:
         return True
     except Exception:
         return False
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a catalog table hash-bucketed on ``bucket_col``.
+
+    Bucketing is the co-located-join strategy for the hot keys of this
+    engine (doc_id joins everywhere: postings → documents, dedup
+    candidates → docs, spans → metadata). Two tables bucketed on the
+    same key with the same bucket count join WITHOUT any Exchange — at
+    10^12 rows that deletes the dominant shuffle from every doc_id join
+    at the price of one bucketed write. ``sort_col`` additionally sorts
+    within buckets so sort-merge joins skip the per-task sort.
+
+    Parquet mode uses the session catalog (``bucketBy``/``saveAsTable``
+    — Spark's Hive-style bucketing, readable only via ``spark.table``).
+    In Iceberg mode the same layout is declared as a partition transform
+    (``bucket(n, col)``) on the identifier; Iceberg's storage-partitioned
+    join then gives the identical no-shuffle plan (the sandbox has no
+    Iceberg runtime — same fence as the rest of this module).
+
+    Plan invariant (asserted in tests/test_plans.py): joining two tables
+    bucketed (same col, same n) shows a SortMergeJoin/ShuffledHashJoin
+    with NO Exchange on either side.
+    """
+    if TABLE_FORMAT == "iceberg":
+        from pyspark.sql import functions as F
+
+        writer = df.writeTo(name).partitionedBy(
+            F.bucket(n_buckets, F.col(bucket_col))
+        )
+        if mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            writer.append()
+        return
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(name)
+
+
+def read_bucketed_table(spark: SparkSession, name: str) -> DataFrame:
+    """Catalog read that preserves the bucketing metadata (a plain
+    ``spark.read.parquet`` of the same files would lose it and
+    re-shuffle on join)."""
+    return spark.table(name)
