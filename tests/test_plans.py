@@ -280,3 +280,28 @@ class TestBucketedJoin:
             assert "Exchange" not in plan
         finally:
             spark.sql("DROP TABLE IF EXISTS b_agg")
+
+
+class TestPartitionPruning:
+    def test_partitioned_write_prunes_directories(self, spark, tmp_path):
+        """write_table(partition_by=...) must give directory-level
+        partition pruning: a filter on the partition column lands in
+        PartitionFilters (whole directories skipped at planning time, the
+        10^12-row equivalent of not reading 364/365 days), never in the
+        post-scan Filter."""
+        from ocr_search_spark.tables import write_table
+
+        path = str(tmp_path / "events_by_day")
+        df = spark.range(1000).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 10).alias("day"),
+        )
+        write_table(df, path, mode="overwrite", partition_by=("day",))
+        q = spark.read.parquet(path).filter(F.col("day") == 3)
+        plan = plan_of(q)
+        assert "PartitionFilters" in plan
+        assert "(day" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+        assert q.count() == 100
+        # the partition predicate must not survive as a row-level Filter
+        row_filter = plan.split("PartitionFilters", 1)[0]
+        assert "Filter (day" not in row_filter
