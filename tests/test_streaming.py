@@ -263,3 +263,59 @@ class TestDedupStream:
         assert len(fps) == 2 and len(set(fps)) == 2
         survivors = {r.doc_id for r in out}
         assert "b1" in survivors and len(survivors & {"a1", "a2", "b2"}) == 1
+
+
+class TestRangeJoinStream:
+    def test_stream_matches_batch_range_join(self, spark, tmp_path):
+        """The watermarked stream-stream interval join must produce the
+        same pair set as ops.relational.range_join on identical input."""
+        from ocr_search_spark.ops.relational import range_join
+        from ocr_search_spark.streaming.join_stream import range_join_stream
+
+        purchases = [
+            ("u1", "2024-01-01 10:10:00", 1),
+            ("u1", "2024-01-01 10:30:00", 2),
+            ("u2", "2024-01-01 09:00:00", 3),
+        ]
+        clicks = [
+            ("u1", "2024-01-01 10:00:00", 10),   # within 15 min of p1
+            ("u1", "2024-01-01 10:29:00", 11),   # within 15 min of p2
+            ("u1", "2024-01-01 09:00:00", 12),   # too old for both
+            ("u2", "2024-01-01 08:50:00", 13),   # within 15 min of p3
+        ]
+        schema = "user_id string, ts string, event_id long"
+        mk = lambda rows: spark.createDataFrame(rows, schema).selectExpr(
+            "user_id", "cast(ts as timestamp) ts", "event_id"
+        )
+        lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+        mk(purchases).coalesce(1).write.parquet(lsrc)
+        mk(clicks).coalesce(1).write.parquet(rsrc)
+
+        read = lambda p: spark.readStream.schema(
+            "user_id string, ts timestamp, event_id long"
+        ).parquet(p)
+        q = (
+            range_join_stream(
+                read(lsrc), read(rsrc), on="user_id",
+                lookback_s=900, watermark="0 seconds",
+            )
+            .writeStream.format("memory")
+            .queryName("rjs_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r.user_id, r.event_id, r.event_id_r)
+            for r in spark.sql("SELECT * FROM rjs_out").collect()
+        }
+        want = {
+            (r.user_id, r.event_id, r.event_id_r)
+            for r in range_join(
+                mk(purchases), mk(clicks), on="user_id",
+                left_ts="ts", right_ts="ts", lookback_s=900,
+            ).collect()
+        }
+        assert got == want
+        assert got == {("u1", 1, 10), ("u1", 2, 11), ("u2", 3, 13)}
