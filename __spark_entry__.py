@@ -480,6 +480,52 @@ def q_compression_signals(spark, sf_dir):
     return out.select("doc_id", "n_bytes", "n_zlib")
 
 
+def q_topk_per_lang(spark, sf_dir):
+    """Distributed group-wise top-k: the 5 longest docs per language
+    (corpus-mixing selection; ops/sampling.py window rank — one shuffle
+    on the group key, no global sort)."""
+    from ocr_search_spark.ops.sampling import topk_per_group
+
+    return topk_per_group(
+        _docs(spark, sf_dir), "lang", "n_chars", 5, tiebreak_col="doc_id"
+    ).select("doc_id", "lang", "n_chars")
+
+
+def q_domain_filter(spark, sf_dir):
+    """Domain-blocklist source-hygiene gate: docs containing a URL on a
+    blocked domain are dropped (ops/scrub.py — domain explode →
+    offender anti-join; suffix semantics pytest-covered)."""
+    from ocr_search_spark.ops.scrub import domain_blocklist_filter
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" see https://site"),
+                (F.col("doc_id") % 20).cast("string"),
+                F.lit(".example.org/p/"),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return domain_blocklist_filter(
+        planted, "doc_id", "text", ["site5.example.org", "site15.example.org"]
+    ).select("doc_id")
+
+
+def q_length_stats(spark, sf_dir):
+    """Per-language exact length percentiles (corpus profile;
+    ops/text_analysis.py grouped_percentiles — Spark `percentile` and
+    DuckDB `quantile_cont` share the (n-1)p linear-interpolation
+    definition, so the floats match bit-for-bit)."""
+    from ocr_search_spark.ops.text_analysis import grouped_percentiles
+
+    return grouped_percentiles(_docs(spark, sf_dir), "lang", "n_chars")
+
+
 def q_near_dedup_cc(spark, sf_dir):
     """Near-dedup with a CONNECTED-COMPONENTS keeper: the same LSH
     candidates → exact-Jaccard verify as near_dedup_survivors, then
@@ -1051,7 +1097,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `asof_join`, `range_join`, `line_dedup` and `compression_signals` are
     new this round and take window slots from `trigram_topk`,
     `normalize_chain`, `charset_score` and `bm25` (each hash-exact in
-    r1–r3 / r2–r3; see CORRECTNESS_r0{1,2,3}.json).
+    r1–r3 / r2–r3; see CORRECTNESS_r0{1,2,3}.json).  Third r4 batch:
+    `topk_per_lang`, `domain_filter` and `length_stats` take the slots of
+    `rank_cd`, `vocab_topk` and `deterministic_sample` (hash-exact r2+r3,
+    r2+r3, r1–r3 respectively).
     """
     return {
         "fts_count": q_fts_count,
@@ -1084,12 +1133,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "pii_redact": q_pii_redact,
         "sessionize": q_sessionize,
-        "rank_cd": q_rank_cd,
+        "topk_per_lang": q_topk_per_lang,
         "revenue_by_nation": q_revenue_by_nation,
         "domain_counts": q_domain_counts,
-        "vocab_topk": q_vocab_topk,
+        "domain_filter": q_domain_filter,
         "hash_split": q_hash_split,
-        "deterministic_sample": q_deterministic_sample,
+        "length_stats": q_length_stats,
         "training_corpus": q_training_corpus,
         "training_corpus_cc": q_training_corpus_cc,
         # previously past the 50-entry window — certified this round
@@ -1112,6 +1161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_chain": q_normalize_chain,
         "charset_score": q_charset_score,
         "bm25": q_bm25,
+        "rank_cd": q_rank_cd,
+        "vocab_topk": q_vocab_topk,
+        "deterministic_sample": q_deterministic_sample,
         "simhash": q_simhash,
         "fts_count_postings": q_fts_count_postings,
         "fts_phrase": q_fts_phrase,
@@ -1379,6 +1431,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, md5(coalesce(r.text_clean, '')) AS clean_md5,
                    t.n_lines, t.n_lines - coalesce(r.n_kept, 0) AS n_removed
             FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "topk_per_lang": """
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id ASC) AS rn
+              FROM documents
+            ) WHERE rn <= 5
+        """,
+        "domain_filter": """
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN
+                       text || ' see https://site' || (doc_id % 20)
+                            || '.example.org/p/' || doc_id
+                     ELSE text END AS text
+              FROM documents
+            ), urls AS (
+              SELECT doc_id AS id,
+                     regexp_extract(u.url, 'https?://([a-z0-9.-]+)', 1) AS domain
+              FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text,
+                         'https?://[a-z0-9.-]+(/[^\\s]*)?')) AS url
+                FROM planted
+              ) u
+            ), offenders AS (
+              SELECT DISTINCT id FROM urls
+              WHERE domain = 'site5.example.org'
+                 OR domain LIKE '%.site5.example.org'
+                 OR domain = 'site15.example.org'
+                 OR domain LIKE '%.site15.example.org'
+            )
+            SELECT doc_id FROM planted
+            WHERE doc_id NOT IN (SELECT id FROM offenders)
+        """,
+        "length_stats": """
+            SELECT lang, count(*) AS n,
+                   quantile_cont(n_chars, 0.25) AS p25,
+                   quantile_cont(n_chars, 0.5)  AS p50,
+                   quantile_cont(n_chars, 0.75) AS p75,
+                   quantile_cont(n_chars, 0.9)  AS p90,
+                   quantile_cont(n_chars, 0.99) AS p99
+            FROM documents
+            GROUP BY lang
         """,
         "decontaminate": f"""
             WITH bench AS (

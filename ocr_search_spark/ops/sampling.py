@@ -69,3 +69,35 @@ def hash_split(
     last_label = items[-1][0]
     expr = F.lit(last_label) if expr is None else expr.otherwise(F.lit(last_label))
     return df.withColumn("split", expr)
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Best ``k`` rows per group (e.g. the k highest-quality docs per
+    language/domain for corpus mixing) — the distributed group-wise
+    top-k: one shuffle on the group key, a rank inside each partition,
+    no global sort and no collect. Ties on ``order_col`` are broken by
+    ``tiebreak_col`` (ascending; default the group ordering is made
+    total by the caller's id) so results are deterministic and
+    oracle-checkable.
+
+    At scale the only hazard is a hot group (all rows one language):
+    that is the same skew class as any keyed shuffle — AQE skew handling
+    or pre-filtering applies; the operator itself adds no amplification.
+    """
+    from pyspark.sql import Window
+
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    order = [oc] + ([F.col(tiebreak_col).asc()] if tiebreak_col else [])
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .drop("__rn")
+    )

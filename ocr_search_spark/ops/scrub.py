@@ -99,3 +99,30 @@ def domain_counts(
             F.countDistinct("id").alias("n_docs"),
         )
     )
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    blocked: list[str],
+) -> DataFrame:
+    """Drop every document containing a URL whose domain (or any parent
+    domain) is blocklisted — the C4/RefinedWeb source-hygiene gate.
+
+    Shape: extract domains (one regex pass + explode), match against the
+    blocklist (a broadcast-size literal set by construction: curated
+    blocklists are thousands of entries, not corpus-scale), anti-join
+    the offending doc ids. Suffix matching (``ads.example.org`` blocked
+    by ``example.org``) is expressed as domain = entry OR endswith
+    ('.' || entry) so subdomains can't dodge the list.
+    """
+    doms = url_domains(df, id_col, text_col).select("id", "domain")
+    hit = None
+    for b in blocked:
+        cond = (F.col("domain") == b) | F.col("domain").endswith("." + b)
+        hit = cond if hit is None else (hit | cond)
+    if hit is None:
+        return df
+    offenders = doms.filter(hit).select(F.col("id").alias(id_col)).distinct()
+    return df.join(offenders, id_col, "left_anti")

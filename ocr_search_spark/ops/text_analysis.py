@@ -574,3 +574,30 @@ def winnow_partial_dup_pairs(
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def grouped_percentiles(
+    df,
+    group_col: str,
+    value_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+):
+    """Exact per-group percentiles of a numeric column — the corpus
+    length/quality profile a mixing recipe is tuned against.
+
+    Uses Spark's exact ``percentile`` aggregate (linear interpolation at
+    rank (n-1)·p — the same definition as DuckDB ``quantile_cont`` and
+    numpy 'linear', so oracles match bit-for-bit including float
+    artifacts). Exact percentile holds all group values per partition
+    during the aggregate; at true corpus scale swap in
+    ``approx_percentile`` with a stated error bound — same call shape,
+    documented trade (the oracle then checks the exact twin only at
+    test scale).
+    """
+    agg = F.percentile(value_col, list(probs)).alias("__q")
+    out = df.groupBy(group_col).agg(agg, F.count("*").alias("n"))
+    cols = [F.col(group_col), F.col("n")] + [
+        F.col("__q")[i].alias(f"p{int(p * 100)}")
+        for i, p in enumerate(probs)
+    ]
+    return out.select(*cols)

@@ -1159,3 +1159,84 @@ class TestCompression:
             ).collect()
         }
         assert kept == {"ok"}
+
+
+class TestCorpusMixing:
+    def test_topk_per_group_ranks_and_ties(self, spark):
+        from ocr_search_spark.ops.sampling import topk_per_group
+
+        df = spark.createDataFrame(
+            [
+                ("en", "a", 10), ("en", "b", 30), ("en", "c", 20),
+                ("en", "d", 30),  # tie with b -> tiebreak on id asc
+                ("fr", "e", 5),
+            ],
+            "lang string, doc_id string, n int",
+        )
+        got = {
+            (r.lang, r.doc_id)
+            for r in topk_per_group(
+                df, "lang", "n", 2, tiebreak_col="doc_id"
+            ).collect()
+        }
+        assert got == {("en", "b"), ("en", "d"), ("fr", "e")}
+
+    def test_topk_ascending(self, spark):
+        from ocr_search_spark.ops.sampling import topk_per_group
+
+        df = spark.createDataFrame(
+            [("x", "a", 3), ("x", "b", 1), ("x", "c", 2)],
+            "g string, doc_id string, n int",
+        )
+        got = [
+            r.doc_id
+            for r in topk_per_group(
+                df, "g", "n", 1, descending=False, tiebreak_col="doc_id"
+            ).collect()
+        ]
+        assert got == ["b"]
+
+    def test_domain_blocklist_suffix_semantics(self, spark):
+        from ocr_search_spark.ops.scrub import domain_blocklist_filter
+
+        df = spark.createDataFrame(
+            [
+                ("d1", "x https://ads.example.org/banner"),   # subdomain of blocked
+                ("d2", "x https://example.org/page"),          # exact blocked
+                ("d3", "x https://notexample.org/ok"),         # NOT a suffix match
+                ("d4", "x https://safe.net/ok"),
+                ("d5", "no urls at all"),
+            ],
+            "doc_id string, text string",
+        )
+        kept = {
+            r.doc_id
+            for r in domain_blocklist_filter(
+                df, "doc_id", "text", ["example.org"]
+            ).collect()
+        }
+        assert kept == {"d3", "d4", "d5"}
+
+    def test_empty_blocklist_keeps_everything(self, spark):
+        from ocr_search_spark.ops.scrub import domain_blocklist_filter
+
+        df = spark.createDataFrame(
+            [("d1", "x https://a.b/p")], "doc_id string, text string"
+        )
+        assert domain_blocklist_filter(df, "doc_id", "text", []).count() == 1
+
+    def test_grouped_percentiles_match_numpy_linear(self, spark):
+        import numpy as np
+
+        from ocr_search_spark.ops.text_analysis import grouped_percentiles
+
+        vals = [3, 1, 4, 1, 5, 9, 2, 6]
+        df = spark.createDataFrame(
+            [("g", v) for v in vals], "grp string, v int"
+        )
+        row = grouped_percentiles(df, "grp", "v").collect()[0]
+        assert row.n == len(vals)
+        for p in (25, 50, 75, 90, 99):
+            assert row[f"p{p}"] == float(
+                np.percentile(vals, p, method="linear")
+            )
