@@ -526,6 +526,17 @@ def q_length_stats(spark, sf_dir):
     return grouped_percentiles(_docs(spark, sf_dir), "lang", "n_chars")
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Per-language deterministic downsampling (mixing-recipe rebalance:
+    en to 30%, es to 60%, others whole; ops/sampling.py md5-bucket filter
+    with a per-group CASE threshold — pushdown-safe, no RNG)."""
+    from ocr_search_spark.ops.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), "lang", {"en": 0.3, "es": 0.6}, salt="mix"
+    ).select("doc_id", "lang")
+
+
 def q_near_dedup_cc(spark, sf_dir):
     """Near-dedup with a CONNECTED-COMPONENTS keeper: the same LSH
     candidates → exact-Jaccard verify as near_dedup_survivors, then
@@ -1100,7 +1111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r1–r3 / r2–r3; see CORRECTNESS_r0{1,2,3}.json).  Third r4 batch:
     `topk_per_lang`, `domain_filter` and `length_stats` take the slots of
     `rank_cd`, `vocab_topk` and `deterministic_sample` (hash-exact r2+r3,
-    r2+r3, r1–r3 respectively).
+    r2+r3, r1–r3 respectively), and `stratified_sample` takes
+    `hash_split`'s (hash-exact r1–r3).
     """
     return {
         "fts_count": q_fts_count,
@@ -1137,7 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "domain_counts": q_domain_counts,
         "domain_filter": q_domain_filter,
-        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
         "length_stats": q_length_stats,
         "training_corpus": q_training_corpus,
         "training_corpus_cc": q_training_corpus_cc,
@@ -1164,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_cd": q_rank_cd,
         "vocab_topk": q_vocab_topk,
         "deterministic_sample": q_deterministic_sample,
+        "hash_split": q_hash_split,
         "simhash": q_simhash,
         "fts_count_postings": q_fts_count_postings,
         "fts_phrase": q_fts_phrase,
@@ -1781,6 +1794,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE ('0x' || substring(md5('s1' || doc_id), 1, 8))::BIGINT
                   % 10000 < 2500
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substring(md5('mix' || doc_id), 1, 8))::BIGINT
+                  % 10000
+                  < CASE WHEN lang = 'es' THEN 6000
+                         WHEN lang = 'en' THEN 3000
+                         ELSE 10000 END
         """,
         "training_corpus": f"""
             WITH t AS (

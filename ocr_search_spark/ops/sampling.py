@@ -101,3 +101,35 @@ def topk_per_group(
         .filter(F.col("__rn") <= int(k))
         .drop("__rn")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-group deterministic sampling — the language/domain rebalancing
+    step of a mixing recipe (e.g. downsample English to 30%, keep
+    low-resource languages whole). ``rates`` maps group value → keep
+    fraction; groups not listed keep ``default_rate``.
+
+    Same machinery as ``deterministic_sample`` (md5 hash-bucket filter:
+    repeatable, no RNG, no shuffle — the predicate pushes into the scan),
+    with the threshold chosen per row from the group column via a literal
+    CASE chain (rates maps are human-curated and small, so the expression
+    stays broadcast-free and codegen'd).
+    """
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {g!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    thresh = F.lit(int(round(default_rate * BUCKETS)))
+    for g, r in rates.items():
+        thresh = F.when(
+            F.col(group_col) == g, F.lit(int(round(r * BUCKETS)))
+        ).otherwise(thresh)
+    return df.filter(hash_bucket(id_col, salt) < thresh)

@@ -1240,3 +1240,32 @@ class TestCorpusMixing:
             assert row[f"p{p}"] == float(
                 np.percentile(vals, p, method="linear")
             )
+
+    def test_stratified_sample_rates_and_determinism(self, spark):
+        from ocr_search_spark.ops.sampling import (
+            deterministic_sample,
+            stratified_sample,
+        )
+
+        rows = [(f"d{i}", "en" if i % 2 == 0 else "sw") for i in range(2000)]
+        df = spark.createDataFrame(rows, "doc_id string, lang string")
+        out = stratified_sample(df, "lang", {"en": 0.2}, salt="x")
+        counts = {r.lang: r.c for r in out.groupBy("lang").agg(
+            F.count("*").alias("c")).collect()}
+        assert counts["sw"] == 1000            # unlisted group kept whole
+        assert 120 <= counts["en"] <= 280      # ~20% of 1000
+        # same salt → identical sample; the en subset equals the plain
+        # deterministic_sample of the en rows (same hash machinery)
+        again = {r.doc_id for r in stratified_sample(
+            df, "lang", {"en": 0.2}, salt="x").collect()}
+        assert {r.doc_id for r in out.collect()} == again
+        en_only = {r.doc_id for r in deterministic_sample(
+            df.filter(F.col("lang") == "en"), 0.2, salt="x").collect()}
+        assert {d for d in again if int(d[1:]) % 2 == 0} == en_only
+
+    def test_stratified_sample_validates_rates(self, spark):
+        from ocr_search_spark.ops.sampling import stratified_sample
+
+        df = spark.createDataFrame([("d", "en")], "doc_id string, lang string")
+        with pytest.raises(ValueError):
+            stratified_sample(df, "lang", {"en": 1.5})
