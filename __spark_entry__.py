@@ -526,6 +526,39 @@ def q_length_stats(spark, sf_dir):
     return grouped_percentiles(_docs(spark, sf_dir), "lang", "n_chars")
 
 
+def q_pack_shards(spark, sf_dir):
+    """Token-budget shard packing (corpus assembly): docs packed into
+    ~2000-char shards within 16 deterministic hash groups
+    (ops/sampling.py pack_shards — group window cumsum, one shuffle)."""
+    from ocr_search_spark.ops.sampling import pack_shards
+
+    return pack_shards(
+        _docs(spark, sf_dir), "doc_id", "n_chars",
+        target_tokens=2000, n_groups=16,
+    )
+
+
+def q_mojibake(spark, sf_dir):
+    """Encoding-damage signals over planted double-encoding artifacts
+    (ops/scrub.py mojibake_signals — ftfy-style heuristic, codegen'd
+    regexp; the \\x{...} pattern parses identically in Java and RE2)."""
+    from ocr_search_spark.ops.scrub import mojibake_signals
+
+    docs = _docs(spark, sf_dir)
+    # U+00C3 U+00A9 built from codepoints so no source-encoding ambiguity
+    artifact = chr(0xC3) + chr(0xA9)
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.repeat(F.lit(artifact), (F.col("doc_id") % 5).cast("int")),
+        ),
+    )
+    return mojibake_signals(planted, "text").select(
+        "doc_id", "n_mojibake", "mojibake_per_10k"
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Per-language deterministic downsampling (mixing-recipe rebalance:
     en to 30%, es to 60%, others whole; ops/sampling.py md5-bucket filter
@@ -1112,7 +1145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `topk_per_lang`, `domain_filter` and `length_stats` take the slots of
     `rank_cd`, `vocab_topk` and `deterministic_sample` (hash-exact r2+r3,
     r2+r3, r1–r3 respectively), and `stratified_sample` takes
-    `hash_split`'s (hash-exact r1–r3).
+    `hash_split`'s (hash-exact r1–r3).  Fourth r4 batch: `pack_shards`
+    and `mojibake` take the slots of `meta_filter` and
+    `ngram_jaccard_pairs` (both hash-exact r2+r3).
     """
     return {
         "fts_count": q_fts_count,
@@ -1124,11 +1159,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_signals": q_compression_signals,
         "dedup_exact": q_dedup_exact,
         "minhash": q_minhash,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "near_dedup_survivors": q_near_dedup_survivors,
         "near_dedup_cc": q_near_dedup_cc,
         "token_quality": q_token_quality,
         "token_counts": q_token_counts,
+        "pack_shards": q_pack_shards,
+        "mojibake": q_mojibake,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_partial_dups": q_winnow_partial_dups,
         "substring_dedup": q_substring_dedup,
@@ -1136,7 +1172,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "lang_id": q_lang_id,
         "quality_filter": q_quality_filter,
-        "meta_filter": q_meta_filter,
         "ann_cosine_topk": q_ann_cosine_topk,
         "cosine_neardup": q_cosine_neardup,
         "cosine_neardup_lsh": q_cosine_neardup_lsh,
@@ -1177,6 +1212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "deterministic_sample": q_deterministic_sample,
         "hash_split": q_hash_split,
+        "meta_filter": q_meta_filter,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash": q_simhash,
         "fts_count_postings": q_fts_count_postings,
         "fts_phrase": q_fts_phrase,
@@ -1210,6 +1247,9 @@ def _simhash_vote_sql(bits: int = 32) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    # portable mojibake pattern (\x{...} parses identically in Java & RE2)
+    from ocr_search_spark.ops.scrub import MOJIBAKE_PATTERN as _MOJI
+
     q = TRIGRAM_QUERY.lower()
     q_grams = sorted({q[i : i + 3] for i in range(len(q) - 2)})
     q_grams_sql = "[" + ", ".join("'" + g.replace("'", "''") + "'" for g in q_grams) + "]"
@@ -1794,6 +1834,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE ('0x' || substring(md5('s1' || doc_id), 1, 8))::BIGINT
                   % 10000 < 2500
+        """,
+        "pack_shards": """
+            SELECT doc_id, n_chars AS tokens,
+                   ('0x' || substring(md5('pack' || doc_id), 1, 8))::BIGINT
+                     % 16 AS shard_group,
+                   floor((sum(n_chars) OVER (
+                        PARTITION BY ('0x' || substring(md5('pack' || doc_id), 1, 8))::BIGINT % 16
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) - n_chars) / 2000)::BIGINT AS shard_idx
+            FROM documents
+        """,
+        "mojibake": f"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text || repeat(chr(195) || chr(169), (doc_id % 5)::INT) AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_MOJI}')) AS n_mojibake,
+                   floor(len(regexp_extract_all(text, '{_MOJI}')) * 10000
+                         / greatest(length(text), 1))::BIGINT AS mojibake_per_10k
+            FROM planted
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents

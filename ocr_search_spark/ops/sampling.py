@@ -133,3 +133,53 @@ def stratified_sample(
             F.col(group_col) == g, F.lit(int(round(r * BUCKETS)))
         ).otherwise(thresh)
     return df.filter(hash_bucket(id_col, salt) < thresh)
+
+
+def pack_shards(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    target_tokens: int,
+    n_groups: int = 1024,
+    salt: str = "pack",
+) -> DataFrame:
+    """Assign documents to training shards of ~ ``target_tokens`` each
+    (the corpus-assembly step before tokenized-sequence writing).
+
+    Global greedy packing is inherently sequential; the distributed form
+    packs independently inside ``n_groups`` deterministic hash groups:
+    within a group, documents are ordered by id, a running token total is
+    taken, and the shard index is the running total's bin by starting
+    offset (``floor((cum - n_tokens) / target)``) — consecutive docs
+    share a shard until the budget fills, and an oversized doc simply
+    spans its own shard. One shuffle (the group window); parallelism =
+    ``n_groups``, per-group state bounded by the group's rows. Returns
+    (id, tokens, shard_group, shard_idx) — ``(shard_group, shard_idx)``
+    is the shard key. Deterministic: same ids, same shards, every run.
+    """
+    if target_tokens <= 0:
+        raise ValueError("target_tokens must be positive")
+    from pyspark.sql import Window
+
+    grp = hash_bucket(id_col, salt, buckets=n_groups)
+    w = (
+        Window.partitionBy("shard_group")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(token_count_col).cast("long").alias("tokens"),
+            grp.alias("shard_group"),
+        )
+        .withColumn("__cum", F.sum("tokens").over(w))
+        .select(
+            id_col,
+            "tokens",
+            "shard_group",
+            F.floor(
+                (F.col("__cum") - F.col("tokens")) / F.lit(int(target_tokens))
+            ).alias("shard_idx"),
+        )
+    )

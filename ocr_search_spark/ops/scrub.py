@@ -126,3 +126,47 @@ def domain_blocklist_filter(
         return df
     offenders = doms.filter(hit).select(F.col("id").alias(id_col)).distinct()
     return df.join(offenders, id_col, "left_anti")
+
+
+#: classic UTF-8-decoded-as-Latin-1 artifacts: C3/C2 lead bytes rendered
+#: as 'A-tilde'/'A-circumflex' followed by a continuation-range char, the
+#: U+FFFD replacement char, and the D0/D1 pairs of double-encoded
+#: Cyrillic. \x{...} escapes parse identically in Java regex and RE2, so
+#: the DuckDB oracle runs the same pattern verbatim.
+MOJIBAKE_PATTERN = (
+    r"(\x{00c3}[\x{0080}-\x{00bf}]"
+    r"|\x{00c2}[\x{0080}-\x{00bf}]"
+    r"|\x{fffd}"
+    r"|\x{00d0}[\x{0080}-\x{00bf}]"
+    r"|\x{00d1}[\x{0080}-\x{00bf}])"
+)
+
+
+def mojibake_signals(df: DataFrame, text_col: str) -> DataFrame:
+    """Encoding-damage score (ftfy-style heuristic): counts of classic
+    double-encoding artifact sequences and the replacement character.
+    Adds ``n_mojibake`` (artifact count) and ``mojibake_per_10k``
+    (integer rate per 10k chars — integer so gates never compare
+    floats). Pure regexp column expressions, codegen'd."""
+    n = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(MOJIBAKE_PATTERN), F.lit(0))
+    ).cast("long")
+    return df.withColumns(
+        {
+            "n_mojibake": n,
+            "mojibake_per_10k": F.floor(
+                n * 10_000 / F.greatest(F.length(F.col(text_col)), F.lit(1))
+            ).cast("long"),
+        }
+    )
+
+
+def mojibake_filter(
+    df: DataFrame, text_col: str, max_per_10k: int = 10
+) -> DataFrame:
+    """Drop documents whose encoding-artifact rate exceeds
+    ``max_per_10k`` per 10k chars (integer comparison)."""
+    sig = mojibake_signals(df, text_col)
+    return sig.filter(F.col("mojibake_per_10k") <= int(max_per_10k)).drop(
+        "n_mojibake", "mojibake_per_10k"
+    )

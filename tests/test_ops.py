@@ -1269,3 +1269,80 @@ class TestCorpusMixing:
         df = spark.createDataFrame([("d", "en")], "doc_id string, lang string")
         with pytest.raises(ValueError):
             stratified_sample(df, "lang", {"en": 1.5})
+
+
+class TestPackShards:
+    def test_shard_budget_and_determinism(self, spark):
+        from ocr_search_spark.ops.sampling import pack_shards
+
+        rows = [(f"d{i:03d}", 300) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id string, n int")
+        out = pack_shards(df, "doc_id", "n", target_tokens=1000, n_groups=4)
+        pdf = out.toPandas()
+        # every doc assigned exactly once
+        assert len(pdf) == 100 and pdf.doc_id.nunique() == 100
+        # shard budget: each shard's token sum stays under target + one doc
+        sums = pdf.groupby(["shard_group", "shard_idx"]).tokens.sum()
+        assert (sums <= 1000 + 300).all()
+        # within a group, consecutive docs fill consecutive shards
+        g = pdf[pdf.shard_group == pdf.shard_group.iloc[0]].sort_values("doc_id")
+        assert list(g.shard_idx) == sorted(g.shard_idx)
+        # deterministic
+        again = pack_shards(df, "doc_id", "n", 1000, n_groups=4).toPandas()
+        assert pdf.sort_values("doc_id").reset_index(drop=True).equals(
+            again.sort_values("doc_id").reset_index(drop=True)
+        )
+
+    def test_oversized_doc_gets_own_shards(self, spark):
+        from ocr_search_spark.ops.sampling import pack_shards
+
+        df = spark.createDataFrame(
+            [("a", 100), ("b", 5000), ("c", 100)], "doc_id string, n int"
+        )
+        out = pack_shards(df, "doc_id", "n", target_tokens=1000, n_groups=1)
+        rows = {r.doc_id: r.shard_idx for r in out.collect()}
+        # b (5x the budget) starts its own shard; c lands past b's span
+        assert rows["a"] == 0 and rows["b"] == 0 and rows["c"] == 5
+
+
+class TestMojibake:
+    def test_signals_count_artifacts(self, spark):
+        from ocr_search_spark.ops.scrub import mojibake_signals
+
+        cyr = "привет".encode("utf-8").decode("latin-1")
+        acute = chr(0xC3) + chr(0xA9)
+        df = spark.createDataFrame(
+            [
+                ("clean", "perfectly fine text"),
+                ("bad", "caf" + acute + " " + acute + " �"),
+                ("cyr", cyr),
+                ("lead_only", "plain " + chr(0xD0) + " no continuation"),
+            ],
+            "doc_id string, text string",
+        )
+        got = {
+            r.doc_id: r.n_mojibake
+            for r in mojibake_signals(df, "text").collect()
+        }
+        assert got == {"clean": 0, "bad": 3, "cyr": 6, "lead_only": 0}
+
+    def test_filter_drops_damaged_docs(self, spark):
+        from ocr_search_spark.ops.scrub import mojibake_filter
+
+        acute = chr(0xC3) + chr(0xA9)
+        df = spark.createDataFrame(
+            [("ok", "x" * 10_000 + acute), ("bad", acute * 50)],
+            "doc_id string, text string",
+        )
+        kept = {r.doc_id for r in mojibake_filter(df, "text", 5).collect()}
+        assert kept == {"ok"}
+
+    def test_no_udf_in_plan(self, spark):
+        from ocr_search_spark.ops.scrub import mojibake_signals
+
+        df = spark.createDataFrame([("d", "x")], "doc_id string, text string")
+        plan = (
+            mojibake_signals(df, "text")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
