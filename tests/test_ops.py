@@ -1346,3 +1346,65 @@ class TestMojibake:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestRelationalRandomized:
+    def test_asof_and_range_match_naive_on_random_events(self, spark):
+        """Randomized (seeded) cross-check: the union+window as-of join and
+        the bucketed range join must match a brute-force O(n^2) in-memory
+        computation on irregular data — duplicate timestamps, empty keys,
+        boundary-exact gaps."""
+        import random
+
+        from ocr_search_spark.ops.relational import asof_join, range_join
+
+        rng = random.Random(42)
+        rows = []
+        for i in range(400):
+            rows.append(
+                (
+                    f"u{rng.randint(0, 9)}",
+                    rng.randint(0, 500),  # dense ts range forces ties
+                    i,
+                    rng.choice(["l", "r"]),
+                )
+            )
+        df = spark.createDataFrame(
+            rows, "k string, ets long, event_id long, side string"
+        )
+        l = df.filter(F.col("side") == "l").drop("side")
+        r = df.filter(F.col("side") == "r").drop("side")
+        lrows = [t for t in rows if t[3] == "l"]
+        rrows = [t for t in rows if t[3] == "r"]
+
+        got_asof = {
+            row.event_id: row.event_id_r
+            for row in asof_join(
+                l, r, on="k", left_ts="ets", right_ts="ets",
+                tiebreak="event_id",
+            ).collect()
+        }
+        want_asof = {}
+        for lk, lt, lid, _ in lrows:
+            cands = [
+                (rt, rid)
+                for rk, rt, rid, _ in rrows
+                if rk == lk and rt <= lt
+            ]
+            want_asof[lid] = max(cands)[1] if cands else None
+        assert got_asof == want_asof
+
+        W = 50
+        got_rj = {
+            (row.event_id, row.event_id_r)
+            for row in range_join(
+                l, r, on="k", left_ts="ets", right_ts="ets", lookback_s=W
+            ).collect()
+        }
+        want_rj = {
+            (lid, rid)
+            for lk, lt, lid, _ in lrows
+            for rk, rt, rid, _ in rrows
+            if rk == lk and lt - W <= rt <= lt
+        }
+        assert got_rj == want_rj
