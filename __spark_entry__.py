@@ -559,6 +559,46 @@ def q_mojibake(spark, sf_dir):
     )
 
 
+def q_mixing_corpus(spark, sf_dir):
+    """End-to-end corpus-assembly composition, fully oracled: plant
+    encoding damage + boilerplate → mojibake gate drops damaged docs →
+    corpus-wide duplicate-line removal strips the boilerplate →
+    stratified per-language rebalance → token-budget shard packing.
+    Every stage is an already-oracled operator; this pins that the
+    composition (filters → anti-join → window chain) stays exact."""
+    from ocr_search_spark.ops.lines import remove_duplicate_lines
+    from ocr_search_spark.ops.sampling import pack_shards, stratified_sample
+    from ocr_search_spark.ops.scrub import mojibake_filter
+
+    artifact = chr(0xC3) + chr(0xA9)
+    docs = _docs(spark, sf_dir)
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("subscribe to our newsletter\n"),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.lit("\nall rights reserved"),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(artifact * 200)
+            ).otherwise(F.lit("")),
+        ),
+    )
+    gated = mojibake_filter(planted, "text", max_per_10k=10)
+    cleaned = remove_duplicate_lines(gated, "doc_id", "text", min_docs=2)
+    with_lang = cleaned.join(docs.select("doc_id", "lang"), "doc_id")
+    mixed = stratified_sample(
+        with_lang, "lang", {"en": 0.3, "es": 0.6}, salt="mix"
+    )
+    packed = pack_shards(
+        mixed.withColumn("n_clean", F.length("text_clean")),
+        "doc_id", "n_clean", target_tokens=2000, n_groups=16,
+    )
+    return packed.select("doc_id", "tokens", "shard_group", "shard_idx")
+
+
 def q_stratified_sample(spark, sf_dir):
     """Per-language deterministic downsampling (mixing-recipe rebalance:
     en to 30%, es to 60%, others whole; ops/sampling.py md5-bucket filter
@@ -1147,7 +1187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r2+r3, r1–r3 respectively), and `stratified_sample` takes
     `hash_split`'s (hash-exact r1–r3).  Fourth r4 batch: `pack_shards`
     and `mojibake` take the slots of `meta_filter` and
-    `ngram_jaccard_pairs` (both hash-exact r2+r3).
+    `ngram_jaccard_pairs` (both hash-exact r2+r3), and the composed
+    `mixing_corpus` takes `events_hourly`'s (hash-exact r1–r3).
     """
     return {
         "fts_count": q_fts_count,
@@ -1177,7 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup_lsh": q_cosine_neardup_lsh,
         "cosine_near_dedup": q_cosine_near_dedup,
         "cosine_near_dedup_cc": q_cosine_near_dedup_cc,
-        "events_hourly": q_events_hourly,
+        "mixing_corpus": q_mixing_corpus,
         "pii_redact": q_pii_redact,
         "sessionize": q_sessionize,
         "topk_per_lang": q_topk_per_lang,
@@ -1214,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "meta_filter": q_meta_filter,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "events_hourly": q_events_hourly,
         "simhash": q_simhash,
         "fts_count_postings": q_fts_count_postings,
         "fts_phrase": q_fts_phrase,
@@ -1834,6 +1876,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE ('0x' || substring(md5('s1' || doc_id), 1, 8))::BIGINT
                   % 10000 < 2500
+        """,
+        "mixing_corpus": f"""
+            WITH planted AS (
+              SELECT doc_id, lang,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN 'subscribe to our newsletter' || chr(10)
+                          ELSE '' END
+                     || text || chr(10) || 'all rights reserved'
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN repeat(chr(195) || chr(169), 200)
+                             ELSE '' END AS text
+              FROM documents
+            ), gated AS (
+              SELECT * FROM planted
+              WHERE floor(len(regexp_extract_all(text, '{_MOJI}')) * 10000
+                          / greatest(length(text), 1))::BIGINT <= 10
+            ), ex AS (
+              SELECT doc_id, lang, u.line, u.pos
+              FROM gated, LATERAL (
+                SELECT unnest(string_split(text, chr(10))) AS line,
+                       generate_subscripts(string_split(text, chr(10)), 1) AS pos
+              ) u
+            ), dups AS (
+              SELECT md5(line) AS line_md5 FROM ex WHERE length(line) >= 1
+              GROUP BY md5(line) HAVING count(DISTINCT doc_id) >= 2
+            ), kept AS (
+              SELECT * FROM ex
+              WHERE md5(line) NOT IN (SELECT line_md5 FROM dups)
+            ), rebuilt AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean
+              FROM kept GROUP BY doc_id
+            ), totals AS (
+              SELECT DISTINCT doc_id, lang FROM ex
+            ), cleaned AS (
+              SELECT t.doc_id, t.lang, coalesce(r.text_clean, '') AS text_clean
+              FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+            ), mixed AS (
+              SELECT doc_id, length(text_clean) AS n_clean FROM cleaned
+              WHERE ('0x' || substring(md5('mix' || doc_id), 1, 8))::BIGINT
+                    % 10000
+                    < CASE WHEN lang = 'es' THEN 6000
+                           WHEN lang = 'en' THEN 3000
+                           ELSE 10000 END
+            )
+            SELECT doc_id, n_clean AS tokens,
+                   ('0x' || substring(md5('pack' || doc_id), 1, 8))::BIGINT
+                     % 16 AS shard_group,
+                   floor((sum(n_clean) OVER (
+                        PARTITION BY ('0x' || substring(md5('pack' || doc_id), 1, 8))::BIGINT % 16
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) - n_clean) / 2000)::BIGINT AS shard_idx
+            FROM mixed
         """,
         "pack_shards": """
             SELECT doc_id, n_chars AS tokens,
