@@ -149,6 +149,7 @@ def main() -> None:
         "range_join",
         "line_dedup",
         "compression_signals",
+        "mixing_corpus",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then
