@@ -1099,6 +1099,24 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_search(emb, emb.filter(F.col("vec_id") < 5), cents, k=10, n_probe=4)
 
 
+def q_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ANN (the billion-vector compression path):
+    md5-deterministic codebooks → per-subvector nearest-codeword encode
+    → asymmetric-distance top-k with fixed-point (integer) accumulation
+    so the distributed sum is order-independent and engine-exact
+    (ops/similarity.py pq_*)."""
+    from ocr_search_spark.ops.similarity import (
+        pq_adc_topk,
+        pq_codebooks_from_sample,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_codebooks_from_sample(emb, m=8, k=16, dim=64)
+    codes = pq_encode(emb, cb)
+    return pq_adc_topk(codes, cb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
 def q_ann_ivf_topk_join(spark, sf_dir):
     """IVF probe search through the broadcast-join strategy (the
     production-cell-count shape: centroids as data, struct-max argmax,
@@ -1187,8 +1205,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r2+r3, r1–r3 respectively), and `stratified_sample` takes
     `hash_split`'s (hash-exact r1–r3).  Fourth r4 batch: `pack_shards`
     and `mojibake` take the slots of `meta_filter` and
-    `ngram_jaccard_pairs` (both hash-exact r2+r3), and the composed
-    `mixing_corpus` takes `events_hourly`'s (hash-exact r1–r3).
+    `ngram_jaccard_pairs` (both hash-exact r2+r3), the composed
+    `mixing_corpus` takes `events_hourly`'s (hash-exact r1–r3), and
+    `pq_adc_topk` takes `winnow_partial_dups`'s (hash-exact r2+r3).
     """
     return {
         "fts_count": q_fts_count,
@@ -1207,7 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "mojibake": q_mojibake,
         "winnow_fingerprints": q_winnow_fingerprints,
-        "winnow_partial_dups": q_winnow_partial_dups,
+        "pq_adc_topk": q_pq_adc_topk,
         "substring_dedup": q_substring_dedup,
         "repetition_signals": q_repetition_signals,
         "gopher_filter": q_gopher_filter,
@@ -1256,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_filter": q_meta_filter,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "events_hourly": q_events_hourly,
+        "winnow_partial_dups": q_winnow_partial_dups,
         "simhash": q_simhash,
         "fts_count_postings": q_fts_count_postings,
         "fts_phrase": q_fts_phrase,
@@ -2079,6 +2099,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_buckets": _ann_lsh_oracle_sql(),
         "ann_ivf_topk": _ann_ivf_oracle_sql(),
+        "pq_adc_topk": _pq_adc_oracle_sql(),
         # the join strategy is bit-identical to the literal strategy by
         # construction — same oracle
         "ann_ivf_topk_join": _ann_ivf_oracle_sql(),
@@ -2617,6 +2638,69 @@ def _dd_cos(a: str, b: str, dim: int = 64) -> str:
     na = f"sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
     nb = f"sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))"
     return f"({dot} / ({na} * {nb}))"
+
+
+def _dd_l2sq(a: str, b: str, dim: int) -> str:
+    """DuckDB squared-L2 between two list columns — the same sequential
+    left fold as ops.similarity._l2sq (bit-identical doubles)."""
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)))"
+    )
+
+
+def _pq_adc_oracle_sql(m: int = 8, k_codes: int = 16, sub: int = 8, k: int = 10) -> str:
+    """PQ ADC oracle: md5-sample codebooks, per-subvector argmin encode
+    (ties → smaller code, matching min(struct(d, code))), fixed-point
+    integer ADC sum, top-k by (adist_micro, neighbor_id)."""
+    l2 = _dd_l2sq("sv", "cvec", sub)
+    l2q = _dd_l2sq("qsv", "cvec", sub)
+    return f"""
+        WITH samp AS (
+          SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS c,
+                 embedding AS v
+          FROM (SELECT vec_id, embedding FROM embeddings
+                ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k_codes})
+        ), subs AS (
+          SELECT unnest(range(0, {m})) AS s
+        ), cb AS (
+          SELECT s, c AS code, list_slice(v, s * {sub} + 1, s * {sub} + {sub}) AS cvec
+          FROM samp CROSS JOIN subs
+        ), slices AS (
+          SELECT vec_id AS id, s,
+                 list_slice(embedding, s * {sub} + 1, s * {sub} + {sub}) AS sv
+          FROM embeddings CROSS JOIN subs
+        ), enc AS (
+          SELECT id, s, code FROM (
+            SELECT id, sl.s, code,
+                   row_number() OVER (PARTITION BY id, sl.s
+                                      ORDER BY {l2} ASC, code ASC) AS rn
+            FROM slices sl JOIN cb ON sl.s = cb.s
+          ) WHERE rn = 1
+        ), q AS (
+          SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+          WHERE vec_id < 5
+        ), lut AS (
+          SELECT query_id, s, code,
+                 round({l2q} * 1000000)::BIGINT AS d_micro
+          FROM (
+            SELECT query_id, s, code, cvec,
+                   list_slice(qvec, s * {sub} + 1, s * {sub} + {sub}) AS qsv
+            FROM q CROSS JOIN cb
+          )
+        ), scored AS (
+          SELECT l.query_id, e.id AS neighbor_id,
+                 sum(d_micro)::BIGINT AS adist_micro
+          FROM enc e JOIN lut l ON e.s = l.s AND e.code = l.code
+          WHERE e.id <> l.query_id
+          GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, adist_micro, rnk FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adist_micro ASC, neighbor_id ASC) AS rnk
+          FROM scored
+        ) WHERE rnk <= {k}
+    """
 
 
 def _ann_ivf_oracle_sql(k_cent: int = 16, n_probe: int = 4, k: int = 10) -> str:

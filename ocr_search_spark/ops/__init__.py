@@ -25,6 +25,9 @@ from .similarity import (
     cosine_neardup_pairs_lsh,
     cosine_topk,
     hyperplane_lsh_buckets,
+    pq_adc_topk,
+    pq_codebooks_from_sample,
+    pq_encode,
 )
 from .relational import asof_join, range_join
 from .lines import remove_duplicate_lines
@@ -63,6 +66,9 @@ __all__ = [
     "cosine_neardup_pairs_exact",
     "cosine_neardup_pairs_lsh",
     "hyperplane_lsh_buckets",
+    "pq_adc_topk",
+    "pq_codebooks_from_sample",
+    "pq_encode",
     "asof_join",
     "range_join",
     "remove_duplicate_lines",

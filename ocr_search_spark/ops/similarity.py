@@ -514,3 +514,158 @@ def hyperplane_lsh_buckets(
     return df.select(
         F.col(id_col).alias("id"), F.concat(*bits).alias("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the billion-vector compression half of IVF-PQ
+# ---------------------------------------------------------------------------
+
+def _l2sq(a, b):
+    """Squared L2 between two array columns as the same sequential left
+    fold as _dot/_norm — bit-identical to the DuckDB list_sum twin."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebooks_from_sample(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int, list[float]]]:
+    """Deterministic PQ codebooks: subquantizer ``s``'s codeword ``c`` is
+    the ``s``-th subvector slice of the corpus vector with the c-th
+    smallest ``md5(id)`` (the same seeded-sample trick as
+    ivf_centroids_from_sample — no RNG, recomputable in any engine).
+    Returns driver-side [(s, code, subvector)], m·k entries — tiny by
+    construction (k ≤ 256 codewords in practice), the broadcast side of
+    every PQ join."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    rows = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.encode(F.col("id").cast("string"), "utf-8")), F.col("id"))
+        .limit(k)
+        .collect()
+    )
+    out = []
+    for s in range(m):
+        for c, r in enumerate(rows):
+            out.append((s, c, [float(x) for x in r.v[s * sub : (s + 1) * sub]]))
+    return out
+
+
+def _codebook_df(spark, codebooks):
+    return spark.createDataFrame(
+        [(s, c, v) for s, c, v in codebooks],
+        "s int, code int, cvec array<double>",
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[tuple[int, int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to its per-subquantizer nearest codeword:
+    (id, s, code). At k=256 this is an 8-bit code per subvector — for a
+    64-dim float corpus a 32× compression; the full-precision vectors
+    are never read again on the query path.
+
+    Shape: m× explode of the corpus (slices), broadcast join with the
+    m·k codebook, ``min(struct(dist, code))`` argmin per (id, s) — ties
+    on bit-identical distances break to the smaller code on both engines.
+    One shuffle (the argmin agg), plan independent of k.
+    """
+    spark = df.sparkSession
+    m = max(s for s, _, _ in codebooks) + 1
+    sub = len(codebooks[0][2])
+    slices = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice(F.col(vec_col), s * sub + 1, sub).alias("sv"),
+                )
+                for s in range(m)
+            ])
+        ).alias("e"),
+    ).select("id", F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
+    cb = F.broadcast(_codebook_df(spark, codebooks))
+    d = _l2sq(F.col("sv"), F.col("cvec"))
+    return (
+        slices.join(cb, "s")
+        .select("id", "s", F.struct(d.alias("d"), F.col("code").alias("code")).alias("dc"))
+        .groupBy("id", "s")
+        .agg(F.min("dc").alias("best"))
+        .select("id", "s", F.col("best.code").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: list[tuple[int, int, list[float]]],
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, build
+    the m·k lookup table of squared distances query-subvector →
+    codeword, join it against the code table on (s, code), and sum per
+    neighbor.
+
+    Determinism at scale: per-cell distances are bit-identical folds,
+    then FIXED-POINT accumulated — each cell is rounded to integer
+    micro-units (×10^6) before the per-neighbor sum, so the aggregate is
+    an order-independent integer sum (float summation order across m
+    partial aggregates is the one nondeterminism a distributed sum
+    cannot avoid; integers make it exact). Returns
+    (query_id, neighbor_id, adist_micro, rnk), rnk ≤ k, ties on
+    adist_micro break to the smaller neighbor id.
+    """
+    spark = codes.sparkSession
+    m = max(s for s, _, _ in codebooks) + 1
+    sub = len(codebooks[0][2])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cb = F.broadcast(_codebook_df(spark, codebooks))
+    lut = q.crossJoin(cb).select(
+        "query_id",
+        "s",
+        "code",
+        F.round(
+            _l2sq(F.slice(F.col("qvec"), F.col("s") * sub + 1, sub), F.col("cvec"))
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("d_micro"),
+    )
+    scored = (
+        codes.withColumnRenamed("id", "neighbor_id")
+        .join(lut, ["s", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d_micro").alias("adist_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist_micro").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= int(k))
+    )

@@ -1408,3 +1408,54 @@ class TestRelationalRandomized:
             if rk == lk and lt - W <= rt <= lt
         }
         assert got_rj == want_rj
+
+
+class TestProductQuantization:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rng = np.random.RandomState(11)
+        base = rng.rand(40, 16).astype("float64")
+        base[7] = base[3]  # planted exact duplicate pair (3, 7)
+        rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def _cb(self, emb):
+        from ocr_search_spark.ops.similarity import pq_codebooks_from_sample
+
+        return pq_codebooks_from_sample(emb, m=4, k=8, dim=16)
+
+    def test_codebook_shape_and_sample_determinism(self, emb):
+        cb = self._cb(emb)
+        assert len(cb) == 4 * 8
+        assert all(len(v) == 4 for _, _, v in cb)
+        # the sample is the md5-smallest ids — recompute independently
+        ids = [r.vec_id for r in emb.select("vec_id").collect()]
+        want = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:8]
+        vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+        for c, vid in enumerate(want):
+            got = next(v for s, code, v in cb if s == 0 and code == c)
+            assert got == pytest.approx(vecs[vid][:4])
+
+    def test_encode_complete_and_identical_vectors_share_codes(self, emb):
+        from ocr_search_spark.ops.similarity import pq_encode
+
+        codes = pq_encode(emb, self._cb(emb)).collect()
+        assert len(codes) == 40 * 4  # every (id, s) exactly once
+        assert all(0 <= r.code < 8 for r in codes)
+        by_id = {}
+        for r in codes:
+            by_id.setdefault(r.id, {})[r.s] = r.code
+        assert by_id[3] == by_id[7]  # exact duplicates → same code word
+
+    def test_adc_top1_is_planted_duplicate(self, emb):
+        from ocr_search_spark.ops.similarity import pq_adc_topk, pq_encode
+
+        cb = self._cb(emb)
+        codes = pq_encode(emb, cb)
+        res = pq_adc_topk(
+            codes, cb, emb.filter(F.col("vec_id") == 3), k=3
+        ).collect()
+        # identical codes → ADC distance equals the query's own
+        # quantization error, strictly the minimum → duplicate is top-1
+        assert res[0].neighbor_id == 7 and res[0].rnk == 1
+        assert res[0].adist_micro <= res[1].adist_micro
