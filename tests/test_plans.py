@@ -362,3 +362,20 @@ class TestAqeSkewJoin:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestPqPlans:
+    def test_encode_broadcasts_codebook(self, spark):
+        """The m·k codebook must always be the broadcast side — a shuffle
+        of the corpus against a few-thousand-row codebook would be the
+        classic small-side mistake at 10^12 vectors."""
+        from ocr_search_spark.ops.similarity import (
+            pq_codebooks_from_sample,
+            pq_encode,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        cb = pq_codebooks_from_sample(emb, m=8, k=16, dim=64)
+        plan = plan_of(pq_encode(emb, cb))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
