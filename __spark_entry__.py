@@ -1117,6 +1117,25 @@ def q_pq_adc_topk(spark, sf_dir):
     return pq_adc_topk(codes, cb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+def q_ivf_pq_topk(spark, sf_dir):
+    """Full IVF-PQ ANN: coarse-cell pruning (n_probe=4 of 16 cells) +
+    ADC scoring over PQ codes — the production billion-vector
+    architecture, composed from the two individually-oracled halves
+    (ops/similarity.py ivf_pq_topk)."""
+    from ocr_search_spark.ops.similarity import (
+        ivf_centroids_from_sample,
+        ivf_pq_topk,
+        pq_codebooks_from_sample,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids_from_sample(emb, k=16)
+    cb = pq_codebooks_from_sample(emb, m=8, k=16, dim=64)
+    return ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), cents, cb, k=10, n_probe=4
+    )
+
+
 def q_ann_ivf_topk_join(spark, sf_dir):
     """IVF probe search through the broadcast-join strategy (the
     production-cell-count shape: centroids as data, struct-max argmax,
@@ -1206,8 +1225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `hash_split`'s (hash-exact r1–r3).  Fourth r4 batch: `pack_shards`
     and `mojibake` take the slots of `meta_filter` and
     `ngram_jaccard_pairs` (both hash-exact r2+r3), the composed
-    `mixing_corpus` takes `events_hourly`'s (hash-exact r1–r3), and
-    `pq_adc_topk` takes `winnow_partial_dups`'s (hash-exact r2+r3).
+    `mixing_corpus` takes `events_hourly`'s (hash-exact r1–r3),
+    `pq_adc_topk` takes `winnow_partial_dups`'s (hash-exact r2+r3), and
+    `ivf_pq_topk` takes `cosine_neardup`'s (hash-exact r2+r3).
     """
     return {
         "fts_count": q_fts_count,
@@ -1233,7 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_filter": q_quality_filter,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "cosine_neardup": q_cosine_neardup,
+        "ivf_pq_topk": q_ivf_pq_topk,
         "cosine_neardup_lsh": q_cosine_neardup_lsh,
         "cosine_near_dedup": q_cosine_near_dedup,
         "cosine_near_dedup_cc": q_cosine_near_dedup_cc,
@@ -1276,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "events_hourly": q_events_hourly,
         "winnow_partial_dups": q_winnow_partial_dups,
+        "cosine_neardup": q_cosine_neardup,
         "simhash": q_simhash,
         "fts_count_postings": q_fts_count_postings,
         "fts_phrase": q_fts_phrase,
@@ -2100,6 +2121,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_buckets": _ann_lsh_oracle_sql(),
         "ann_ivf_topk": _ann_ivf_oracle_sql(),
         "pq_adc_topk": _pq_adc_oracle_sql(),
+        "ivf_pq_topk": _ivf_pq_oracle_sql(),
         # the join strategy is bit-identical to the literal strategy by
         # construction — same oracle
         "ann_ivf_topk_join": _ann_ivf_oracle_sql(),
@@ -2693,6 +2715,93 @@ def _pq_adc_oracle_sql(m: int = 8, k_codes: int = 16, sub: int = 8, k: int = 10)
                  sum(d_micro)::BIGINT AS adist_micro
           FROM enc e JOIN lut l ON e.s = l.s AND e.code = l.code
           WHERE e.id <> l.query_id
+          GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, adist_micro, rnk FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adist_micro ASC, neighbor_id ASC) AS rnk
+          FROM scored
+        ) WHERE rnk <= {k}
+    """
+
+
+def _ivf_pq_oracle_sql(
+    k_cent: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    sub: int = 8,
+    k: int = 10,
+) -> str:
+    """IVF-PQ oracle: the _ann_ivf_oracle_sql cell-pruning front composed
+    with the _pq_adc_oracle_sql encode/LUT scoring — candidates restricted
+    to probed cells before the ADC sum."""
+    l2 = _dd_l2sq("sv", "cvec", sub)
+    l2q = _dd_l2sq("qsv", "cvec", sub)
+    return f"""
+        WITH cent AS (
+          SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cid,
+                 embedding AS cevec
+          FROM (SELECT vec_id, embedding FROM embeddings
+                ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k_cent})
+        ), corpus AS (
+          SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+        ), asg AS (
+          SELECT neighbor_id, cid,
+                 row_number() OVER (PARTITION BY neighbor_id
+                                    ORDER BY {_dd_cos("cv", "cevec")} DESC, cid DESC) AS rn
+          FROM corpus CROSS JOIN cent
+        ), assigned AS (
+          SELECT neighbor_id, cid FROM asg WHERE rn = 1
+        ), q AS (
+          SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+          WHERE vec_id < 5
+        ), pr AS (
+          SELECT query_id, cid,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY {_dd_cos("qvec", "cevec")} DESC, cid DESC) AS rn
+          FROM q CROSS JOIN cent
+        ), probes AS (
+          SELECT query_id, cid FROM pr WHERE rn <= {n_probe}
+        ), cand AS (
+          SELECT p.query_id, a.neighbor_id
+          FROM probes p JOIN assigned a ON p.cid = a.cid
+          WHERE a.neighbor_id <> p.query_id
+        ), samp AS (
+          SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS c,
+                 embedding AS v
+          FROM (SELECT vec_id, embedding FROM embeddings
+                ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k_codes})
+        ), subs AS (
+          SELECT unnest(range(0, {m})) AS s
+        ), cb AS (
+          SELECT s, c AS code, list_slice(v, s * {sub} + 1, s * {sub} + {sub}) AS cvec
+          FROM samp CROSS JOIN subs
+        ), slices AS (
+          SELECT vec_id AS id, s,
+                 list_slice(embedding, s * {sub} + 1, s * {sub} + {sub}) AS sv
+          FROM embeddings CROSS JOIN subs
+        ), enc AS (
+          SELECT id, s, code FROM (
+            SELECT id, sl.s, code,
+                   row_number() OVER (PARTITION BY id, sl.s
+                                      ORDER BY {l2} ASC, code ASC) AS rn
+            FROM slices sl JOIN cb ON sl.s = cb.s
+          ) WHERE rn = 1
+        ), lut AS (
+          SELECT query_id, s, code,
+                 round({l2q} * 1000000)::BIGINT AS d_micro
+          FROM (
+            SELECT query_id, s, code, cvec,
+                   list_slice(qvec, s * {sub} + 1, s * {sub} + {sub}) AS qsv
+            FROM q CROSS JOIN cb
+          )
+        ), scored AS (
+          SELECT c.query_id, c.neighbor_id,
+                 sum(d_micro)::BIGINT AS adist_micro
+          FROM cand c
+          JOIN enc e ON e.id = c.neighbor_id
+          JOIN lut l ON l.query_id = c.query_id AND l.s = e.s AND l.code = e.code
           GROUP BY 1, 2
         )
         SELECT query_id, neighbor_id, adist_micro, rnk FROM (

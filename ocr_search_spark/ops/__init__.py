@@ -25,6 +25,7 @@ from .similarity import (
     cosine_neardup_pairs_lsh,
     cosine_topk,
     hyperplane_lsh_buckets,
+    ivf_pq_topk,
     pq_adc_topk,
     pq_codebooks_from_sample,
     pq_encode,
@@ -66,6 +67,7 @@ __all__ = [
     "cosine_neardup_pairs_exact",
     "cosine_neardup_pairs_lsh",
     "hyperplane_lsh_buckets",
+    "ivf_pq_topk",
     "pq_adc_topk",
     "pq_codebooks_from_sample",
     "pq_encode",

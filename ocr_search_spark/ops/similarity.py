@@ -669,3 +669,70 @@ def pq_adc_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= int(k))
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[tuple[int, int, list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full production ANN architecture: IVF coarse cells prune the
+    candidate set (each query visits ``n_probe`` cells), PQ codes score
+    the survivors via the ADC lookup join — full-precision vectors are
+    touched only at index-build time, never per query.
+
+    Composition of the two individually-oracled halves: ``ivf_assign``
+    (broadcast-join strategy) restricts the code table per query before
+    ``pq_adc_topk``'s LUT join; the fixed-point integer accumulation
+    keeps results deterministic. In production, `codes ⋈ assigned` is a
+    materialized table partitioned by cell id, so the probe join prunes
+    partitions instead of shuffling the corpus per query.
+    """
+    spark = corpus.sparkSession
+    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    assigned = (
+        ivf_assign(corpus, centroids, id_col, vec_col, method="join")
+        .select(F.col("id").alias("neighbor_id"), "centroid_id")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    probes = _ivf_probes_join(q, centroids, n_probe).select(
+        "query_id", "centroid_id"
+    )
+    cand = probes.join(assigned, "centroid_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select("query_id", "neighbor_id")
+
+    m = max(s for s, _, _ in codebooks) + 1
+    sub = len(codebooks[0][2])
+    cb = F.broadcast(_codebook_df(spark, codebooks))
+    lut = q.crossJoin(cb).select(
+        "query_id",
+        "s",
+        "code",
+        F.round(
+            _l2sq(F.slice(F.col("qvec"), F.col("s") * sub + 1, sub), F.col("cvec"))
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("d_micro"),
+    )
+    scored = (
+        cand.join(codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+        .join(lut, ["query_id", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d_micro").alias("adist_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist_micro").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= int(k))
+    )

@@ -1459,3 +1459,53 @@ class TestProductQuantization:
         # quantization error, strictly the minimum → duplicate is top-1
         assert res[0].neighbor_id == 7 and res[0].rnk == 1
         assert res[0].adist_micro <= res[1].adist_micro
+
+
+class TestIvfPq:
+    def test_composition_consistent_with_halves(self, spark):
+        """IVF-PQ results must (a) only contain neighbors assigned to the
+        query's probed cells and (b) score every shared (query, neighbor)
+        pair identically to the unrestricted ADC path."""
+        from pyspark.sql import functions as F
+
+        from ocr_search_spark.ops.similarity import (
+            ivf_assign,
+            ivf_centroids_from_sample,
+            ivf_pq_topk,
+            pq_adc_topk,
+            pq_codebooks_from_sample,
+            pq_encode,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        cents = ivf_centroids_from_sample(emb, k=16)
+        cb = pq_codebooks_from_sample(emb, m=8, k=16, dim=64)
+        queries = emb.filter(F.col("vec_id") < 3)
+
+        ivfpq = ivf_pq_topk(emb, queries, cents, cb, k=10, n_probe=4).collect()
+        assert {r.query_id for r in ivfpq} == {0, 1, 2}
+        assert all(r.rnk <= 10 for r in ivfpq)
+
+        # (b) ADC scores agree with the unrestricted PQ path
+        codes = pq_encode(emb, cb)
+        full = {
+            (r.query_id, r.neighbor_id): r.adist_micro
+            for r in pq_adc_topk(codes, cb, queries, k=500).collect()
+        }
+        for r in ivfpq:
+            assert full[(r.query_id, r.neighbor_id)] == r.adist_micro
+
+        # (a) neighbors come only from probed cells
+        assigned = {
+            r.id: r.centroid_id for r in ivf_assign(emb, cents).collect()
+        }
+        from ocr_search_spark.ops.similarity import _ivf_probes_join
+
+        q = queries.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        probes = {}
+        for r in _ivf_probes_join(q, cents, 4).collect():
+            probes.setdefault(r.query_id, set()).add(r.centroid_id)
+        for r in ivfpq:
+            assert assigned[r.neighbor_id] in probes[r.query_id]
