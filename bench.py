@@ -150,6 +150,8 @@ def main() -> None:
         "line_dedup",
         "compression_signals",
         "mixing_corpus",
+        "pq_adc_topk",
+        "ivf_pq_topk",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then
