@@ -118,6 +118,73 @@ def main() -> None:
         "split"
     ).count().orderBy("split").show()
 
+    print("== corpus hygiene: duplicate-line removal + mojibake gate")
+    from ocr_search_spark.ops.lines import remove_duplicate_lines
+    from ocr_search_spark.ops.scrub import mojibake_signals
+
+    boiler = content.withColumn(
+        "text", F.concat(F.lit("all rights reserved\n"), F.col("content"))
+    )
+    cleaned = remove_duplicate_lines(boiler, "doc_id", "text", min_docs=2)
+    cleaned.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_removed").alias("boilerplate_lines_removed"),
+    ).show()
+    mojibake_signals(content, "content").agg(
+        F.sum("n_mojibake").alias("total_artifacts")
+    ).show()
+
+    print("== corpus assembly: stratified rebalance -> ~4k-char shards")
+    from ocr_search_spark.ops.sampling import pack_shards, stratified_sample
+
+    lang_tagged = content.withColumn(
+        "lang", F.when(F.col("doc_id").substr(-1, 1) < "5", "ru").otherwise("en")
+    )
+    mixed = stratified_sample(lang_tagged, "lang", {"en": 0.5}, salt="demo")
+    shards = pack_shards(
+        mixed.withColumn("n", F.length("content")), "doc_id", "n",
+        target_tokens=4000, n_groups=8,
+    )
+    shards.groupBy("shard_group").agg(
+        F.countDistinct("shard_idx").alias("shards"),
+        F.count("*").alias("docs"),
+    ).orderBy("shard_group").show(4)
+
+    print("== temporal joins over the audit trail (as-of + 60s range)")
+    from ocr_search_spark.ops.relational import asof_join, range_join
+
+    audit = read_audit(spark, workdir).select(
+        "run_id", "partition_id", "docs",
+        F.col("committed_at").alias("ts"),
+    )
+    aj = asof_join(
+        audit, audit.select("run_id", "ts", F.col("docs").alias("d2")),
+        on="run_id", left_ts="ts", right_ts="ts", tiebreak="d2",
+    )
+    print(f"as-of rows: {aj.count()} (one per audit row, latest prior commit attached)")
+    rj = range_join(audit, audit, on="run_id", left_ts="ts", right_ts="ts", lookback_s=60)
+    print(f"range-join pairs within 60s: {rj.count()}")
+
+    print("== ANN: PQ codes + IVF-PQ probe search over doc fingerprint vectors")
+    from ocr_search_spark.ops.similarity import (
+        ivf_centroids_from_sample,
+        ivf_pq_topk,
+        pq_codebooks_from_sample,
+    )
+
+    vecs = content.select(
+        F.col("doc_id").alias("vec_id"),
+        F.array(*[
+            (F.conv(F.substring(F.md5(F.concat(F.col("content"), F.lit(str(i)))), 1, 4), 16, 10)
+             .cast("double") / F.lit(65535.0)).alias(f"d{i}")
+            for i in range(16)
+        ]).alias("embedding"),
+    )
+    cents = ivf_centroids_from_sample(vecs, k=8)
+    cb = pq_codebooks_from_sample(vecs, m=4, k=8, dim=16)
+    hits = ivf_pq_topk(vecs, vecs.limit(2), cents, cb, k=3, n_probe=3)
+    hits.show(6)
+
     print("== re-ingest: checkpoint ledger skips committed groups")
     print(store.ingest(docs, run_group="demo"))
 
