@@ -1472,18 +1472,28 @@ def oracle_sql() -> dict[str, str]:
                      ELSE text END AS text
               FROM documents
             )
+            -- staged counts: each type counted on the text as it stands
+            -- just before that type's redaction (matches ops/scrub.py)
             SELECT doc_id,
                    len(regexp_extract_all(text,
                        '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_email,
-                   len(regexp_extract_all(text,
+                   len(regexp_extract_all(t1,
                        '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS n_ipv4,
-                   len(regexp_extract_all(text,
+                   len(regexp_extract_all(t2,
                        '\\+?\\d[\\d\\- ]{6,}\\d')) AS n_phone,
-                   md5(regexp_replace(regexp_replace(regexp_replace(text,
-                       '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[PII]', 'g'),
-                       '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '[PII]', 'g'),
+                   md5(regexp_replace(t2,
                        '\\+?\\d[\\d\\- ]{6,}\\d', '[PII]', 'g')) AS red_md5
-            FROM planted
+            FROM (
+              SELECT doc_id, text, t1,
+                     regexp_replace(t1,
+                       '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '[PII]', 'g') AS t2
+              FROM (
+                SELECT doc_id, text,
+                       regexp_replace(text,
+                         '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[PII]', 'g') AS t1
+                FROM planted
+              )
+            )
         """,
         "domain_counts": """
             WITH planted AS (

@@ -79,9 +79,18 @@ def compression_filter(
     [min_ratio_pct, max_ratio_pct]: below the floor the text is
     pathologically repetitive (boilerplate/spam), above the cap it is
     high-entropy noise (binary-in-text, minified code). Integer
-    cross-multiplication — exact, no float comparison."""
+    cross-multiplication — exact, no float comparison.
+
+    Null and empty texts are DROPPED by design (explicitly, not via null
+    propagation): a quality gate cannot score a document with no
+    content, and no published ratio band admits the undefined 8/0
+    "ratio" of an empty deflate stream. Run the gate before operators
+    that may legitimately empty a doc (e.g. duplicate-line removal)."""
     sig = compression_signals(df, text_col, level)
-    keep = (F.col("n_zlib") * 100 >= F.col("n_bytes") * min_ratio_pct) & (
-        F.col("n_zlib") * 100 <= F.col("n_bytes") * max_ratio_pct
+    keep = (
+        F.col("n_bytes").isNotNull()
+        & (F.col("n_bytes") > 0)
+        & (F.col("n_zlib") * 100 >= F.col("n_bytes") * min_ratio_pct)
+        & (F.col("n_zlib") * 100 <= F.col("n_bytes") * max_ratio_pct)
     )
     return sig.filter(keep).drop("n_bytes", "n_zlib")

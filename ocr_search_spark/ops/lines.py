@@ -36,7 +36,9 @@ def explode_lines(
     the oracle's ``generate_subscripts`` twin matches. Keeps empty lines
     (they participate in re-assembly; they never count as duplicates —
     see ``duplicate_lines``)."""
-    arr = F.split(F.col(text_col), re.escape(delim), -1)
+    # null text behaves as empty text (one empty line) — a doc must never
+    # vanish from the corpus because its text column is null
+    arr = F.split(F.coalesce(F.col(text_col), F.lit("")), re.escape(delim), -1)
     return df.select(
         F.col(id_col).alias("id"), F.posexplode(arr).alias("pos0", "line")
     ).select(

@@ -74,12 +74,18 @@ def asof_join(
     max value wins); defaults to ``right_ts`` itself (only safe when
     (on, right_ts) is unique). ``tolerance_s``: if set, matches older
     than this many seconds are nulled out (pandas ``merge_asof``
-    tolerance semantics).
+    tolerance semantics; for timestamp columns the comparison is at
+    microsecond precision, for numeric ts columns the unit is the
+    caller's). Null handling: right rows with a null ``right_ts`` never
+    match (they are dropped from the join state — null is not "before
+    everything"); left rows with a null ``left_ts`` pass through with a
+    null match.
 
     Plan shape: union → one Exchange(hashpartitioning(on)) → Sort →
     running Window last() → filter. No join node at all.
     """
     tb = tiebreak or right_ts
+    right = right.filter(F.col(right_ts).isNotNull())
     r_payload = F.struct(
         *[F.col(c).alias(c) for c in right.columns if c != on]
     ).alias("__asof_r")
@@ -120,10 +126,20 @@ def asof_join(
         .filter(F.col("__asof_side") == 1)
     )
     if tolerance_s is not None:
-        in_tol = (
-            _epoch_s(matched, "__asof_ts") - _epoch_s(matched, "__match_ts")
-            <= F.lit(int(tolerance_s))
-        )
+        dt = matched.schema["__asof_ts"].dataType
+        if isinstance(dt, (TimestampType, TimestampNTZType)):
+            # microsecond-precision gap so sub-second components are not
+            # truncated away (pandas merge_asof tolerance semantics)
+            gap = F.unix_micros(
+                F.col("__asof_ts").cast("timestamp_ltz")
+            ) - F.unix_micros(F.col("__match_ts").cast("timestamp_ltz"))
+            budget = F.lit(int(tolerance_s) * 1_000_000)
+        else:
+            gap = F.col("__asof_ts").cast("long") - F.col("__match_ts").cast(
+                "long"
+            )
+            budget = F.lit(int(tolerance_s))
+        in_tol = gap <= budget
         matched = matched.withColumn(
             "__match", F.when(in_tol, F.col("__match"))
         ).withColumn("__match_ts", F.when(in_tol, F.col("__match_ts")))
@@ -160,9 +176,11 @@ def range_join(
     BroadcastNestedLoopJoin. The residual range predicate filters
     in-bucket false positives after the join.
     """
-    if lookback_s <= 0:
-        raise ValueError("lookback_s must be positive")
     w = int(lookback_s)
+    if w <= 0:
+        raise ValueError(
+            f"lookback_s must be a positive whole number of seconds, got {lookback_s!r}"
+        )
     r_bucket = F.floor(_epoch_s(right, right_ts) / w)
     l_epoch = _epoch_s(left, left_ts)
     r2 = right.select(

@@ -21,9 +21,12 @@ BUCKETS = 10_000
 
 
 def hash_bucket(id_col: Column | str, salt: str = "", buckets: int = BUCKETS) -> Column:
-    """Stable bucket in [0, buckets) from md5(salt || id)."""
+    """Stable bucket in [0, buckets) from md5(salt || id). Null ids hash
+    as the empty string, so every row — including null-id rows — gets a
+    deterministic bucket and no sampling/split operator can silently
+    change the corpus row count through null propagation."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    h = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    h = F.md5(F.concat(F.lit(salt), F.coalesce(c.cast("string"), F.lit(""))))
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets
 
 

@@ -55,12 +55,22 @@ def redact_pii(
 ) -> DataFrame:
     """Redact emails / IPv4 addresses / phone numbers and record per-type
     counts. Adds ``<text_col>_redacted`` (or ``out_col``) plus
-    ``n_email`` / ``n_ipv4`` / ``n_phone`` columns."""
+    ``n_email`` / ``n_ipv4`` / ``n_phone`` columns.
+
+    Counts are STAGED — each type is counted on the text as it stands
+    just before that type's redaction pass — so the counts always sum to
+    the number of redactions actually performed. (Counting every type on
+    the original text overstates overlaps: the digit run inside an email
+    would double-count as a phone even though only one span is redacted.)
+    """
     out = out_col or f"{text_col}_redacted"
     red = F.col(text_col)
-    for pat in PII_PATTERNS.values():
+    counts = {}
+    for name, pat in PII_PATTERNS.items():
+        counts[f"n_{name}"] = F.size(
+            F.regexp_extract_all(red, F.lit(pat), F.lit(0))
+        )
         red = F.regexp_replace(red, pat, repl)
-    counts = pii_counts(text_col)
     return df.withColumns({**counts, out: red})
 
 
@@ -109,22 +119,34 @@ def domain_blocklist_filter(
 ) -> DataFrame:
     """Drop every document containing a URL whose domain (or any parent
     domain) is blocklisted — the C4/RefinedWeb source-hygiene gate.
+    Suffix semantics: ``ads.example.org`` is blocked by ``example.org``,
+    but ``notexample.org`` is not (matches only on label boundaries).
 
-    Shape: extract domains (one regex pass + explode), match against the
-    blocklist (a broadcast-size literal set by construction: curated
-    blocklists are thousands of entries, not corpus-scale), anti-join
-    the offending doc ids. Suffix matching (``ads.example.org`` blocked
-    by ``example.org``) is expressed as domain = entry OR endswith
-    ('.' || entry) so subdomains can't dodge the list.
+    Shape: extract domains (one regex pass + explode), expand each
+    domain into its dot-boundary suffixes (``a.b.c`` → a.b.c, b.c, c —
+    bounded by label count, ≤ ~10 per URL), equi-join the broadcast
+    blocklist table, anti-join the offending doc ids. The blocklist is
+    DATA, not an expression: a 100k-entry curated list is one small
+    broadcast hash table, never a 100k-term boolean tree the optimizer
+    has to fold and codegen per row.
     """
-    doms = url_domains(df, id_col, text_col).select("id", "domain")
-    hit = None
-    for b in blocked:
-        cond = (F.col("domain") == b) | F.col("domain").endswith("." + b)
-        hit = cond if hit is None else (hit | cond)
-    if hit is None:
+    if not blocked:
         return df
-    offenders = doms.filter(hit).select(F.col("id").alias(id_col)).distinct()
+    bl = F.broadcast(
+        df.sparkSession.createDataFrame([(b,) for b in blocked], "entry string")
+    )
+    doms = url_domains(df, id_col, text_col).select("id", "domain")
+    parts = F.split(F.col("domain"), "\\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(0), F.size(parts) - 1),
+        lambda i: F.array_join(F.slice(parts, i + 1, F.size(parts)), "."),
+    )
+    offenders = (
+        doms.select("id", F.explode(suffixes).alias("entry"))
+        .join(bl, "entry")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
     return df.join(offenders, id_col, "left_anti")
 
 
@@ -147,15 +169,18 @@ def mojibake_signals(df: DataFrame, text_col: str) -> DataFrame:
     double-encoding artifact sequences and the replacement character.
     Adds ``n_mojibake`` (artifact count) and ``mojibake_per_10k``
     (integer rate per 10k chars — integer so gates never compare
-    floats). Pure regexp column expressions, codegen'd."""
+    floats). Null text counts as empty (0 artifacts, rate 0) so the gate
+    never silently drops null-text rows via null propagation. Pure
+    regexp column expressions, codegen'd."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     n = F.size(
-        F.regexp_extract_all(F.col(text_col), F.lit(MOJIBAKE_PATTERN), F.lit(0))
+        F.regexp_extract_all(txt, F.lit(MOJIBAKE_PATTERN), F.lit(0))
     ).cast("long")
     return df.withColumns(
         {
             "n_mojibake": n,
             "mojibake_per_10k": F.floor(
-                n * 10_000 / F.greatest(F.length(F.col(text_col)), F.lit(1))
+                n * 10_000 / F.greatest(F.length(txt), F.lit(1))
             ).cast("long"),
         }
     )

@@ -1509,3 +1509,137 @@ class TestIvfPq:
             probes.setdefault(r.query_id, set()).add(r.centroid_id)
         for r in ivfpq:
             assert assigned[r.neighbor_id] in probes[r.query_id]
+
+
+class TestReviewRegressions:
+    """Regressions for the round-4 self-review findings: null handling,
+    sub-second tolerance, staged PII counts, blocklist-as-data."""
+
+    def test_asof_null_right_ts_never_matches(self, spark):
+        from ocr_search_spark.ops.relational import asof_join
+
+        l = spark.createDataFrame(
+            [("k", 10, 1)], "k string, ets long, event_id long"
+        )
+        r = spark.createDataFrame(
+            [("k", None, 2)], "k string, ets long, event_id long"
+        )
+        out = asof_join(l, r, on="k", left_ts="ets", right_ts="ets",
+                        tiebreak="event_id").collect()
+        assert out[0].event_id_r is None
+
+    def test_asof_null_left_ts_passes_through(self, spark):
+        from ocr_search_spark.ops.relational import asof_join
+
+        l = spark.createDataFrame(
+            [("k", None, 1)], "k string, ets long, event_id long"
+        )
+        r = spark.createDataFrame(
+            [("k", 5, 2)], "k string, ets long, event_id long"
+        )
+        out = asof_join(l, r, on="k", left_ts="ets", right_ts="ets",
+                        tiebreak="event_id").collect()
+        assert len(out) == 1 and out[0].event_id_r is None
+
+    def test_asof_tolerance_subsecond_exact(self, spark):
+        import datetime as dt
+
+        from ocr_search_spark.ops.relational import asof_join
+
+        base = dt.datetime(2024, 1, 1)
+        l = spark.createDataFrame(
+            [("k", base + dt.timedelta(seconds=10, microseconds=900_000), 1)],
+            "k string, ts timestamp, event_id long",
+        )
+        r = spark.createDataFrame(
+            [("k", base + dt.timedelta(seconds=10), 2)],
+            "k string, ts timestamp, event_id long",
+        )
+        # real gap 0.9 s: tolerance 0 must reject (second-truncation would
+        # wrongly keep it)
+        rej = asof_join(l, r, on="k", left_ts="ts", right_ts="ts",
+                        tiebreak="event_id", tolerance_s=0).collect()
+        assert rej[0].event_id_r is None
+        acc = asof_join(l, r, on="k", left_ts="ts", right_ts="ts",
+                        tiebreak="event_id", tolerance_s=1).collect()
+        assert acc[0].event_id_r == 2
+
+    def test_range_join_fractional_lookback_rejected(self, spark):
+        from ocr_search_spark.ops.relational import range_join
+
+        df = spark.createDataFrame([("k", 1, 1)], "k string, ets long, event_id long")
+        with pytest.raises(ValueError):
+            range_join(df, df, on="k", left_ts="ets", right_ts="ets",
+                       lookback_s=0.5)
+
+    def test_line_dedup_null_text_survives(self, spark):
+        from ocr_search_spark.ops.lines import remove_duplicate_lines
+
+        df = spark.createDataFrame(
+            [("d1", "a\nb"), ("d2", None), ("d3", "a\nc")],
+            "doc_id string, text string",
+        )
+        out = {r.doc_id: r.text_clean for r in remove_duplicate_lines(
+            df, "doc_id", "text").collect()}
+        assert set(out) == {"d1", "d2", "d3"}  # no row loss
+        assert out["d2"] == ""
+
+    def test_sampling_null_id_no_row_loss(self, spark):
+        from ocr_search_spark.ops.sampling import (
+            deterministic_sample,
+            hash_split,
+        )
+
+        df = spark.createDataFrame(
+            [("a",), (None,)], "doc_id string"
+        )
+        assert deterministic_sample(df, 1.0).count() == 2
+        splits = hash_split(df, {"train": 0.5, "val": 0.5})
+        assert splits.count() == 2
+        assert all(r.split in ("train", "val") for r in splits.collect())
+
+    def test_compression_filter_drops_null_and_empty_explicitly(self, spark):
+        from ocr_search_spark.ops.compress import compression_filter
+
+        df = spark.createDataFrame(
+            [("ok", "a sensible sentence with normal words here today. " * 6),
+             ("empty", ""), ("null", None)],
+            "doc_id string, text string",
+        )
+        kept = {r.doc_id for r in compression_filter(
+            df, "text", min_ratio_pct=0, max_ratio_pct=100).collect()}
+        assert kept == {"ok"}
+
+    def test_mojibake_filter_keeps_null_text(self, spark):
+        from ocr_search_spark.ops.scrub import mojibake_filter
+
+        df = spark.createDataFrame(
+            [("d1", "clean"), ("d2", None)], "doc_id string, text string"
+        )
+        kept = {r.doc_id for r in mojibake_filter(df, "text").collect()}
+        assert kept == {"d1", "d2"}
+
+    def test_pii_counts_are_staged_on_overlap(self, spark):
+        from ocr_search_spark.ops.scrub import redact_pii
+
+        df = spark.createDataFrame(
+            [("d", "reach me a12345678@bco.com ok")],
+            "doc_id string, text string",
+        )
+        r = redact_pii(df, "text").collect()[0]
+        # one redaction happened -> counts must sum to 1, not 2
+        assert (r.n_email, r.n_ipv4, r.n_phone) == (1, 0, 0)
+        assert r.text_redacted == "reach me [PII] ok"
+
+    def test_blocklist_is_broadcast_data_not_expression(self, spark):
+        from ocr_search_spark.ops.scrub import domain_blocklist_filter
+
+        df = spark.createDataFrame(
+            [("d1", "x https://ads.example.org/banner")],
+            "doc_id string, text string",
+        )
+        big = [f"blocked{i}.test" for i in range(500)] + ["example.org"]
+        out = domain_blocklist_filter(df, "doc_id", "text", big)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert out.count() == 0  # suffix match still drops the doc
