@@ -411,6 +411,17 @@ def cosine_neardup_pairs_lsh(
             for b in range(n_bands)
         ]
     )
+    # wrong dim ⇒ null dot products ⇒ every band key identical ⇒ the
+    # scale path silently becomes an all-pairs join; fail loud instead
+    band_keys = F.when(F.size(F.col(vec_col)) == dim, band_keys).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"cosine_neardup_pairs_lsh: dim={dim} but vector has "),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(" elements"),
+            )
+        )
+    )
     keyed = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -505,15 +516,29 @@ def hyperplane_lsh_buckets(
 
     Vectors in the same bucket are ANN candidates; expected bucket
     population n/2^n_planes keeps the within-bucket join tractable.
+
+    A wrong ``dim`` fails LOUD (raise_error per row), never silent: a
+    mismatched zip_with pads with nulls, every sign bit would fall to
+    '0', and all vectors would collapse into one bucket — turning the
+    scale path into an O(n²) all-pairs join with meaningless candidates.
     """
     planes = _planes(dim, n_planes, seed)
     bits = []
     for p, plane in enumerate(planes):
         plane_lit = F.array(*[F.lit(v) for v in plane])
         bits.append(F.when(_dot(F.col(vec_col), plane_lit) >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return df.select(
-        F.col(id_col).alias("id"), F.concat(*bits).alias("bucket")
+    bucket = F.when(
+        F.size(F.col(vec_col)) == dim, F.concat(*bits)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"hyperplane_lsh_buckets: dim={dim} but vector has "),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(" elements"),
+            )
+        )
     )
+    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
 
 
 # ---------------------------------------------------------------------------
@@ -615,6 +640,28 @@ def pq_encode(
     )
 
 
+def _adc_lut(q: DataFrame, codebooks: list[tuple[int, int, list[float]]]) -> DataFrame:
+    """Per-query ADC lookup table (query_id, s, code, d_micro): squared
+    distance from each query subvector to each codeword, rounded to
+    integer micro-units (×10^6) so downstream sums are order-independent.
+    Shared by pq_adc_topk and ivf_pq_topk — the fixed-point discipline
+    must stay identical in both or the composed path desynchronizes from
+    its oracle. ``q`` must carry (query_id, qvec)."""
+    sub = len(codebooks[0][2])
+    cb = F.broadcast(_codebook_df(q.sparkSession, codebooks))
+    return q.crossJoin(cb).select(
+        "query_id",
+        "s",
+        "code",
+        F.round(
+            _l2sq(F.slice(F.col("qvec"), F.col("s") * sub + 1, sub), F.col("cvec"))
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("d_micro"),
+    )
+
+
 def pq_adc_topk(
     codes: DataFrame,
     codebooks: list[tuple[int, int, list[float]]],
@@ -637,24 +684,10 @@ def pq_adc_topk(
     (query_id, neighbor_id, adist_micro, rnk), rnk ≤ k, ties on
     adist_micro break to the smaller neighbor id.
     """
-    spark = codes.sparkSession
-    m = max(s for s, _, _ in codebooks) + 1
-    sub = len(codebooks[0][2])
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    cb = F.broadcast(_codebook_df(spark, codebooks))
-    lut = q.crossJoin(cb).select(
-        "query_id",
-        "s",
-        "code",
-        F.round(
-            _l2sq(F.slice(F.col("qvec"), F.col("s") * sub + 1, sub), F.col("cvec"))
-            * F.lit(1_000_000.0)
-        )
-        .cast("long")
-        .alias("d_micro"),
-    )
+    lut = _adc_lut(q, codebooks)
     scored = (
         codes.withColumnRenamed("id", "neighbor_id")
         .join(lut, ["s", "code"])
@@ -693,7 +726,6 @@ def ivf_pq_topk(
     materialized table partitioned by cell id, so the probe join prunes
     partitions instead of shuffling the corpus per query.
     """
-    spark = corpus.sparkSession
     codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
     assigned = (
         ivf_assign(corpus, centroids, id_col, vec_col, method="join")
@@ -709,20 +741,7 @@ def ivf_pq_topk(
         F.col("neighbor_id") != F.col("query_id")
     ).select("query_id", "neighbor_id")
 
-    m = max(s for s, _, _ in codebooks) + 1
-    sub = len(codebooks[0][2])
-    cb = F.broadcast(_codebook_df(spark, codebooks))
-    lut = q.crossJoin(cb).select(
-        "query_id",
-        "s",
-        "code",
-        F.round(
-            _l2sq(F.slice(F.col("qvec"), F.col("s") * sub + 1, sub), F.col("cvec"))
-            * F.lit(1_000_000.0)
-        )
-        .cast("long")
-        .alias("d_micro"),
-    )
+    lut = _adc_lut(q, codebooks)
     scored = (
         cand.join(codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
         .join(lut, ["query_id", "s", "code"])

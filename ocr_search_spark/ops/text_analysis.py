@@ -130,10 +130,19 @@ def rolling_fingerprints_expr(col: Column | str, window: int = 8) -> Column:
     staged projections keep the HOF lambdas on attributes)."""
     toks = tokens_expr(_col(col))
     n = F.size(toks)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(0))),
-        lambda i: F.md5(F.encode(F.concat_ws(" ", F.slice(toks, i, window)), "utf-8")),
-    )
+    # guard shorter-than-window docs: sequence(1, 0) is a DESCENDING
+    # array in Spark and its 0 start crashes F.slice — same landmine
+    # winnow_fingerprints guards against (CaseWhen is lazily evaluated,
+    # so the crashing branch never runs for short docs)
+    return F.when(
+        n >= window,
+        F.transform(
+            F.sequence(F.lit(1), n - window + 1),
+            lambda i: F.md5(
+                F.encode(F.concat_ws(" ", F.slice(toks, i, window)), "utf-8")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def whitespace_count_expr(col: Column | str) -> Column:
@@ -473,7 +482,12 @@ def substring_dedup(
         "id", F.col("f.fp").alias("fp"), F.col("f.pos").alias("pos")
     )
     flat = hot_fingerprint_filter(flat, "fp", max_doc_freq)
-    a = flat.select(F.col("id").alias("a_id"), F.col("fp").alias("fp"))
+    # one a-side row per (doc, fp) — a fingerprint repeated at many
+    # positions WITHIN one doc must not multiply the posting join rows
+    # (the within-doc analogue of the cross-doc hot-fp guard above)
+    a = flat.select(F.col("id").alias("a_id"), F.col("fp").alias("fp")).dropDuplicates(
+        ["a_id", "fp"]
+    )
     b = flat.select(
         F.col("id").alias("b_id"), F.col("fp").alias("fp"), F.col("pos").alias("b_pos")
     )

@@ -42,8 +42,12 @@ def range_join_stream(
     late a row may arrive and therefore how much join state is retained
     beyond the ``lookback_s`` window itself.
     """
+    lookback_s = int(lookback_s)
     if lookback_s <= 0:
-        raise ValueError("lookback_s must be positive")
+        raise ValueError(
+            "lookback_s must be a positive whole number of seconds "
+            "(same contract as the batch range_join)"
+        )
     l2 = left.withWatermark(left_ts, watermark).alias("__l")
     r_cols = [
         F.col(c).alias(f"__r_{c}") for c in right.columns

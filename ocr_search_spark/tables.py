@@ -26,7 +26,17 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+#: import-time snapshot, kept for backward compatibility; the functions
+#: below re-read the env var at call time so a driver that sets
+#: SPARK_GRAFT_TABLE_FORMAT after import (CLI-arg parsing, tests) is
+#: honored instead of silently staying on parquet
 TABLE_FORMAT = os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "parquet")
+
+
+def _table_format() -> str:
+    # env var wins when set (call-time config); falls back to the module
+    # attribute so tests/programmatic overrides of TABLE_FORMAT still work
+    return os.environ.get("SPARK_GRAFT_TABLE_FORMAT", TABLE_FORMAT)
 
 
 def write_table(
@@ -40,17 +50,19 @@ def write_table(
     ``partition_by`` lays rows out under ``col=value/`` directories in
     parquet mode. In Iceberg mode the table's partition spec is declared at
     create time: ``createOrReplace`` applies it via ``partitionedBy``;
-    ``append`` relies on the existing spec (the catalog routes rows)."""
-    if TABLE_FORMAT == "iceberg":
+    ``append`` relies on the existing spec (the catalog routes rows) and
+    creates the table on first write — DataFrameWriterV2.append() alone
+    errors on a missing table, which would break every append-only
+    pipeline's first batch."""
+    if _table_format() == "iceberg":
         writer = df.writeTo(identifier)
         if mode == "append":
-            writer.append()
+            if not df.sparkSession.catalog.tableExists(identifier):
+                _apply_partitioning(writer, partition_by).create()
+            else:
+                writer.append()
         elif mode == "overwrite":
-            if partition_by:
-                from pyspark.sql import functions as F
-
-                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
-            writer.createOrReplace()
+            _apply_partitioning(writer, partition_by).createOrReplace()
         else:
             raise ValueError(f"unsupported mode {mode!r}")
         return
@@ -60,14 +72,22 @@ def write_table(
     w.parquet(identifier)
 
 
+def _apply_partitioning(writer, partition_by: tuple[str, ...] | None):
+    if partition_by:
+        from pyspark.sql import functions as F
+
+        writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+    return writer
+
+
 def read_table(spark: SparkSession, identifier: str) -> DataFrame:
-    if TABLE_FORMAT == "iceberg":
+    if _table_format() == "iceberg":
         return spark.read.table(identifier)
     return spark.read.parquet(identifier)
 
 
 def table_exists(spark: SparkSession, identifier: str) -> bool:
-    if TABLE_FORMAT == "iceberg":
+    if _table_format() == "iceberg":
         return spark.catalog.tableExists(identifier)
     try:
         spark.read.parquet(identifier).schema
@@ -105,7 +125,17 @@ def write_bucketed_table(
     bucketed (same col, same n) shows a SortMergeJoin/ShuffledHashJoin
     with NO Exchange on either side.
     """
-    if TABLE_FORMAT == "iceberg":
+    if _table_format() == "iceberg":
+        if sort_col is not None:
+            # DataFrameWriterV2 has no sort-order API; Iceberg sort
+            # orders are declared via ALTER TABLE ... WRITE ORDERED BY.
+            # Refuse loudly rather than silently dropping the documented
+            # within-bucket-sort invariant.
+            raise ValueError(
+                "sort_col is not supported in Iceberg mode — declare the "
+                "table's sort order via ALTER TABLE ... WRITE ORDERED BY "
+                "after creation, then call with sort_col=None"
+            )
         from pyspark.sql import functions as F
 
         writer = df.writeTo(name).partitionedBy(

@@ -1643,3 +1643,58 @@ class TestReviewRegressions:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert out.count() == 0  # suffix match still drops the doc
+
+
+class TestReviewRegressions2:
+    """Second review batch: short-doc crash, LSH dim validation, stream
+    lookback guard, PQ LUT sharing."""
+
+    def test_rolling_fingerprints_short_doc_is_empty_not_crash(self, spark):
+        from ocr_search_spark.ops.text_analysis import rolling_fingerprints_expr
+
+        df = spark.createDataFrame(
+            [("d1", "one two three"), ("d2", ""), ("d3", "w " * 20)],
+            "doc_id string, text string",
+        )
+        rows = {
+            r.doc_id: r.fps
+            for r in df.select(
+                "doc_id", rolling_fingerprints_expr("text").alias("fps")
+            ).collect()
+        }
+        assert rows["d1"] == [] and rows["d2"] == []
+        assert len(rows["d3"]) == 20 - 8 + 1
+
+    def test_lsh_dim_mismatch_fails_loud(self, spark):
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import SparkRuntimeException
+
+        from ocr_search_spark.ops.similarity import hyperplane_lsh_buckets
+
+        df = spark.createDataFrame(
+            [(1, [0.1] * 16)], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+            hyperplane_lsh_buckets(df, dim=32, n_planes=4).collect()
+
+    def test_stream_range_join_fractional_lookback_rejected(self, spark):
+        from ocr_search_spark.streaming.join_stream import range_join_stream
+
+        df = spark.createDataFrame(
+            [("k", 1, 1)], "k string, ts long, event_id long"
+        )
+        with pytest.raises(ValueError):
+            range_join_stream(df, df, on="k", lookback_s=0.5)
+
+    def test_ivf_pq_and_pq_share_lut_values(self, spark):
+        """After the LUT extraction both paths must produce identical
+        adist for shared pairs (already asserted in TestIvfPq) — here we
+        just pin that _adc_lut is the single construction site."""
+        import inspect
+
+        from ocr_search_spark.ops import similarity
+
+        src_pq = inspect.getsource(similarity.pq_adc_topk)
+        src_ivfpq = inspect.getsource(similarity.ivf_pq_topk)
+        assert "_adc_lut(" in src_pq and "_adc_lut(" in src_ivfpq
+        assert "1_000_000" not in src_pq and "1_000_000" not in src_ivfpq
