@@ -359,26 +359,33 @@ def q_pii_redact(spark, sf_dir):
     )
 
 
+def _planted_urls(docs, with_mirror: bool = True):
+    """Plant site{doc_id%20}.example.org URLs into every fifth doc
+    (+ a shared mirror URL when ``with_mirror``) — computed identically
+    in the DuckDB twins of domain_counts and domain_filter."""
+    parts = [
+        F.col("text"),
+        F.lit(" see https://site"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.org/p/"),
+        F.col("doc_id").cast("string"),
+    ]
+    if with_mirror:
+        parts.append(F.lit(" and https://mirror.example.net/x"))
+    return docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(*parts)).otherwise(
+            F.col("text")
+        ),
+    )
+
+
 def q_domain_counts(spark, sf_dir):
     """Per-domain URL/document counts over planted URLs (source-mixing
     statistic; ops/scrub.py url explode + map-side-combinable agg)."""
     from ocr_search_spark.ops.scrub import domain_counts
 
-    docs = _docs(spark, sf_dir)
-    planted = docs.withColumn(
-        "text",
-        F.when(
-            F.col("doc_id") % 5 == 0,
-            F.concat(
-                F.col("text"),
-                F.lit(" see https://site"),
-                (F.col("doc_id") % 20).cast("string"),
-                F.lit(".example.org/p/"),
-                F.col("doc_id").cast("string"),
-                F.lit(" and https://mirror.example.net/x"),
-            ),
-        ).otherwise(F.col("text")),
-    )
+    planted = _planted_urls(_docs(spark, sf_dir), with_mirror=True)
     return domain_counts(planted, "doc_id", "text")
 
 
@@ -497,20 +504,7 @@ def q_domain_filter(spark, sf_dir):
     offender anti-join; suffix semantics pytest-covered)."""
     from ocr_search_spark.ops.scrub import domain_blocklist_filter
 
-    docs = _docs(spark, sf_dir)
-    planted = docs.withColumn(
-        "text",
-        F.when(
-            F.col("doc_id") % 5 == 0,
-            F.concat(
-                F.col("text"),
-                F.lit(" see https://site"),
-                (F.col("doc_id") % 20).cast("string"),
-                F.lit(".example.org/p/"),
-                F.col("doc_id").cast("string"),
-            ),
-        ).otherwise(F.col("text")),
-    )
+    planted = _planted_urls(_docs(spark, sf_dir), with_mirror=False)
     return domain_blocklist_filter(
         planted, "doc_id", "text", ["site5.example.org", "site15.example.org"]
     ).select("doc_id")
@@ -623,17 +617,43 @@ def q_near_dedup_cc(spark, sf_dir):
     ).select("doc_id")
 
 
+#: the stopword signature shared by every quality gate below — ONE
+#: definition, mirrored verbatim by the three oracle SQL twins
+_EN_STOP_WORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def _quality_signals():
+    """The (n_tokens, n_stop, n_punct) column triple every quality gate
+    uses, defined once so the standalone filter, the signal query, and
+    the composed training pipelines can never drift apart (they share
+    oracle SQL twins that assume identical expressions)."""
+    en_stop = F.array(*[F.lit(w) for w in _EN_STOP_WORDS])
+    n_tokens = F.size("toks")
+    n_stop = F.size(F.filter("toks", lambda t: F.array_contains(en_stop, t)))
+    n_punct = F.length(F.regexp_replace("text", "[^.,;:!?]", ""))
+    return n_tokens, n_stop, n_punct
+
+
+def _quality_keep(n_tokens, n_stop, n_punct):
+    """min length + stopword-ratio + punctuation-ratio, integer-scaled."""
+    return (
+        (n_tokens >= 30)
+        & (n_stop * 20 >= n_tokens)
+        & (n_punct * 10 <= n_tokens * 3)
+    )
+
+
 def q_token_quality(spark, sf_dir):
     """Token counting + quality-scoring signals as integer counts."""
     from ocr_search_spark.search.analysis import with_search_columns
 
     d = with_search_columns(_docs(spark, sf_dir), "text")
-    en_stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in", "is")])
+    n_tokens, n_stop, n_punct = _quality_signals()
     return d.select(
         "doc_id",
-        F.size("toks").alias("n_tokens"),
-        F.length(F.regexp_replace("text", "[^.,;:!?]", "")).alias("n_punct"),
-        F.size(F.filter("toks", lambda t: F.array_contains(en_stop, t))).alias("n_stopwords"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stopwords"),
         F.aggregate("toks", F.lit(0), lambda acc, t: acc + F.length(t)).alias("token_chars"),
     )
 
@@ -645,15 +665,8 @@ def q_quality_filter(spark, sf_dir):
     from ocr_search_spark.search.analysis import with_search_columns
 
     d = with_search_columns(_docs(spark, sf_dir), "text")
-    en_stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in", "is")])
-    n_tokens = F.size("toks")
-    n_stop = F.size(F.filter("toks", lambda t: F.array_contains(en_stop, t)))
-    n_punct = F.length(F.regexp_replace("text", "[^.,;:!?]", ""))
-    keep = (
-        (n_tokens >= 30)
-        & (n_stop * 20 >= n_tokens)
-        & (n_punct * 10 <= n_tokens * 3)
-    )
+    n_tokens, n_stop, n_punct = _quality_signals()
+    keep = _quality_keep(n_tokens, n_stop, n_punct)
     return d.filter(keep).select("doc_id", n_tokens.alias("n_tokens"))
 
 
@@ -905,20 +918,14 @@ def _quality_gated(spark, sf_dir):
     from ocr_search_spark.search.analysis import with_search_columns
 
     d = with_search_columns(_docs(spark, sf_dir), "text")
-    en_stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in", "is")])
-    n_tokens = F.size("toks")
-    n_stop = F.size(F.filter("toks", lambda t: F.array_contains(en_stop, t)))
-    n_punct = F.length(F.regexp_replace("text", "[^.,;:!?]", ""))
+    n_tokens, n_stop, n_punct = _quality_signals()
     en_votes = F.size(
         F.array_intersect(
             F.array_distinct("toks"), F.array(F.lit("the"), F.lit("a"), F.lit("of"))
         )
     )
     return d.filter(
-        (n_tokens >= 30)
-        & (n_stop * 20 >= n_tokens)
-        & (n_punct * 10 <= n_tokens * 3)
-        & (en_votes > 0)
+        _quality_keep(n_tokens, n_stop, n_punct) & (en_votes > 0)
     ).select("doc_id", "text")
 
 
@@ -1685,7 +1692,7 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
                    len(list_filter({_TOK},
                        t -> list_contains(['the','a','of','and','to','in','is'], t))) AS n_stopwords,
-                   CAST(list_sum(list_transform({_TOK}, t -> length(t))) AS BIGINT) AS token_chars
+                   CAST(coalesce(list_sum(list_transform({_TOK}, t -> length(t))), 0) AS BIGINT) AS token_chars
             FROM documents
         """,
         "token_counts": rf"""

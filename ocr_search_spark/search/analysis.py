@@ -55,10 +55,15 @@ def trigrams_of_lc(lc: Column | str) -> Column:
     interpreted transform (measured ~10× slower at 5k docs).
     """
     c = F.col(lc) if isinstance(lc, str) else lc
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(c) - 2, F.lit(0))),
-            lambda i: F.substring(c, i, 3),
+    # guard len < 3: greatest(len-2, 0) would make sequence(1, 0) — a
+    # DESCENDING [1, 0] in Spark — and emit a bogus short gram the DuckDB
+    # twin (range(1, greatest(L-1, 1)) = []) does not
+    return F.when(F.length(c) < 3, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(c) - 2),
+                lambda i: F.substring(c, i, 3),
+            )
         )
     )
 

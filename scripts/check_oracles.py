@@ -34,8 +34,12 @@ def value_hash(pdf) -> str:
 def _norm_cell(v) -> str:
     import math
 
+    import numpy as np
+
     if v is None:
         return "NULL"
+    if isinstance(v, (bool, np.bool_)):
+        return str(int(v))  # normalize True/1 across engines (numpy-aware)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -46,8 +50,6 @@ def _norm_cell(v) -> str:
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
-    if isinstance(v, bool):
-        return str(int(v))  # normalize True/1 across engines
     return str(v)
 
 
@@ -58,6 +60,11 @@ def main() -> int:
     from ocr_search_spark.session import get_spark
 
     only = set(sys.argv[1:])
+    unknown = only - set(entry.queries())
+    if unknown:
+        # silently matching nothing would print a vacuous ALL OK
+        print(f"unknown query name(s): {sorted(unknown)}")
+        return 2
     spark = get_spark("oracle-check", cores=8, shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:

@@ -79,13 +79,14 @@ def main() -> None:
 
     print("== near-dedup survivors (LSH candidates -> verify -> keeper)")
     survivors = near_dedup(content, "doc_id", "content", threshold=0.5)
-    print(f"docs={content.count()} survivors={survivors.count()}")
+    n_surv = survivors.count()  # count once — the DAG is uncached
+    print(f"docs={content.count()} survivors={n_surv}")
 
     print("== near-dedup, cluster keeper (min-label propagation)")
     from ocr_search_spark.ops.dedup import near_dedup_cc
 
     cc = near_dedup_cc(content, "doc_id", "content", threshold=0.5)
-    print(f"cluster-keeper survivors={cc.count()} (pairwise kept {survivors.count()})")
+    print(f"cluster-keeper survivors={cc.count()} (pairwise kept {n_surv})")
 
     print("== Gopher repetition gate + passage-level substring dedup")
     from ocr_search_spark.ops.text_analysis import repetition_filter, substring_dedup
