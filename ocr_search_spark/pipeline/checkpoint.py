@@ -36,11 +36,13 @@ each group still fans out across all executors.
 from __future__ import annotations
 
 import os
+import re
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from .extract import SPANS_OUT_SCHEMA, extract_documents
 from ..tables import read_table, write_table
@@ -57,6 +59,24 @@ class SimulatedFailure(RuntimeError):
 
 class IncompatibleCheckpointError(RuntimeError):
     """The out_dir holds a ledger written by an older layout version."""
+
+
+#: run_group charset: the id becomes a Hive partition VALUE (r=<run_id>)
+#: and Spark percent-escapes special chars on write while our path
+#: builders do not — a ':' or '%' in the group name would stage data
+#: under an escaped directory the readers never look at and the vacuum
+#: would then DELETE as an orphan. Reject instead of corrupting.
+_RUN_GROUP_RE = re.compile(r"^[A-Za-z0-9._-]+$")
+
+
+def _validate_run_group(run_group: str) -> None:
+    if not _RUN_GROUP_RE.match(run_group):
+        raise ValueError(
+            f"run_group {run_group!r} must match [A-Za-z0-9._-]+ — it is "
+            "embedded in Hive partition paths, and characters Spark "
+            "percent-escapes (':', '%', '/', '=', …) would desynchronize "
+            "the staged files from the reader/vacuum paths"
+        )
 
 
 def _ledger_path(out_dir: str) -> str:
@@ -78,7 +98,10 @@ def group_attempt_path(out_dir: str, group_id: int, run_id: str) -> str:
 def read_ledger(spark: SparkSession, out_dir: str) -> DataFrame | None:
     try:
         ledger = read_table(spark, _ledger_path(out_dir))
-    except Exception:
+    except AnalysisException:
+        # missing-path == "no checkpoint yet"; anything else (permission,
+        # corruption, transient IO) must surface — mapping it to None
+        # would silently re-extract everything or publish empty views
         return None
     if "num_groups" not in ledger.columns:
         # pre-attempt-dir ledger format (flat spans/ appends, parallelism-
@@ -97,7 +120,7 @@ def read_ledger(spark: SparkSession, out_dir: str) -> DataFrame | None:
 def read_audit(spark: SparkSession, out_dir: str) -> DataFrame | None:
     try:
         return read_table(spark, _audit_path(out_dir))
-    except Exception:
+    except AnalysisException:  # missing path only — see read_ledger
         return None
 
 
@@ -226,6 +249,7 @@ def compact_group_outputs(
     }
     if not latest:
         return {"run_group": run_group, "groups_compacted": 0, "run_id": None}
+    _validate_run_group(run_group)
     compact_id = f"{run_group}-compact-{uuid.uuid4().hex[:8]}"
     num_groups = _ledger_rows(spark, out_dir, run_group)[0].num_groups
 
@@ -272,11 +296,20 @@ def compact_group_outputs(
     }
 
 
-def vacuum_uncommitted(spark: SparkSession, out_dir: str) -> list[str]:
+def vacuum_uncommitted(
+    spark: SparkSession, out_dir: str, min_age_s: float = 3600.0
+) -> list[str]:
     """Delete staged attempt directories that no ledger row ever published
     (crash leftovers) or that a later republication superseded. Driver-side
     filesystem walk — parquet mode only (Iceberg expires snapshots instead).
-    Returns the removed paths."""
+    Returns the removed paths.
+
+    ``min_age_s`` (default 1 h) protects attempts staged by a STILL-RUNNING
+    extraction: staging completes before the ledger row is appended, so a
+    concurrently-running vacuum would otherwise see the not-yet-published
+    attempt as an orphan and delete data the run is about to commit. Only
+    attempts whose directory mtime is older than the guard are touched;
+    pass ``min_age_s=0`` only when no extraction can be in flight."""
     import os
     import shutil
 
@@ -285,6 +318,7 @@ def vacuum_uncommitted(spark: SparkSession, out_dir: str) -> list[str]:
         return []
     latest = _latest_publications(spark, out_dir)
     live = {(r.group_id, r.run_id) for r in latest.values()}
+    now = time.time()
     removed = []
     for gdir in sorted(os.listdir(root)):
         if not gdir.startswith("g="):
@@ -294,8 +328,13 @@ def vacuum_uncommitted(spark: SparkSession, out_dir: str) -> list[str]:
             if not rdir.startswith("r="):
                 continue
             rid = rdir.split("=", 1)[1]
+            path = os.path.join(root, gdir, rdir)
             if (g, rid) not in live:
-                path = os.path.join(root, gdir, rdir)
+                try:
+                    if now - os.path.getmtime(path) < min_age_s:
+                        continue  # possibly staged by a run in flight
+                except OSError:
+                    continue
                 shutil.rmtree(path, ignore_errors=True)
                 removed.append(path)
     return removed
@@ -330,6 +369,7 @@ def run_extraction(
     """
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 2
+    _validate_run_group(run_group)
     run_id = f"{run_group}-{uuid.uuid4().hex[:8]}"
     prior = _ledger_rows(spark, out_dir, run_group)
     for r in prior:

@@ -57,7 +57,20 @@ _OUT_SPAN_TYPE = pa.struct(
 
 
 def add_partition_salt(df: DataFrame, num_partitions: int) -> DataFrame:
-    """Deterministic salt column + shuffle (SURVEY.md §4 skew defense)."""
+    """Deterministic salt column + shuffle (SURVEY.md §4 skew defense).
+
+    PHYSICAL-BALANCE CAVEAT (documented, deliberate): repartition(P, key)
+    re-hashes the already-uniform salt, a balls-into-bins assignment —
+    at P keys into P partitions ~1/e of partitions are empty and the
+    busiest holds 2-3 keys. Every call site therefore passes
+    ``num_partitions ≈ 2× cores`` so the task scheduler absorbs the
+    imbalance (measured: 41-50k docs/s at local[32] with P=64, and the
+    N→4N scaling samples pass at this layout). The alternative — a bare
+    round-robin ``repartition(P)`` — balances perfectly but scatters each
+    salt key across all partitions, multiplying the per-(g, r) file count
+    of the checkpointed ``partitionBy(g, r)`` write by num_groups. The
+    salt's job is deterministic group membership + giant-doc spreading,
+    not exact physical balance."""
     return df.withColumn(
         "part_id",
         F.pmod(F.xxhash64(F.col("doc_id")), F.lit(num_partitions)).cast("int"),

@@ -134,8 +134,33 @@ def _decode_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
 
 def folder_to_documents(scanned: DataFrame) -> DataFrame:
     """S4 + decode: scanned files → the interleaved documents shape
-    (one span per file; a file is a single-span document)."""
+    (one span per file; a file is a single-span document).
+
+    doc_id is the bare filename — except when a recursive scan holds
+    same-named files in different directories, which get a ``#<md5(path)
+    prefix>`` suffix so two unrelated files can never silently merge into
+    one document downstream (groupBy(doc_id) in the content build would
+    concatenate them; the reference dedups colliding names the same way,
+    with a suffix). The uniqueness check is a window count over filename
+    — one shuffle at ingest, the same cost class as the reference's
+    per-name DB lookup.
+    """
+    from pyspark.sql import Window
+
     from .corpus import SPANS_IN_SCHEMA
+
+    w = Window.partitionBy("filename")
+    scanned = scanned.withColumn(
+        "filename",
+        F.when(
+            F.count("*").over(w) > 1,
+            F.concat(
+                F.col("filename"),
+                F.lit("#"),
+                F.substring(F.md5(F.col("path")), 1, 8),
+            ),
+        ).otherwise(F.col("filename")),
+    )
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
@@ -170,7 +195,11 @@ def write_text_sink(flat_spans: DataFrame, out_dir: str) -> int:
         for pdf in batches:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 safe = str(doc_id).replace("/", "_")
-                with open(os.path.join(out_dir, f"{safe}.txt"), "w") as f:
+                # explicit utf-8: executor locale must not decide the
+                # bytes (LC_ALL=C would crash on the Cyrillic corpus)
+                with open(
+                    os.path.join(out_dir, f"{safe}.txt"), "w", encoding="utf-8"
+                ) as f:
                     f.write(text or "")
             yield pd.DataFrame({"n": [len(pdf)]})
 

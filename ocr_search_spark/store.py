@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .ops.metadata import metadata_map_expr
-from .pipeline import explode_spans, run_extraction
+from .pipeline import run_extraction
 from .pipeline.checkpoint import committed_spans_latest, output_path
 from .pipeline.extract import ordered_text_agg
 from .search.engine import build_postings, search_documents
@@ -76,7 +76,17 @@ class DocumentStore:
         # order is non-contractual), and attach the reference's
         # documents-row companions: filename / path_origin (search.py:92-98
         # link composition) + the exiftool-analogue meta map (models.py:14)
-        flat = explode_spans(committed_spans_latest(self.spark, self.root))
+        # explode_outer, not the inner explode_spans flat view: a document
+        # whose extraction produced zero spans must still get a content
+        # row (the reference always keeps a documents row per file)
+        flat = committed_spans_latest(self.spark, self.root).select(
+            "doc_id", F.explode_outer("spans").alias("span")
+        ).select(
+            "doc_id",
+            F.col("span.kind").alias("kind"),
+            F.coalesce(F.col("span.text"), F.lit("")).alias("text"),
+            F.col("span.order").alias("order"),
+        )
         ext = F.coalesce(F.min_by("kind", "order"), F.lit("txt"))
         content = flat.groupBy("doc_id").agg(
             ordered_text_agg("text", "order").alias("content"),
@@ -94,6 +104,15 @@ class DocumentStore:
                 ext=F.regexp_extract("filename", r"\.([a-z]+)$", 1),
             ),
         )
+        # KNOWN LIMIT (parquet mode): the two derived-table overwrites are
+        # not one atomic publish — a crash between them (or a concurrent
+        # reader mid-overwrite) can observe content/postings from
+        # different rebuilds until the next ingest. The durable span data
+        # itself is protected by the ledgered stage-then-publish protocol
+        # and a re-run of ingest rebuilds both views; in Iceberg mode each
+        # overwrite is a snapshot commit and readers never see partial
+        # tables. A serving deployment should rebuild into fresh paths and
+        # swap a pointer, or run on Iceberg.
         write_table(content, self.content_path, mode="overwrite")
         docs = read_table(self.spark, self.content_path)
         write_table(

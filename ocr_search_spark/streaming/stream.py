@@ -70,10 +70,26 @@ def write_batch_idempotent(
     the streaming twin of the batch ledger's stage-then-publish idempotence
     (attempt dirs ``spans/g=<g>/r=<run_id>``, pipeline/checkpoint.py).
     Readers scan ``output_path`` and see ``b`` as a partition column.
+
+    STAGE-THEN-RENAME, not in-place overwrite: mode('overwrite') first
+    clears the target and then writes task by task, so a concurrent
+    reader (or a crash mid-replay) would observe an empty/partial batch
+    directory for the whole write duration. Staging to a temp sibling
+    and renaming shrinks the non-atomic window to a directory swap
+    (atomic on POSIX/HDFS renames; on object stores readers should list
+    batches via a manifest instead).
     """
+    import os
+    import shutil
+    import uuid as _uuid
+
+    target = f"{output_path}/b={int(batch_id)}"
+    stage = f"{output_path}/.stage-b={int(batch_id)}-{_uuid.uuid4().hex[:8]}"
     extract_documents(batch_df, num_partitions).write.mode("overwrite").parquet(
-        f"{output_path}/b={int(batch_id)}"
+        stage
     )
+    shutil.rmtree(target, ignore_errors=True)
+    os.rename(stage, target)
 
 
 def windowed_event_counts(

@@ -191,7 +191,7 @@ def main() -> None:
 
     print("== compaction: republish each group as one file, vacuum orphans")
     print(compact_group_outputs(spark, workdir, "demo"))
-    print(f"vacuumed {len(vacuum_uncommitted(spark, workdir))} superseded dirs")
+    print(f"vacuumed {len(vacuum_uncommitted(spark, workdir, min_age_s=0))} superseded dirs")
     print(f"committed rows: {committed_spans(spark, workdir, 'demo').count()}")
 
     spark.stop()

@@ -1698,3 +1698,64 @@ class TestReviewRegressions2:
         src_ivfpq = inspect.getsource(similarity.ivf_pq_topk)
         assert "_adc_lut(" in src_pq and "_adc_lut(" in src_ivfpq
         assert "1_000_000" not in src_pq and "1_000_000" not in src_ivfpq
+
+
+class TestReviewRegressions3:
+    """Third review batch (pipeline/storage layer)."""
+
+    def test_run_group_with_hive_special_chars_rejected(self, spark, tmp_path):
+        from ocr_search_spark.pipeline.checkpoint import run_extraction
+
+        df = spark.createDataFrame([("d", [])], "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+        with pytest.raises(ValueError, match="run_group"):
+            run_extraction(spark, df, str(tmp_path / "o"), run_group="nightly:eu")
+
+    def test_vacuum_spares_young_attempts(self, spark, tmp_path):
+        """An attempt staged seconds ago must survive the default vacuum
+        (it may belong to a run that has not published yet)."""
+        import os
+
+        from ocr_search_spark.pipeline.checkpoint import vacuum_uncommitted
+
+        root = tmp_path / "v" / "spans" / "g=0" / "r=young-run"
+        os.makedirs(root)
+        (root / "part-0.parquet").write_bytes(b"")
+        assert vacuum_uncommitted(spark, str(tmp_path / "v")) == []
+        removed = vacuum_uncommitted(spark, str(tmp_path / "v"), min_age_s=0)
+        assert len(removed) == 1
+
+    def test_folder_ingest_disambiguates_same_named_files(self, spark, tmp_path):
+        from ocr_search_spark.sources import folder_to_documents, scan_folder_df
+
+        (tmp_path / "a").mkdir()
+        (tmp_path / "b").mkdir()
+        (tmp_path / "a" / "report.txt").write_text("alpha content", encoding="utf-8")
+        (tmp_path / "b" / "report.txt").write_text("beta content", encoding="utf-8")
+        (tmp_path / "only.txt").write_text("unique", encoding="utf-8")
+        docs = folder_to_documents(
+            scan_folder_df(spark, str(tmp_path), allowed_ext=None)
+        ).collect()
+        ids = sorted(r.doc_id for r in docs)
+        assert len(ids) == 3 and len(set(ids)) == 3
+        assert "only.txt" in ids  # unique names stay bare
+        dups = [i for i in ids if i.startswith("report.txt#")]
+        assert len(dups) == 2  # collisions get distinct path-hash suffixes
+        texts = {r.doc_id: r.spans[0]["text"] for r in docs}
+        assert {texts[d] for d in dups} == {"alpha content", "beta content"}
+
+    def test_store_keeps_zero_span_documents(self, spark, tmp_path):
+        from ocr_search_spark.store import DocumentStore
+
+        rows = [
+            ("full", [{"kind": "txt", "text": "hello world", "media_ref": "", "offset": 0}]),
+            ("hollow", []),  # extraction produced nothing
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+        )
+        store = DocumentStore(spark, str(tmp_path / "s"))
+        store.ingest(df, run_group="zs", num_partitions=2, num_groups=1)
+        content = {r.doc_id: r.content for r in spark.read.parquet(store.content_path).collect()}
+        assert set(content) == {"full", "hollow"}  # no row loss
+        assert content["hollow"] == ""

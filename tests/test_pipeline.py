@@ -219,7 +219,7 @@ class TestResume:
         run_extraction(spark, input_df, out, "rgV", num_partitions=8, num_groups=2)
         compact_group_outputs(spark, out, "rgV")  # supersedes originals
         golden = _golden(docs)
-        removed = vacuum_uncommitted(spark, out)
+        removed = vacuum_uncommitted(spark, out, min_age_s=0)
         # removed: the orphan attempt + the superseded pre-compaction dirs
         assert len(removed) == 3
         assert len(glob.glob(f"{out}/spans/g=*/r=*")) == 2  # live attempts only
