@@ -110,6 +110,12 @@ def lsh_candidate_pairs(
     one extra aggregate on the already-shuffled (band, bucket) key —
     broadcast back as a semi-join.
     """
+    if n_hashes % band_size:
+        # a trailing short band would reference mh columns that do not
+        # exist (opaque AnalysisException at plan time) — reject up front
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be divisible by band_size ({band_size})"
+        )
     # one pass: each row explodes into its (band, bucket) keys — no N-way
     # self-union re-evaluating the signature plan per band
     band_structs = [
@@ -200,7 +206,23 @@ def verified_near_dup_pairs(
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
     cand = lsh_candidate_pairs(sig, n_hashes, band_size, max_bucket_size)
 
-    sh = _with_shingles(df, id_col, text_col, shingle_k)
+    # shingle ONLY the candidate docs: LSH candidates are a tiny fraction
+    # of the corpus by construction, and the tokenize+shingle build is the
+    # dominant scan — without this semi-join the verification re-shingles
+    # the full corpus twice (once per join side)
+    cand_ids = (
+        cand.select(F.col("a_id").alias("id"))
+        .unionByName(cand.select(F.col("b_id").alias("id")))
+        .distinct()
+    )
+    sh = _with_shingles(
+        df.join(
+            cand_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
+        ),
+        id_col,
+        text_col,
+        shingle_k,
+    )
     pairs = cand.join(
         sh.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a")), "a_id"
     ).join(sh.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b")), "b_id")

@@ -127,13 +127,29 @@ def websearch_match_postings(
     return out.dropDuplicates(["doc_id"]) if len(group_results) > 1 else out
 
 
+def _parse_filter_ts(value: str, name: str):
+    """Driver-side timestamp validation: an unparseable bound must raise
+    (the reference's parameter binding would), never cast to NULL and
+    silently filter out every row."""
+    from datetime import datetime
+
+    try:
+        return datetime.fromisoformat(value)
+    except ValueError:
+        raise ValueError(
+            f"{name}={value!r} is not an ISO date/timestamp "
+            "(YYYY-MM-DD[ HH:MM:SS])"
+        ) from None
+
+
 def _apply_common_filters(df: DataFrame, ocr_user, ocr_from, ocr_to) -> DataFrame:
     """Date-range + ILIKE predicates (Q2/Q3 — search.py:53-55)."""
     if "created_at" in df.columns:
+        lo = _parse_filter_ts(ocr_from or DEFAULT_FROM, "ocr_from")
+        hi = _parse_filter_ts(ocr_to or DEFAULT_TO, "ocr_to")
         df = df.filter(
             F.col("created_at").between(
-                F.lit(ocr_from or DEFAULT_FROM).cast("timestamp"),
-                F.lit(ocr_to or DEFAULT_TO).cast("timestamp"),
+                F.lit(lo).cast("timestamp"), F.lit(hi).cast("timestamp")
             )
         )
     if ocr_user and "email" in df.columns:
@@ -215,8 +231,14 @@ def search_documents(
     parsed = parse_websearch(q)
     terms = positive_terms(parsed)
     filtered = _apply_common_filters(docs, ocr_user, ocr_from, ocr_to)
+    corpus_scope = filtered  # pre-FTS-match scope (bm25 IDF base)
 
-    if parsed:
+    if q and not parsed:
+        # token-free query ('???', bare 'or'): websearch_to_tsquery yields
+        # an EMPTY tsquery, and `@@ empty` matches no rows — matching the
+        # whole corpus here would invert the reference semantics
+        filtered = filtered.filter(F.lit(False))
+    elif parsed:
         if postings is not None and is_plain_and(parsed):
             # scale path (plain AND of terms): semi-join matching doc ids
             terms_set = {it.words[0] for it in parsed[0]}
@@ -252,12 +274,38 @@ def search_documents(
         from .ranking import bm25_scores, cover_density_rank
 
         if rank_mode == "cd":
-            ranks = cover_density_rank(
-                filtered, terms, id_col="doc_id", text_col="content"
-            ).select("doc_id", F.col("rank_cd").alias("__rank"))
+            # per-OR-group proximity: cover_density_rank enforces AND over
+            # its term list, so 'alpha or beta' must rank each group
+            # separately (a doc matching only one branch is a legitimate
+            # match) and take the best branch — ts_rank_cd semantics
+            group_ranks = []
+            for gi, group in enumerate(parsed):
+                gterms = list(
+                    dict.fromkeys(
+                        w for it in group if not it.negated for w in it.words
+                    )
+                )
+                if not gterms:
+                    continue
+                group_ranks.append(
+                    cover_density_rank(
+                        filtered, gterms, id_col="doc_id", text_col="content"
+                    ).select("doc_id", F.col("rank_cd").alias(f"__r{gi}"))
+                )
+            ranks = group_ranks[0]
+            for r in group_ranks[1:]:
+                ranks = ranks.join(r, "doc_id", "full")
+            rcols = [
+                F.coalesce(F.col(c), F.lit(0.0))
+                for c in ranks.columns
+                if c != "doc_id"
+            ]
+            best = rcols[0] if len(rcols) == 1 else F.greatest(*rcols)
+            ranks = ranks.select("doc_id", best.alias("__rank"))
         elif rank_mode == "bm25":
             ranks = bm25_scores(
-                filtered, terms, id_col="doc_id", text_col="content"
+                filtered, terms, id_col="doc_id", text_col="content",
+                stats_over=corpus_scope,
             ).select("doc_id", F.col("bm25").alias("__rank"))
         else:
             raise ValueError(f"unknown rank_mode: {rank_mode!r}")
@@ -274,9 +322,24 @@ def search_documents(
     base = with_search_columns(base, "content")
     if rank_col is None:
         rank_col = rank_expr(F.col("toks"), terms)
+    if terms:
+        # highlight the first query term the document actually contains
+        # (an OR match via a later branch must not get an empty snippet);
+        # bounded chain — at most 4 locate/substr probes per row
+        snip = F.coalesce(
+            *[
+                F.nullif(snippet_expr("content", t), F.lit(""))
+                for t in terms[:4]
+            ],
+            F.lit(""),
+        )
+    else:
+        # filter-only search: a leading fragment, no highlight — an empty
+        # highlight term would <b></b>-garble every character boundary
+        snip = F.substring("content", 1, 800)
     scored = _items_projection(
         base,
-        snippet_expr("content", terms[0] if terms else q),
+        snip,
         rank_col,
         trigram_sim_udf(q)(F.col("content")),
         httpfs,

@@ -48,6 +48,7 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
     round_to: int | None = 6,
+    stats_over: DataFrame | None = None,
 ) -> DataFrame:
     """Okapi BM25 scores for ``terms`` over ``docs`` (matching docs only).
 
@@ -58,6 +59,12 @@ def bm25_scores(
     Returns (id_col, bm25) for documents containing at least one term,
     deterministic order left to the caller. ``round_to`` rounds the double
     so Spark and external oracles (DuckDB) hash bit-identically.
+
+    ``stats_over``: corpus to derive N / df / avgdl from (defaults to
+    ``docs``). Pass the PRE-match corpus when ``docs`` is an already
+    FTS-matched subset: for an AND query every matched doc contains every
+    term, so subset-df equals subset-N and the IDF collapses to ~0 —
+    corpus-level stats keep term weighting meaningful.
     """
     if not terms:
         raise ValueError("bm25_scores needs at least one term")
@@ -71,10 +78,21 @@ def bm25_scores(
         _term_count(F.col("__toks"), t).alias(f"__tf{i}") for i, t in enumerate(terms)
     ]
     tfd = toked.select(id_col, F.size("__toks").alias("__dl"), *tf_cols)
+    if stats_over is not None:
+        stoked = stats_over.select(tokens_expr(text_col).alias("__toks"))
+        stats_src = stoked.select(
+            F.size("__toks").alias("__dl"),
+            *[
+                _term_count(F.col("__toks"), t).alias(f"__tf{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+    else:
+        stats_src = tfd
     # corpus stats: one row (N, avgdl, df per term) — broadcast via crossJoin
     # exact integer sums (not avg): double partial-sum order varies across
     # engines/partitionings; int sum ÷ int count is one deterministic IEEE op
-    stats = tfd.agg(
+    stats = stats_src.agg(
         F.count("*").alias("__n"),
         F.sum("__dl").alias("__sumdl"),
         *[

@@ -89,7 +89,13 @@ class TestSearchFlow:
         res = search_documents(docs, "-(foo")
         items = res["items"].collect()  # must not raise
         assert res["total"] == 5  # negation of a missing term keeps all docs
-        assert all(r.snippet == "" for r in items)  # no positive hit to mark
+        # no positive term to mark: ts_headline-style leading fragment,
+        # never a <b></b>-garbled or regex-interpreted snippet (round-4:
+        # was asserted empty; the unhighlighted fragment is the reference
+        # behavior and what a filter-only search shows too)
+        assert all("<b>" not in r.snippet for r in items)
+        # fragment for every doc that has content (d5 is the empty doc)
+        assert all(r.snippet for r in items if r.doc_id != "d5")
 
     def test_pagination(self, docs):
         page2 = search_documents(docs, "spark", limit=1, offset=1)
@@ -403,3 +409,56 @@ class TestSnippetFragments:
         # two hits inside one 65-char window: both fragments emitted, every
         # in-window occurrence marked
         assert snip.count(" ... ") == 1 and "<b>spark</b> <b>spark</b>" in snip
+
+
+class TestSearchReviewRegressions:
+    """Round-4 review: token-free queries, filter-only snippets, OR-branch
+    ranking/snippets, bm25 corpus IDF, date validation."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            ("d1", "alpha words here and more text body", "2024-01-02 10:00:00"),
+            ("d2", "beta words over there in the body", "2024-01-03 10:00:00"),
+            ("d3", "gamma unrelated content entirely", "2024-01-04 10:00:00"),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id string, content string, created_at string"
+        ).selectExpr("doc_id", "content", "cast(created_at as timestamp) created_at")
+
+    def test_token_free_query_matches_nothing(self, corpus):
+        # websearch_to_tsquery('???') is the empty tsquery -> zero rows,
+        # not the whole corpus
+        assert search_documents(corpus, "???")["total"] == 0
+        assert search_documents(corpus, "or")["total"] == 0
+
+    def test_filter_only_search_snippet_not_garbled(self, corpus):
+        res = search_documents(corpus, "", ocr_from="2024-01-03 00:00:00")
+        items = res["items"].collect()
+        assert res["total"] == 2
+        assert all("<b></b>" not in r.snippet for r in items)
+        assert all(r.snippet for r in items)
+
+    def test_or_match_gets_its_own_term_highlighted(self, corpus):
+        res = search_documents(corpus, "alpha OR beta")
+        snips = {r.doc_id: r.snippet for r in res["items"].collect()}
+        assert "<b>alpha</b>" in snips["d1"]
+        assert "<b>beta</b>" in snips["d2"]  # not empty: second OR branch
+
+    def test_cd_rank_nonzero_for_every_or_branch(self, corpus):
+        res = search_documents(corpus, "alpha OR beta", rank_mode="cd")
+        ranks = {r.doc_id: r.rank for r in res["items"].collect()}
+        assert ranks["d1"] > 0 and ranks["d2"] > 0
+
+    def test_bm25_uses_corpus_level_idf(self, corpus):
+        # 'words' appears in 2/3 docs, 'alpha' in 1/3: with corpus-level
+        # stats the rarer term outweighs the common one for d1
+        res = search_documents(corpus, "alpha words", rank_mode="bm25")
+        ranks = {r.doc_id: r.rank for r in res["items"].collect()}
+        # matched subset = {d1} only; subset-IDF would give ~0 for both
+        # terms -> rank ~0; corpus IDF gives a clearly positive score
+        assert ranks["d1"] > 0.1
+
+    def test_unparseable_date_filter_raises(self, corpus):
+        with pytest.raises(ValueError, match="ocr_from"):
+            search_documents(corpus, "alpha", ocr_from="17/08/2026")
