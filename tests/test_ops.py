@@ -1759,3 +1759,23 @@ class TestReviewRegressions3:
         content = {r.doc_id: r.content for r in spark.read.parquet(store.content_path).collect()}
         assert set(content) == {"full", "hollow"}  # no row loss
         assert content["hollow"] == ""
+
+    def test_candidate_only_verification_same_pairs(self, spark):
+        """verify_candidates_only=True (the production scope knob) must
+        produce exactly the same verified pairs as the corpus-wide
+        default."""
+        from ocr_search_spark.ops.dedup import verified_near_dup_pairs
+
+        rows = [
+            ("a", "alpha beta gamma delta epsilon zeta eta theta"),
+            ("b", "alpha beta gamma delta epsilon zeta eta iota"),
+            ("c", "completely different words in this one here"),
+            ("d", "alpha beta gamma delta epsilon zeta eta theta"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        kw = dict(threshold=0.5, n_hashes=8, band_size=2)
+        full = {(r.a_id, r.b_id) for r in verified_near_dup_pairs(
+            df, "doc_id", "text", **kw).collect()}
+        cand = {(r.a_id, r.b_id) for r in verified_near_dup_pairs(
+            df, "doc_id", "text", verify_candidates_only=True, **kw).collect()}
+        assert full == cand and ("a", "d") in full
