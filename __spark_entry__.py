@@ -1871,9 +1871,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize": """
             WITH flagged AS (
+              -- epoch MICROseconds, matching the Spark operator (sub-second
+              -- gaps split identically to the streaming twin)
               SELECT user_id, ts,
-                     CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
-                            - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                     CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 1800000000
                           THEN 1 ELSE 0 END AS new_session
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts)

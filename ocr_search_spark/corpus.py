@@ -67,6 +67,11 @@ _TRIGGERS = ("hyphen", "nl", "nlrun", "nbsp", "tab", "ctrl", "crlf", "none", "no
 
 
 def _words(rng: _Rng, pool: list[str], n: int) -> list[str]:
+    if not pool:
+        # an empty/whitespace-only base text must not ZeroDivision the
+        # whole corpus build; fall back to the filler vocabulary (the rng
+        # draw sequence below is unchanged for non-empty pools)
+        pool = _EN_FILLER
     start = rng.next(max(1, len(pool)))
     out = []
     for j in range(n):

@@ -68,6 +68,18 @@ _TOKEN_RE = re.compile(
 
 _CDATA_TAGS = ("script", "style")
 
+#: HTMLParser's CDATA close rule: candidate ``</ \s* name`` must ALSO parse
+#: as a real end tag of that exact name (endtagfind: optional ws, then '>').
+#: '</scripty>' (wrong name) and '</script x>' (attribute junk) stay data;
+#: '</ script>' closes. Searched on the lowered document.
+_CDATA_CLOSE_RE = {t: re.compile(rf"</\s*{t}\s*>") for t in _CDATA_TAGS}
+
+
+def _cdata_resume(lower: str, tag: str, pos: int, n: int) -> int:
+    """Position just past the CDATA container's real close tag (or EOF)."""
+    m = _CDATA_CLOSE_RE[tag].search(lower, pos)
+    return n if m is None else m.end()
+
 
 def _lone_lt(html: str, i: int, n: int) -> tuple[str, int]:
     """HTMLParser's fallback for a '<' that matched no complete construct:
@@ -108,43 +120,53 @@ def html_to_text_fast(html: str) -> str:
     lower = None
     out = parts.append
 
-    for m in _TOKEN_RE.finditer(html):
-        start = m.start()
-        if start < pos:
-            continue  # inside a region already consumed (CDATA / EOF flush)
-        if start > pos and drop_depth == 0:
-            seg = _clean(html[pos:start])
-            if seg:
-                out(seg)
-        pos = m.end()
-
-        if m.group(0) == "<":
-            chunk, pos = _lone_lt(html, start, n)
-            if drop_depth == 0:
-                seg = _clean(chunk)
+    it = _TOKEN_RE.finditer(html)
+    restart = True
+    while restart:
+        restart = False
+        for m in it:
+            start = m.start()
+            if m.end() <= pos:
+                continue  # fully inside a consumed region (CDATA/EOF flush)
+            if start < pos:
+                # token STRADDLES a consumed-region boundary (e.g. a
+                # comment spanning the </script> close): the parser
+                # re-tokenizes from the resume position, so must we —
+                # otherwise the straddled tail is flushed as raw text and
+                # its tag effects (drops, anchors, blocks) are lost
+                it = _TOKEN_RE.finditer(html, pos)
+                restart = True
+                break
+            if start > pos and drop_depth == 0:
+                seg = _clean(html[pos:start])
                 if seg:
                     out(seg)
-            continue
-        end_name, start_name = m.group(1), m.group(2)
-        if start_name is not None:
-            tag = start_name.lower()
-            selfclose = m.group(3)
-            if tag in _CDATA_TAGS and not selfclose:
-                # CDATA container: skip straight to its close tag
-                if lower is None:
-                    lower = html.lower()
-                close = lower.find(f"</{tag}", pos)
-                pos = n if close == -1 else lower.find(">", close) + 1
-                if pos == 0:  # no '>' after the close tag
-                    pos = n
-                continue  # start+end cancel for drop accounting
-            if tag in DROP_TAGS and tag not in _VOID_TAGS and not selfclose:
-                drop_depth += 1  # selfclose: +1 then -1 — net no-op
-        elif end_name is not None:
-            tag = end_name.lower()
-            if tag in DROP_TAGS and tag not in _VOID_TAGS and drop_depth > 0:
-                drop_depth -= 1
-        # else: comment / declaration / PI / bogus end tag — dropped
+            pos = m.end()
+
+            if m.group(0) == "<":
+                chunk, pos = _lone_lt(html, start, n)
+                if drop_depth == 0:
+                    seg = _clean(chunk)
+                    if seg:
+                        out(seg)
+                continue
+            end_name, start_name = m.group(1), m.group(2)
+            if start_name is not None:
+                tag = start_name.lower()
+                selfclose = m.group(3)
+                if tag in _CDATA_TAGS and not selfclose:
+                    # CDATA container: skip to its REAL close tag
+                    if lower is None:
+                        lower = html.lower()
+                    pos = _cdata_resume(lower, tag, pos, n)
+                    continue  # start+end cancel for drop accounting
+                if tag in DROP_TAGS and tag not in _VOID_TAGS and not selfclose:
+                    drop_depth += 1  # selfclose: +1 then -1 — net no-op
+            elif end_name is not None:
+                tag = end_name.lower()
+                if tag in DROP_TAGS and tag not in _VOID_TAGS and drop_depth > 0:
+                    drop_depth -= 1
+            # else: comment / declaration / PI / bogus end tag — dropped
 
     if pos < n and drop_depth == 0:
         seg = _clean(html[pos:])
@@ -195,53 +217,60 @@ def html_main_text_fast(
             blocks.append((" ".join(cur_parts), cur_chars, cur_link))
         cur_parts, cur_chars, cur_link = [], 0, 0
 
-    for m in _TOKEN_RE.finditer(html):
-        start = m.start()
-        if start < pos:
-            continue
-        if start > pos and drop_depth == 0:
-            emit(html[pos:start])
-        pos = m.end()
+    it = _TOKEN_RE.finditer(html)
+    restart = True
+    while restart:
+        restart = False
+        for m in it:
+            start = m.start()
+            if m.end() <= pos:
+                continue
+            if start < pos:
+                # straddling token — re-tokenize from the resume position
+                # (see html_to_text_fast)
+                it = _TOKEN_RE.finditer(html, pos)
+                restart = True
+                break
+            if start > pos and drop_depth == 0:
+                emit(html[pos:start])
+            pos = m.end()
 
-        if m.group(0) == "<":
-            chunk, pos = _lone_lt(html, start, n)
-            if drop_depth == 0:
-                emit(chunk)
-            continue
-        end_name, start_name = m.group(1), m.group(2)
-        if start_name is not None:
-            tag = start_name.lower()
-            selfclose = m.group(3)
-            if tag in _CDATA_TAGS and not selfclose:
-                if lower is None:
-                    lower = html.lower()
-                close = lower.find(f"</{tag}", pos)
-                pos = n if close == -1 else lower.find(">", close) + 1
-                if pos == 0:
-                    pos = n
-                continue  # drop-start+end cancel; no anchor/block effect
-            # parser's handle_starttag returns before anchor/block handling
-            # for drop tags — mirror that (selfclose: +1/-1 cancels)
-            if tag in DROP_TAGS and tag not in _VOID_TAGS:
-                if not selfclose:
-                    drop_depth += 1
+            if m.group(0) == "<":
+                chunk, pos = _lone_lt(html, start, n)
+                if drop_depth == 0:
+                    emit(chunk)
                 continue
-            if tag == "a" and not selfclose:
-                anchor_depth += 1
-            if tag in _BLOCK_TAGS:
-                flush()
-                if selfclose:
-                    flush()  # startendtag flushes in both handlers (no-op 2nd)
-        elif end_name is not None:
-            tag = end_name.lower()
-            if tag in DROP_TAGS and tag not in _VOID_TAGS:
-                if drop_depth > 0:
-                    drop_depth -= 1
-                continue
-            if tag == "a" and anchor_depth > 0:
-                anchor_depth -= 1
-            if tag in _BLOCK_TAGS:
-                flush()
+            end_name, start_name = m.group(1), m.group(2)
+            if start_name is not None:
+                tag = start_name.lower()
+                selfclose = m.group(3)
+                if tag in _CDATA_TAGS and not selfclose:
+                    if lower is None:
+                        lower = html.lower()
+                    pos = _cdata_resume(lower, tag, pos, n)
+                    continue  # drop-start+end cancel; no anchor/block effect
+                # parser's handle_starttag returns before anchor/block
+                # handling for drop tags — mirror that (selfclose: +1/-1)
+                if tag in DROP_TAGS and tag not in _VOID_TAGS:
+                    if not selfclose:
+                        drop_depth += 1
+                    continue
+                if tag == "a" and not selfclose:
+                    anchor_depth += 1
+                if tag in _BLOCK_TAGS:
+                    flush()
+                    if selfclose:
+                        flush()  # startendtag flushes in both handlers
+            elif end_name is not None:
+                tag = end_name.lower()
+                if tag in DROP_TAGS and tag not in _VOID_TAGS:
+                    if drop_depth > 0:
+                        drop_depth -= 1
+                    continue
+                if tag == "a" and anchor_depth > 0:
+                    anchor_depth -= 1
+                if tag in _BLOCK_TAGS:
+                    flush()
 
     if pos < n and drop_depth == 0:
         emit(html[pos:])

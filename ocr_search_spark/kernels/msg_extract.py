@@ -79,12 +79,20 @@ class _Cfb:
         first_difat = struct.unpack_from("<I", data, 68)[0]
         n_difat = struct.unpack_from("<I", data, 72)[0]
 
-        # DIFAT: 109 header entries + optional DIFAT sector chain
+        # DIFAT: 109 header entries + optional DIFAT sector chain.
+        # Bound the walk by the sectors that physically exist and a
+        # visited set — a crafted header n_difat (up to 2^32) with a
+        # self-looping DIFAT sector would otherwise grow the list for
+        # hours on the never-throw extraction path (same OOM class the
+        # FAT/miniFAT chain walks guard against).
         difat = list(struct.unpack_from("<109I", data, 76))
         sect = first_difat
-        for _ in range(n_difat):
-            if sect in (FREESECT, ENDOFCHAIN):
+        max_sectors = len(data) // max(self.ssz, 1) + 2
+        seen_difat: set[int] = set()
+        for _ in range(min(n_difat, max_sectors)):
+            if sect in (FREESECT, ENDOFCHAIN) or sect in seen_difat:
                 break
+            seen_difat.add(sect)
             raw = self._sector(sect)
             ids = struct.unpack(f"<{self.ssz // 4}I", raw)
             difat.extend(ids[:-1])

@@ -36,16 +36,17 @@ def sessionize_batch(
 ) -> DataFrame:
     """Gap-based sessions via analytic windows (batch form)."""
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    gap_s = gap_minutes * 60
-    # epoch seconds, floored — works for both TIMESTAMP and TIMESTAMP_NTZ
-    # parquet columns (NTZ→LTZ is identity under the UTC session timezone)
-    epoch_s = F.floor(
-        F.unix_micros(F.col(ts_col).cast("timestamp_ltz")) / F.lit(1_000_000)
-    )
+    gap_us = gap_minutes * 60 * 1_000_000
+    # epoch MICROseconds, no floor — sub-second gaps must split identically
+    # to the streaming twin (which compares raw micros); flooring to whole
+    # seconds merged sessions whose true gap exceeded the threshold by
+    # <1 s. unix_micros handles both TIMESTAMP and TIMESTAMP_NTZ parquet
+    # columns (NTZ→LTZ is identity under the UTC session timezone).
+    epoch_us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
     flagged = events.select(
         F.col(user_col).alias("user_id"),
         F.col(ts_col).alias("ts"),
-        F.when(epoch_s - F.lag(epoch_s).over(w) > gap_s, 1)
+        F.when(epoch_us - F.lag(epoch_us).over(w) > gap_us, 1)
         .otherwise(0)
         .alias("new_session"),
     )
@@ -89,23 +90,33 @@ def _session_fn(gap_minutes: int):
         ts_us = []
         for pdf in pdfs:
             ts_us.extend(int(t.value // 1_000) for t in pd.to_datetime(pdf["ts"]))
-        ts_us.sort()
 
+        # interval-merge the open-session state with the batch's events:
+        # sorting + merging handles LATE in-watermark events correctly —
+        # an event older than the open session's start lowers the start
+        # (or bridges via intermediate events), where a per-event
+        # max(last, t) update silently swallowed it into the wrong
+        # session. Residual approximation (documented): a late event more
+        # than one gap BEFORE the open session emits immediately as its
+        # own session; batch would hold it open for even-later stragglers
+        # inside the watermark. Bounded by the watermark delay.
+        intervals = [[t, t, 1] for t in sorted(ts_us)]
         if state.exists:
             start, last, n = state.get
-        else:
-            start, last, n = None, None, 0
-
-        for t in ts_us:
-            if start is None:
-                start, last, n = t, t, 1
-            elif t - last > gap_us:
-                yield emit(start, last, n)  # closed mid-batch
-                start, last, n = t, t, 1
+            intervals.append([start, last, n])
+            intervals.sort(key=lambda iv: (iv[0], iv[1]))
+        merged: list[list[int]] = []
+        for iv in intervals:
+            if merged and iv[0] - merged[-1][1] <= gap_us:
+                m = merged[-1]
+                m[1] = max(m[1], iv[1])
+                m[2] += iv[2]
             else:
-                last, n = max(last, t), n + 1
-
-        if start is not None:
+                merged.append(iv)
+        for m in merged[:-1]:
+            yield emit(m[0], m[1], m[2])  # closed mid-batch / late session
+        if merged:
+            start, last, n = merged[-1]
             state.update((start, last, n))
             # close once the event-time watermark passes last + gap
             state.setTimeoutTimestamp((last + gap_us) // 1_000)

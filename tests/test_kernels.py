@@ -268,3 +268,61 @@ class TestHtmlFastParity:
                     assert html_main_text_fast(s["text"]) == html_main_text(s["text"])
                     n += 1
         assert n > 100
+
+
+class TestFastScannerCdataFidelity:
+    """Round-4 review: the fast scanner's CDATA close rule and
+    consumed-region re-tokenization must match HTMLParser exactly."""
+
+    CASES = [
+        # wrong-name / attributed close tags stay CDATA data
+        "<script>var a;</scripty> hidden</script>visible",
+        "<script>a</script x>hidden</script>visible",
+        # whitespace-after-slash closes per endtagfind
+        "<script>x</ script>visible",
+        # a comment straddling the close: the tail must RE-tokenize
+        "<script>a<!--</script><b>B</b>-->tail",
+        "<script>no close at all",
+        "<script>a</SCRIPT>UP",
+        "<script>x</script\t >y",
+        "<style>p{}</style><nav>drop</nav>keep",
+    ]
+
+    def test_visible_text_parity(self):
+        from ocr_search_spark.kernels.html_extract import html_to_text
+        from ocr_search_spark.kernels.html_fast import html_to_text_fast
+
+        for c in self.CASES:
+            assert html_to_text_fast(c) == html_to_text(c), c
+
+    def test_main_content_parity(self):
+        from ocr_search_spark.kernels.html_extract import html_main_text
+        from ocr_search_spark.kernels.html_fast import html_main_text_fast
+
+        for c in self.CASES:
+            assert html_main_text_fast(c) == html_main_text(c), c
+
+
+class TestMsgDifatBound:
+    def test_crafted_difat_loop_terminates(self):
+        """A self-looping DIFAT chain with a huge header count must parse
+        (or fail) in bounded time, never grow for hours."""
+        import struct
+        import time
+
+        from ocr_search_spark.kernels.msg_extract import msg_to_text
+
+        # minimal CFB header: sig + shift 9, huge n_difat, first_difat=0,
+        # one 512-byte "DIFAT sector" whose last entry loops back to 0
+        hdr = bytearray(512)
+        hdr[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+        struct.pack_into("<H", hdr, 30, 9)      # sector shift
+        struct.pack_into("<I", hdr, 44, 1)      # n_fat
+        struct.pack_into("<I", hdr, 68, 0)      # first_difat -> sector 0
+        struct.pack_into("<I", hdr, 72, 0xFFFFFFF0)  # absurd n_difat
+        sector = bytearray(512)
+        struct.pack_into("<I", sector, 508, 0)  # chain loops to itself
+        data = bytes(hdr) + bytes(sector)
+        t0 = time.monotonic()
+        msg_to_text(data)  # never-throw contract: returns '' on garbage
+        assert time.monotonic() - t0 < 5.0

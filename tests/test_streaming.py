@@ -319,3 +319,52 @@ class TestRangeJoinStream:
         }
         assert got == want
         assert got == {("u1", 1, 10), ("u1", 2, 11), ("u2", 3, 13)}
+
+
+class TestLateEventSessions:
+    def test_late_event_lowers_open_session_start(self, spark, tmp_path):
+        """Round-4 review: a late-but-in-watermark event older than the
+        open session's start must lower the start (or split), matching
+        batch semantics — not be swallowed with start unchanged."""
+        from ocr_search_spark.streaming.sessionize import (
+            sessionize_batch,
+            sessionize_stream,
+        )
+
+        src = str(tmp_path / "late_events")
+        mk = lambda rows: spark.createDataFrame(
+            rows, "user_id long, ts string"
+        ).selectExpr("user_id", "cast(ts as timestamp) ts")
+        # batch 1: 12:00; batch 2: LATE 11:45 (within gap -> one session
+        # starting 11:45) and a far-future watermark driver
+        mk([(1, "2024-01-01 12:00:00")]).coalesce(1).write.parquet(src)
+        mk([(1, "2024-01-01 11:45:00"), (99, "2024-01-02 12:00:00")]).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+        stream = spark.readStream.schema("user_id long, ts timestamp").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = (
+            sessionize_stream(stream, gap_minutes=30, watermark="2 hours")
+            .writeStream.format("memory")
+            .queryName("late_sessions")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+            for r in spark.sql(
+                "SELECT * FROM late_sessions WHERE user_id = 1"
+            ).collect()
+        }
+        want = {
+            (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+            for r in sessionize_batch(
+                mk([(1, "2024-01-01 12:00:00"), (1, "2024-01-01 11:45:00")]),
+                gap_minutes=30,
+            ).collect()
+        }
+        assert got == want  # one session [11:45, 12:00] with 2 events
