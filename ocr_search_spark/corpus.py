@@ -9,9 +9,13 @@ Builds the pipeline's input table::
 Documents are derived *deterministically* (SHA-1-seeded LCG — no global RNG
 state) from the driver-provided base texts in
 ``/root/testdata/sf*/documents.parquet``, following the FIXTURES.md §4
-recipe: mixed-kind spans (txt 28 / html 25 / pdf 20 / docx 10 / image 10 /
-msg 2 / uns 5 — msg spans are real CFB containers built by
-kernels.cfb_build, latin-1-mapped), a 1% long tail of 64–256-page PDF
+recipe: mixed-kind spans (txt 24 / html 23 / pdf 20 / docx 10 / image 10 /
+msg 2 / rtf 2 / xls 2 / email 2 / uns 5 — msg spans are real CFB containers
+built by kernels.cfb_build, latin-1-mapped; rtf spans carry control words,
+dropped destination groups and cp1251/``\\uN`` escapes; xls spans carry the
+JSON workbook convention of kernels.xls_extract; email spans are raw RFC-822
+MIME with RFC2047 headers, 8-bit utf-8 bodies, HTML-only variants and
+base64 attachments), a 1% long tail of 64–256-page PDF
 documents (the skew / giant-PDF
 case, cf. reference pdf_fast.py:222-223), and injected normalization
 triggers (hyphen line breaks, single newlines, newline runs, NBSP, tabs,
@@ -173,10 +177,128 @@ def _msg_payload(rng: _Rng, pool: list[str]) -> str:
     return raw.decode("latin-1")
 
 
-# kind mix: txt 28 / html 25 / pdf 20 / docx 10 / image 10 / msg 2 / uns 5
+def _rtf_payload(rng: _Rng, pool: list[str]) -> str:
+    """RTF document (E13): header control words, a dropped ``\\*`` generator
+    group and font/color destination tables, ``\\par``/``\\tab`` breaks, and
+    Cyrillic words emitted as cp1251 ``\\'xx`` hex escapes or ``\\uN``
+    unicode escapes — the full surface of kernels.rtf_extract."""
+    words = _words(rng, pool, 6 + rng.next(18))
+    body: list[str] = []
+    for w in words:
+        if any(ord(c) > 127 for c in w):
+            if rng.next(2) == 0:
+                body.append(
+                    "".join(f"\\u{ord(c)}?" if ord(c) > 127 else c for c in w)
+                )
+            else:
+                body.append("".join(f"\\'{b:02x}" for b in w.encode("cp1251")))
+        else:
+            body.append(w)
+        sep = rng.next(6)
+        if sep == 0:
+            body.append("\\par ")
+        elif sep == 1:
+            body.append("\\tab ")
+        else:
+            body.append(" ")
+    return (
+        "{\\rtf1\\ansi\\deff0"
+        "{\\fonttbl{\\f0 Times New Roman;}}"
+        "{\\colortbl;\\red0\\green0\\blue0;}"
+        "{\\*\\generator corpus}"
+        "\\f0\\fs24 " + "".join(body) + "}"
+    )
+
+
+def _xls_payload(rng: _Rng, pool: list[str]) -> str:
+    """Workbook JSON (E14): the span-data-model convention of
+    kernels.xls_extract — ``{"sheets": {name: [[cell, ...], ...]}}`` with
+    Cyrillic sheet names and mixed word/number cells."""
+    import json
+
+    sheets: dict[str, list[list[Any]]] = {}
+    for si in range(1 + rng.next(3)):
+        n_rows, n_cols = 1 + rng.next(5), 1 + rng.next(4)
+        rows = []
+        for _ in range(n_rows):
+            row: list[Any] = []
+            for _ in range(n_cols):
+                if rng.next(3) == 0:
+                    row.append(rng.next(10_000))
+                else:
+                    row.append(_words(rng, pool, 1)[0])
+            rows.append(row)
+        sheets[f"Лист{si + 1}"] = rows
+    return json.dumps({"sheets": sheets}, ensure_ascii=False)
+
+
+def _eml_payload(rng: _Rng, pool: list[str]) -> str:
+    """Raw RFC-822 message (E15): RFC2047-encoded Cyrillic subject, 8-bit
+    utf-8 body (text/plain, or text/html for ~1/3 of messages), and a
+    base64 attachment part on ~1/3 — exercising the header template, the
+    HTML-body fallback and the attachment enumeration of
+    kernels.email_extract."""
+    from email.header import Header
+
+    subj = Header(" ".join(_words(rng, pool, 2 + rng.next(4))), "utf-8").encode()
+    frm = f"user{rng.next(100)}@corp.ru"
+    to = f"user{rng.next(100)}@x.io"
+    cc = f"cc{rng.next(50)}@corp.ru" if rng.next(3) == 0 else ""
+    date = (
+        f"Mon, {1 + rng.next(28):02d} Apr 2025 "
+        f"{rng.next(24):02d}:{rng.next(60):02d}:00 +0300"
+    )
+    body = _noisy_text(rng, pool, 5, 20)
+    html_body = rng.next(3) == 0
+    atts = [f"doc{rng.next(50)}.pdf"] if rng.next(3) == 0 else []
+
+    head = [f"Subject: {subj}", f"From: {frm}", f"To: {to}"]
+    if cc:
+        head.append(f"Cc: {cc}")
+    head.append(f"Date: {date}")
+    head.append("MIME-Version: 1.0")
+
+    if html_body:
+        part_type = "text/html; charset=utf-8"
+        part_body = f"<html><body><p>{body}</p><br><div>конец</div></body></html>"
+    else:
+        part_type = "text/plain; charset=utf-8"
+        part_body = body
+
+    if not atts:
+        head.append(f"Content-Type: {part_type}")
+        head.append("Content-Transfer-Encoding: 8bit")
+        return "\n".join(head) + "\n\n" + part_body + "\n"
+
+    b = "----=_corpus_boundary_42"
+    head.append(f'Content-Type: multipart/mixed; boundary="{b}"')
+    parts = [
+        "\n".join(head),
+        "",
+        f"--{b}",
+        f"Content-Type: {part_type}",
+        "Content-Transfer-Encoding: 8bit",
+        "",
+        part_body,
+    ]
+    for name in atts:
+        parts += [
+            f"--{b}",
+            f'Content-Type: application/pdf; name="{name}"',
+            f'Content-Disposition: attachment; filename="{name}"',
+            "Content-Transfer-Encoding: base64",
+            "",
+            "JVBERi0xLjQKJcOkw7zDtsOf",
+        ]
+    parts.append(f"--{b}--")
+    return "\n".join(parts) + "\n"
+
+
+# kind mix: txt 24 / html 23 / pdf 20 / docx 10 / image 10 / msg 2 /
+# rtf 2 / xls 2 / email 2 / uns 5
 _KIND_CUM = (
-    ("txt", 28), ("html", 53), ("pdf", 73), ("docx", 83), ("image", 93),
-    ("msg", 95), ("uns", 100),
+    ("txt", 24), ("html", 47), ("pdf", 67), ("docx", 77), ("image", 87),
+    ("msg", 89), ("rtf", 91), ("xls", 93), ("email", 95), ("uns", 100),
 )
 
 
@@ -215,6 +337,12 @@ def build_document(i: int, base_texts: list[str]) -> dict[str, Any]:
             text = _pdf_payload(rng, pool)
         elif kind == "msg":
             text = _msg_payload(rng, pool)
+        elif kind == "rtf":
+            text = _rtf_payload(rng, pool)
+        elif kind == "xls":
+            text = _xls_payload(rng, pool)
+        elif kind == "email":
+            text = _eml_payload(rng, pool)
         elif kind == "image":
             media_ref = f"media://{doc_id}/{off}"
         else:  # uns: arbitrary junk payload
