@@ -56,6 +56,15 @@ def _epoch_s(df: DataFrame, col: str):
     return F.col(col).cast("long")
 
 
+def _epoch_us(df: DataFrame, col: str):
+    """Column as epoch MICROseconds (long) — full precision, no flooring.
+    Numeric columns are taken as (possibly fractional) seconds."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        return F.unix_micros(F.col(col).cast("timestamp_ltz"))
+    return (F.col(col).cast("double") * F.lit(1_000_000)).cast("long")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -181,29 +190,34 @@ def range_join(
         raise ValueError(
             f"lookback_s must be a positive whole number of seconds, got {lookback_s!r}"
         )
-    r_bucket = F.floor(_epoch_s(right, right_ts) / w)
-    l_epoch = _epoch_s(left, left_ts)
+    # bucket on floored whole-second boundaries (coarse, cheap); the
+    # residual predicate runs on full-precision microseconds so sub-second
+    # timestamps honor the documented inclusive bounds exactly (and match
+    # the full-precision streaming twin range_join_stream)
+    w_us = w * 1_000_000
+    r_us = _epoch_us(right, right_ts)
+    l_us = _epoch_us(left, left_ts)
     r2 = right.select(
         F.col(on),
-        r_bucket.alias("__bucket"),
-        _epoch_s(right, right_ts).alias("__r_epoch"),
+        F.floor(r_us / w_us).alias("__bucket"),
+        r_us.alias("__r_us"),
         F.struct(
             *[F.col(c).alias(c) for c in right.columns if c != on]
         ).alias("__r"),
     )
     l2 = left.select(
         F.col(on),
-        l_epoch.alias("__l_epoch"),
+        l_us.alias("__l_us"),
         F.explode(
-            F.array(F.floor(l_epoch / w) - 1, F.floor(l_epoch / w))
+            F.array(F.floor(l_us / w_us) - 1, F.floor(l_us / w_us))
         ).alias("__bucket"),
         F.struct(*[F.col(c).alias(c) for c in left.columns if c != on]).alias(
             "__l"
         ),
     )
     joined = l2.join(r2, [on, "__bucket"]).filter(
-        (F.col("__r_epoch") <= F.col("__l_epoch"))
-        & (F.col("__r_epoch") >= F.col("__l_epoch") - w)
+        (F.col("__r_us") <= F.col("__l_us"))
+        & (F.col("__r_us") >= F.col("__l_us") - F.lit(w_us))
     )
     left_cols = [F.col(on)] + [
         F.col(f"__l.{c}").alias(c) for c in left.columns if c != on

@@ -159,12 +159,28 @@ def pack_shards(
     ``n_groups``, per-group state bounded by the group's rows. Returns
     (id, tokens, shard_group, shard_idx) — ``(shard_group, shard_idx)``
     is the shard key. Deterministic: same ids, same shards, every run.
+
+    Null ``token_count_col`` values are rejected at runtime
+    (``raise_error``): a null would make ``__cum - tokens`` null and the
+    row would silently fall out of every shard, breaking the determinism
+    contract — count your tokens (or ``coalesce`` to 0 explicitly
+    upstream) before packing.
     """
     if target_tokens <= 0:
         raise ValueError("target_tokens must be positive")
     from pyspark.sql import Window
 
     grp = hash_bucket(id_col, salt, buckets=n_groups)
+    tokens = F.col(token_count_col).cast("long")
+    tokens = F.when(
+        tokens.isNull(),
+        F.raise_error(
+            F.lit(
+                f"pack_shards: null {token_count_col} — token counts must "
+                "be non-null (coalesce upstream if 0 is intended)"
+            )
+        ).cast("long"),
+    ).otherwise(tokens)
     w = (
         Window.partitionBy("shard_group")
         .orderBy(id_col)
@@ -173,7 +189,7 @@ def pack_shards(
     return (
         df.select(
             F.col(id_col),
-            F.col(token_count_col).cast("long").alias("tokens"),
+            tokens.alias("tokens"),
             grp.alias("shard_group"),
         )
         .withColumn("__cum", F.sum("tokens").over(w))

@@ -137,13 +137,16 @@ def folder_to_documents(scanned: DataFrame) -> DataFrame:
     (one span per file; a file is a single-span document).
 
     doc_id is the bare filename — except when a recursive scan holds
-    same-named files in different directories, which get a ``#<md5(path)
-    prefix>`` suffix so two unrelated files can never silently merge into
-    one document downstream (groupBy(doc_id) in the content build would
-    concatenate them; the reference dedups colliding names the same way,
-    with a suffix). The uniqueness check is a window count over filename
-    — one shuffle at ingest, the same cost class as the reference's
-    per-name DB lookup.
+    same-named files in different directories: one file per collision
+    group — the min(path) one, the deterministic stand-in for the
+    reference's first-inserted file — keeps the bare name, every other
+    colliding file gets a ``#<md5(path) prefix>`` suffix, mirroring the
+    reference's ``_unique_path`` (bare name first, suffixes only for
+    subsequent claims) so two unrelated files can never silently merge
+    into one document downstream (groupBy(doc_id) in the content build
+    would concatenate them). The uniqueness check is a window min/count
+    over filename — one shuffle at ingest, the same cost class as the
+    reference's per-name DB lookup.
     """
     from pyspark.sql import Window
 
@@ -153,7 +156,8 @@ def folder_to_documents(scanned: DataFrame) -> DataFrame:
     scanned = scanned.withColumn(
         "filename",
         F.when(
-            F.count("*").over(w) > 1,
+            (F.count("*").over(w) > 1)
+            & (F.col("path") != F.min("path").over(w)),
             F.concat(
                 F.col("filename"),
                 F.lit("#"),

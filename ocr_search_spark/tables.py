@@ -143,6 +143,10 @@ def write_bucketed_table(
         )
         if mode == "overwrite":
             writer.createOrReplace()
+        elif not df.sparkSession.catalog.tableExists(name):
+            # same create-if-missing fallback as write_table: the first
+            # append-mode bucketed write must create, not raise
+            writer.create()
         else:
             writer.append()
         return

@@ -1304,6 +1304,40 @@ class TestPackShards:
         # b (5x the budget) starts its own shard; c lands past b's span
         assert rows["a"] == 0 and rows["b"] == 0 and rows["c"] == 5
 
+    def test_null_token_count_raises(self, spark):
+        """A null token count must fail loudly, not silently drop the doc
+        from every shard (ADVICE r4)."""
+        from ocr_search_spark.ops.sampling import pack_shards
+
+        df = spark.createDataFrame(
+            [("a", 100), ("b", None), ("c", 100)], "doc_id string, n int"
+        )
+        with pytest.raises(Exception, match="pack_shards: null"):
+            pack_shards(df, "doc_id", "n", target_tokens=1000, n_groups=1).collect()
+
+    def test_group_state_bound_at_scale(self, spark):
+        """SCALE.md claim: per-group window state ≈ rows/n_groups — the
+        n_groups knob bounds executor memory. 1M synthetic rows into 256
+        hash groups must spread within 30% of uniform (same discipline as
+        test_plans.TestPartitionBalance)."""
+        from pyspark.sql import functions as F
+
+        from ocr_search_spark.ops.sampling import pack_shards
+
+        df = spark.range(1_000_000).select(
+            F.format_string("doc_%07d", "id").alias("doc_id"),
+            F.lit(500).alias("n"),
+        )
+        out = pack_shards(df, "doc_id", "n", target_tokens=100_000, n_groups=256)
+        sizes = (
+            out.groupBy("shard_group").count().agg(
+                F.max("count").alias("mx"), F.count("*").alias("groups")
+            ).collect()[0]
+        )
+        assert sizes.groups == 256
+        mean = 1_000_000 / 256
+        assert sizes.mx <= mean * 1.3
+
 
 class TestMojibake:
     def test_signals_count_artifacts(self, spark):

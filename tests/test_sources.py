@@ -65,6 +65,28 @@ class TestFolderToDocuments:
         assert by_id["img.png"][0]["media_ref"].endswith("img.png")
         assert by_id["img.png"][0]["text"] == ""
 
+    def test_filename_collision_keeps_one_bare_name(self, spark, tmp_path):
+        """Reference _unique_path parity: the first file of a collision
+        group (deterministically min(path)) keeps its bare name; only
+        subsequent colliders get the #md5(path) suffix."""
+        root = tmp_path / "coll"
+        (root / "d1").mkdir(parents=True)
+        (root / "d2").mkdir()
+        (root / "d1" / "same.txt").write_text("one")
+        (root / "d2" / "same.txt").write_text("two")
+        (root / "solo.txt").write_text("alone")
+        docs = folder_to_documents(
+            scan_folder_df(spark, str(root), allowed_ext=None)
+        )
+        ids = sorted(r.doc_id for r in docs.collect())
+        assert "solo.txt" in ids
+        bare = [i for i in ids if i == "same.txt"]
+        suffixed = [i for i in ids if i.startswith("same.txt#")]
+        assert len(bare) == 1 and len(suffixed) == 1
+        # min(path) is d1's file: its text keeps the bare name
+        texts = {r.doc_id: r.spans[0]["text"] for r in docs.collect()}
+        assert texts["same.txt"] == "one"
+
     def test_end_to_end_extraction(self, spark, folder):
         docs = folder_to_documents(scan_folder_df(spark, folder, allowed_ext=None))
         flat = explode_spans(extract_documents(docs, num_partitions=4))

@@ -320,6 +320,56 @@ class TestRangeJoinStream:
         assert got == want
         assert got == {("u1", 1, 10), ("u1", 2, 11), ("u2", 3, 13)}
 
+    def test_stream_matches_batch_subsecond(self, spark, tmp_path):
+        """Sub-second timestamps: the batch residual must run at full
+        microsecond precision, not on floored whole seconds — a right row
+        0.4 s AFTER left_ts and one 10.1 s before (0.1 s past the lookback
+        floor) are both excluded by batch AND stream identically."""
+        from ocr_search_spark.ops.relational import range_join
+        from ocr_search_spark.streaming.join_stream import range_join_stream
+
+        purchases = [("u1", "2024-01-01 10:00:10.500", 1)]
+        clicks = [
+            ("u1", "2024-01-01 10:00:10.900", 20),  # 0.4s AFTER -> excluded
+            ("u1", "2024-01-01 10:00:00.400", 21),  # 10.1s before -> excluded
+            ("u1", "2024-01-01 10:00:00.600", 22),  # 9.9s before -> included
+            ("u1", "2024-01-01 10:00:10.500", 23),  # equal ts -> included
+        ]
+        schema = "user_id string, ts string, event_id long"
+        mk = lambda rows: spark.createDataFrame(rows, schema).selectExpr(
+            "user_id", "cast(ts as timestamp) ts", "event_id"
+        )
+        lsrc, rsrc = str(tmp_path / "lss"), str(tmp_path / "rss")
+        mk(purchases).coalesce(1).write.parquet(lsrc)
+        mk(clicks).coalesce(1).write.parquet(rsrc)
+        read = lambda p: spark.readStream.schema(
+            "user_id string, ts timestamp, event_id long"
+        ).parquet(p)
+        q = (
+            range_join_stream(
+                read(lsrc), read(rsrc), on="user_id",
+                lookback_s=10, watermark="0 seconds",
+            )
+            .writeStream.format("memory")
+            .queryName("rjs_ss_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r.event_id, r.event_id_r)
+            for r in spark.sql("SELECT * FROM rjs_ss_out").collect()
+        }
+        want = {
+            (r.event_id, r.event_id_r)
+            for r in range_join(
+                mk(purchases), mk(clicks), on="user_id",
+                left_ts="ts", right_ts="ts", lookback_s=10,
+            ).collect()
+        }
+        assert got == want == {(1, 22), (1, 23)}
+
 
 class TestLateEventSessions:
     def test_late_event_lowers_open_session_start(self, spark, tmp_path):
