@@ -1210,87 +1210,104 @@ def q_media_frames(spark, sf_dir):
     return sample_frames(synth_media_df(spark, n=64), every_n=2)
 
 
+def q_meta_tags(spark, sf_dir):
+    """S10 media half: the fixture-driven EXIF/IPTC tag contract
+    (ops/metadata.py exif_tags_expr — deterministic media_ref → tags, the
+    OCR-stub pattern standing in for the exiftool process boundary,
+    reference app/services/metadata.py:8-37). Tag values projected to
+    scalars for the hash compare."""
+    from ocr_search_spark.ops.metadata import with_media_tags
+    from ocr_search_spark.ops.multimodal import synth_media_df
+
+    m = with_media_tags(synth_media_df(spark, n=64).select("media_ref"))
+    t = F.col("tags")
+    return m.select(
+        "media_ref",
+        F.element_at(t, "EXIF:Make").alias("make"),
+        F.element_at(t, "EXIF:Model").alias("model"),
+        F.element_at(t, "EXIF:ImageWidth").cast("long").alias("width"),
+        F.element_at(t, "EXIF:ImageHeight").cast("long").alias("height"),
+        F.element_at(t, "EXIF:Orientation").cast("long").alias("orientation"),
+        F.element_at(t, "EXIF:DateTimeOriginal").alias("dt_orig"),
+        F.element_at(t, "IPTC:Keywords").alias("keyword"),
+    )
+
+
+def q_dedup_stream_twin(spark, sf_dir):
+    """Driver-facing certification of the streaming dedup semantics via
+    its batch twin (streaming/dedup_stream.py dedup_batch_twin): first
+    occurrence (min ts, tie min id) of each md5(text) fingerprint over a
+    corpus with planted later-arriving duplicates. The stream operator is
+    equivalence-tested against this exact formulation in pytest."""
+    from ocr_search_spark.streaming.dedup_stream import dedup_batch_twin
+
+    base = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("ts"),
+    )
+    dups = base.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        "text",
+        (F.col("ts") + F.expr("INTERVAL 600 SECONDS")).alias("ts"),
+    )
+    return dedup_batch_twin(base.unionByName(dups))
+
+
+def q_range_join_stream_twin(spark, sf_dir):
+    """Driver-facing certification of the stream-stream interval-join
+    semantics via the batch twin at FULL microsecond precision: the
+    events table's sub-second timestamps go through range_join raw (no
+    epoch flooring), certifying the inclusive micros bounds the streaming
+    twin shares (streaming/join_stream.py; batch/stream equivalence incl.
+    sub-second cases in pytest)."""
+    from ocr_search_spark.ops.relational import range_join
+
+    e = _events(spark, sf_dir)
+    l = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    r = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    out = range_join(
+        l, r, on="user_id", left_ts="ts", right_ts="ts", lookback_s=86400
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_r").alias("err_id"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+            - F.unix_micros(F.col("ts_r").cast("timestamp_ltz"))
+        ).alias("gap_us"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so every entry is certified within the driver's 50-entry
-    CORRECTNESS window at least once across rounds.  The driver's sweep only
-    reports the first 50 entries, so entries 51+ rotate: round 4 moves the 8
-    previously-unchecked queries (lsh_bands, ann_lsh_buckets, ann_ivf_topk,
-    media_features, media_dedup, media_near_dedup, media_resize, media_frames)
-    inside the window and rotates out 8 entries hash-exact in every prior round
-    (fts_count_postings, fts_phrase, fts_phrase_postings, fts_or_not,
-    snippet_multi, ilike_source, date_range_count, latest_k — r1/r2/r3 green);
-    `snippet`, `events_rollup` and `running_revenue` (also r1–r3 green)
-    rotate out in favour of the new `decontaminate`, `pii_redact` and
-    `domain_counts` operators so they certify this round.  Second r4 batch:
-    `asof_join`, `range_join`, `line_dedup` and `compression_signals` are
-    new this round and take window slots from `trigram_topk`,
-    `normalize_chain`, `charset_score` and `bm25` (each hash-exact in
-    r1–r3 / r2–r3; see CORRECTNESS_r0{1,2,3}.json).  Third r4 batch:
-    `topk_per_lang`, `domain_filter` and `length_stats` take the slots of
-    `rank_cd`, `vocab_topk` and `deterministic_sample` (hash-exact r2+r3,
-    r2+r3, r1–r3 respectively), and `stratified_sample` takes
-    `hash_split`'s (hash-exact r1–r3).  Fourth r4 batch: `pack_shards`
-    and `mojibake` take the slots of `meta_filter` and
-    `ngram_jaccard_pairs` (both hash-exact r2+r3), the composed
-    `mixing_corpus` takes `events_hourly`'s (hash-exact r1–r3),
-    `pq_adc_topk` takes `winnow_partial_dups`'s (hash-exact r2+r3), and
-    `ivf_pq_topk` takes `cosine_neardup`'s (hash-exact r2+r3).
+    CORRECTNESS window at least once across rounds (the sweep reports the
+    first 50; entries 51+ rotate).
+
+    Round-5 rotation (VERDICT r4 next-round #3): the 25 entries that sat
+    outside the r4 window return to the front — each was hash-exact in
+    every round it was checked (r1–r3) and re-certified by the judge's
+    local oracle run in the r4 verdict, but returns for a fresh driver
+    row.  They displace 25 entries just certified green in r4 (see
+    CORRECTNESS_r04.json).  Also inside the window: the entries whose
+    semantics changed this round (`range_join` sub-second precision,
+    `pack_shards` null guard, `ivf_pq_topk` index/search split), the
+    corpus-derived goldens regenerated for the rtf/xls/email mix
+    (`extract_spans`, `extract_kind_stats`, `html_main_content`), and the
+    three NEW round-5 entries: `meta_tags` (S10 media EXIF/IPTC fixture
+    contract), `dedup_stream_twin` and `range_join_stream_twin` (batch
+    twins certifying the streaming operators' semantics).  The remaining
+    16 window slots keep r4-certified entries that touch this round's
+    changed files (relational/sampling/similarity compositions).
     """
     return {
-        "fts_count": q_fts_count,
-        "fts_search_topk": q_fts_search_topk,
-        "decontaminate": q_decontaminate,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "line_dedup": q_line_dedup,
-        "compression_signals": q_compression_signals,
-        "dedup_exact": q_dedup_exact,
-        "minhash": q_minhash,
-        "near_dedup_survivors": q_near_dedup_survivors,
-        "near_dedup_cc": q_near_dedup_cc,
-        "token_quality": q_token_quality,
-        "token_counts": q_token_counts,
-        "pack_shards": q_pack_shards,
-        "mojibake": q_mojibake,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "pq_adc_topk": q_pq_adc_topk,
-        "substring_dedup": q_substring_dedup,
-        "repetition_signals": q_repetition_signals,
-        "gopher_filter": q_gopher_filter,
-        "lang_id": q_lang_id,
-        "quality_filter": q_quality_filter,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ivf_pq_topk": q_ivf_pq_topk,
-        "cosine_neardup_lsh": q_cosine_neardup_lsh,
-        "cosine_near_dedup": q_cosine_near_dedup,
-        "cosine_near_dedup_cc": q_cosine_near_dedup_cc,
-        "mixing_corpus": q_mixing_corpus,
-        "pii_redact": q_pii_redact,
-        "sessionize": q_sessionize,
-        "topk_per_lang": q_topk_per_lang,
-        "revenue_by_nation": q_revenue_by_nation,
-        "domain_counts": q_domain_counts,
-        "domain_filter": q_domain_filter,
-        "stratified_sample": q_stratified_sample,
-        "length_stats": q_length_stats,
-        "training_corpus": q_training_corpus,
-        "training_corpus_cc": q_training_corpus_cc,
-        # previously past the 50-entry window — certified this round
-        "lsh_bands": q_lsh_bands,
-        "ann_lsh_buckets": q_ann_lsh_buckets,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivf_topk_join": q_ann_ivf_topk_join,
-        "media_features": q_media_features,
-        "media_dedup": q_media_dedup,
-        "media_near_dedup": q_media_near_dedup,
-        "media_resize": q_media_resize,
-        "media_frames": q_media_frames,
-        # rows-only / golden-parquet oracles (non-SQL-expressible kernels)
-        "extract_spans": q_extract_spans,
-        "extract_kind_stats": q_extract_kind_stats,
-        "html_main_content": q_html_main_content,
-        # --- entries below rotate outside the driver's 50-entry window ---
-        # (hash-exact in r1, r2 and r3; see CORRECTNESS_r0{1,2,3}.json)
+        # --- returning after rotating out of the r4 window (all r1–r3
+        # hash-exact; judge-recertified locally in the r4 verdict) ---
         "trigram_topk": q_trigram_topk,
         "normalize_chain": q_normalize_chain,
         "charset_score": q_charset_score,
@@ -1316,6 +1333,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippet": q_snippet,
         "events_rollup": q_events_rollup,
         "running_revenue": q_running_revenue,
+        # --- semantics changed in round 5 — must re-certify ---
+        "range_join": q_range_join,
+        "pack_shards": q_pack_shards,
+        "ivf_pq_topk": q_ivf_pq_topk,
+        # --- corpus-derived goldens regenerated (rtf/xls/email mix) ---
+        "extract_spans": q_extract_spans,
+        "extract_kind_stats": q_extract_kind_stats,
+        "html_main_content": q_html_main_content,
+        # --- NEW in round 5 ---
+        "meta_tags": q_meta_tags,
+        "dedup_stream_twin": q_dedup_stream_twin,
+        "range_join_stream_twin": q_range_join_stream_twin,
+        # --- r4-certified fillers touching this round's changed files ---
+        "fts_count": q_fts_count,
+        "fts_search_topk": q_fts_search_topk,
+        "dedup_exact": q_dedup_exact,
+        "minhash": q_minhash,
+        "near_dedup_survivors": q_near_dedup_survivors,
+        "near_dedup_cc": q_near_dedup_cc,
+        "substring_dedup": q_substring_dedup,
+        "sessionize": q_sessionize,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "asof_join": q_asof_join,
+        "line_dedup": q_line_dedup,
+        "compression_signals": q_compression_signals,
+        "mixing_corpus": q_mixing_corpus,
+        "training_corpus": q_training_corpus,
+        "training_corpus_cc": q_training_corpus_cc,
+        "pq_adc_topk": q_pq_adc_topk,
+        # --- entries below rotate outside the driver's 50-entry window ---
+        # (every one hash-exact in the r4 driver window,
+        # CORRECTNESS_r04.json)
+        "decontaminate": q_decontaminate,
+        "token_quality": q_token_quality,
+        "token_counts": q_token_counts,
+        "mojibake": q_mojibake,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "repetition_signals": q_repetition_signals,
+        "gopher_filter": q_gopher_filter,
+        "lang_id": q_lang_id,
+        "quality_filter": q_quality_filter,
+        "cosine_neardup_lsh": q_cosine_neardup_lsh,
+        "cosine_near_dedup": q_cosine_near_dedup,
+        "cosine_near_dedup_cc": q_cosine_near_dedup_cc,
+        "pii_redact": q_pii_redact,
+        "topk_per_lang": q_topk_per_lang,
+        "revenue_by_nation": q_revenue_by_nation,
+        "domain_counts": q_domain_counts,
+        "domain_filter": q_domain_filter,
+        "stratified_sample": q_stratified_sample,
+        "length_stats": q_length_stats,
+        "lsh_bands": q_lsh_bands,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_topk_join": q_ann_ivf_topk_join,
+        "media_features": q_media_features,
+        "media_dedup": q_media_dedup,
+        "media_near_dedup": q_media_near_dedup,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
     }
 
 
@@ -1747,6 +1824,66 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN len(list_intersect(list_distinct({_TOK}), ['the','a','of'])) > 0
                         THEN 'en' ELSE 'und' END AS lang_pred
             FROM documents
+        """,
+        "meta_tags": """
+            WITH refs AS (
+              SELECT 'media://synth/' || i AS media_ref FROM range(64) t(i)
+            ), h AS (
+              SELECT media_ref,
+                     ('0x' || substring(md5(media_ref), 1, 8))::BIGINT AS h1,
+                     ('0x' || substring(md5(media_ref), 9, 8))::BIGINT AS h2,
+                     ('0x' || substring(md5(media_ref), 17, 8))::BIGINT AS h3,
+                     ('0x' || substring(md5(media_ref), 25, 8))::BIGINT AS h4
+              FROM refs
+            )
+            SELECT media_ref,
+                   ['Canon','Nikon','Sony','Fujifilm','Olympus'][(h1 % 5) + 1]
+                     AS make,
+                   ['Canon','Nikon','Sony','Fujifilm','Olympus'][(h1 % 5) + 1]
+                     || ' X' || ((h2 % 900) + 100)::VARCHAR AS model,
+                   640 + (h2 % 8) * 160 AS width,
+                   480 + (h3 % 8) * 120 AS height,
+                   (h3 % 8) + 1 AS orientation,
+                   printf('2023:%02d:%02d %02d:%02d:%02d',
+                          ((h4 % 12) + 1)::INT,
+                          (((h4 // 12) % 28) + 1)::INT,
+                          ((h4 // 336) % 24)::INT,
+                          ((h4 // 8064) % 60)::INT,
+                          ((h4 // 483840) % 60)::INT) AS dt_orig,
+                   ['report','scan','invoice','contract','archive','photo']
+                     [(h4 % 6) + 1] AS keyword
+            FROM h
+        """,
+        "dedup_stream_twin": """
+            WITH planted AS (
+              SELECT doc_id::BIGINT AS doc_id, md5(text) AS fingerprint,
+                     make_timestamp((1704067200 + doc_id) * 1000000) AS ts
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, md5(text),
+                     make_timestamp((1704067200 + doc_id + 600) * 1000000)
+              FROM documents WHERE doc_id % 3 = 0
+            ), ranked AS (
+              SELECT doc_id, fingerprint, ts,
+                     row_number() OVER (
+                       PARTITION BY fingerprint ORDER BY ts, doc_id
+                     ) AS rn
+              FROM planted
+            )
+            SELECT doc_id, ts, fingerprint FROM ranked WHERE rn = 1
+        """,
+        "range_join_stream_twin": """
+            WITH l AS (
+              SELECT event_id, user_id, epoch_us(ts) AS us
+              FROM events WHERE event_type = 'purchase'
+            ), r AS (
+              SELECT event_id, user_id, epoch_us(ts) AS us
+              FROM events WHERE event_type = 'error'
+            )
+            SELECT l.event_id, l.user_id, r.event_id AS err_id,
+                   l.us - r.us AS gap_us
+            FROM l JOIN r ON r.user_id = l.user_id
+                         AND r.us <= l.us AND r.us >= l.us - 86400000000
         """,
         "meta_filter": """
             WITH m AS (

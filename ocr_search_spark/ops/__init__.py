@@ -25,6 +25,8 @@ from .similarity import (
     cosine_neardup_pairs_lsh,
     cosine_topk,
     hyperplane_lsh_buckets,
+    ivf_pq_index,
+    ivf_pq_search,
     ivf_pq_topk,
     pq_adc_topk,
     pq_codebooks_from_sample,
@@ -67,6 +69,8 @@ __all__ = [
     "cosine_neardup_pairs_exact",
     "cosine_neardup_pairs_lsh",
     "hyperplane_lsh_buckets",
+    "ivf_pq_index",
+    "ivf_pq_search",
     "ivf_pq_topk",
     "pq_adc_topk",
     "pq_codebooks_from_sample",

@@ -704,6 +704,68 @@ def pq_adc_topk(
     )
 
 
+def ivf_pq_index(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[tuple[int, int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The build-once IVF-PQ index table: PQ codes joined with the coarse
+    cell assignment — ``(neighbor_id, centroid_id, s, code)``. This is
+    the ``codes ⋈ assigned`` table that production materializes
+    partitioned by ``centroid_id`` so probe joins prune partitions; the
+    full-precision vectors are read exactly once, here, and never again
+    on the query path."""
+    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    assigned = (
+        ivf_assign(corpus, centroids, id_col, vec_col, method="join")
+        .select(F.col("id").alias("neighbor_id"), "centroid_id")
+    )
+    return codes.withColumnRenamed("id", "neighbor_id").join(
+        assigned, "neighbor_id"
+    )
+
+
+def ivf_pq_search(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[tuple[int, int, list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query IVF-PQ probe search over a pre-built ``ivf_pq_index``
+    table: probe the ``n_probe`` nearest cells, join the index on
+    ``centroid_id`` (partition pruning on the materialized table), score
+    candidates via the broadcast ADC lookup join, integer-sum, top-k.
+    The amortized per-query cost — what a serving deployment pays after
+    the one-time index build."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    probes = _ivf_probes_join(q, centroids, n_probe).select(
+        "query_id", "centroid_id"
+    )
+    lut = _adc_lut(q, codebooks)
+    scored = (
+        probes.join(index, "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(lut, ["query_id", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d_micro").alias("adist_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist_micro").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= int(k))
+    )
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -719,39 +781,12 @@ def ivf_pq_topk(
     the survivors via the ADC lookup join — full-precision vectors are
     touched only at index-build time, never per query.
 
-    Composition of the two individually-oracled halves: ``ivf_assign``
-    (broadcast-join strategy) restricts the code table per query before
-    ``pq_adc_topk``'s LUT join; the fixed-point integer accumulation
-    keeps results deterministic. In production, `codes ⋈ assigned` is a
-    materialized table partitioned by cell id, so the probe join prunes
-    partitions instead of shuffling the corpus per query.
-    """
-    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
-    assigned = (
-        ivf_assign(corpus, centroids, id_col, vec_col, method="join")
-        .select(F.col("id").alias("neighbor_id"), "centroid_id")
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
-    probes = _ivf_probes_join(q, centroids, n_probe).select(
-        "query_id", "centroid_id"
-    )
-    cand = probes.join(assigned, "centroid_id").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    ).select("query_id", "neighbor_id")
-
-    lut = _adc_lut(q, codebooks)
-    scored = (
-        cand.join(codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
-        .join(lut, ["query_id", "s", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("d_micro").alias("adist_micro"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adist_micro").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= int(k))
+    Composition of ``ivf_pq_index`` (build once) and ``ivf_pq_search``
+    (per query); the fixed-point integer accumulation keeps results
+    deterministic. bench.py times the two phases separately — this
+    end-to-end form is the oracle surface."""
+    index = ivf_pq_index(corpus, centroids, codebooks, id_col, vec_col)
+    return ivf_pq_search(
+        index, queries, centroids, codebooks,
+        k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col,
     )

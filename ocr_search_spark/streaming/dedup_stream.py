@@ -41,3 +41,39 @@ def dedup_stream(
     return fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["fingerprint"]
     )
+
+
+def dedup_batch_twin(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Batch formulation of ``dedup_stream``'s keeper contract: the first
+    occurrence — min ``ts_col``, ties to min ``id_col`` — of each
+    md5(text) fingerprint survives.
+
+    For an in-event-time-order stream (arrival order == event-time
+    order) this is exactly what ``dropDuplicatesWithinWatermark`` admits;
+    the pytest equivalence test feeds the stream in order and compares
+    against this function, and the driver certifies the shared semantics
+    through the ``dedup_stream_twin`` oracle query. Out-of-order arrival
+    keeps the first ARRIVING row instead — the inherent stream/batch
+    divergence the watermark bounds but cannot remove.
+    """
+    from pyspark.sql import Window
+
+    fp = docs.select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.md5(F.col(text_col)).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1729,9 +1729,13 @@ class TestReviewRegressions2:
         from ocr_search_spark.ops import similarity
 
         src_pq = inspect.getsource(similarity.pq_adc_topk)
+        src_search = inspect.getsource(similarity.ivf_pq_search)
+        assert "_adc_lut(" in src_pq and "_adc_lut(" in src_search
+        assert "1_000_000" not in src_pq and "1_000_000" not in src_search
+        # the composed form must route through the split halves (r5
+        # build/serve split), keeping one LUT construction site
         src_ivfpq = inspect.getsource(similarity.ivf_pq_topk)
-        assert "_adc_lut(" in src_pq and "_adc_lut(" in src_ivfpq
-        assert "1_000_000" not in src_pq and "1_000_000" not in src_ivfpq
+        assert "ivf_pq_index(" in src_ivfpq and "ivf_pq_search(" in src_ivfpq
 
 
 class TestReviewRegressions3:
@@ -1772,10 +1776,14 @@ class TestReviewRegressions3:
         ids = sorted(r.doc_id for r in docs)
         assert len(ids) == 3 and len(set(ids)) == 3
         assert "only.txt" in ids  # unique names stay bare
+        # reference _unique_path parity (ADVICE r4): min(path) keeps the
+        # bare name, only subsequent colliders get the path-hash suffix
+        assert "report.txt" in ids
         dups = [i for i in ids if i.startswith("report.txt#")]
-        assert len(dups) == 2  # collisions get distinct path-hash suffixes
+        assert len(dups) == 1
         texts = {r.doc_id: r.spans[0]["text"] for r in docs}
-        assert {texts[d] for d in dups} == {"alpha content", "beta content"}
+        assert texts["report.txt"] == "alpha content"  # a/ sorts first
+        assert texts[dups[0]] == "beta content"
 
     def test_store_keeps_zero_span_documents(self, spark, tmp_path):
         from ocr_search_spark.store import DocumentStore

@@ -264,6 +264,52 @@ class TestDedupStream:
         survivors = {r.doc_id for r in out}
         assert "b1" in survivors and len(survivors & {"a1", "a2", "b2"}) == 1
 
+    def test_stream_matches_batch_twin_in_order(self, spark, tmp_path):
+        """For an in-event-time-order stream, dedup_stream admits exactly
+        the rows dedup_batch_twin keeps (min ts, tie min id per
+        fingerprint) — the contract the driver certifies through the
+        dedup_stream_twin oracle query."""
+        from ocr_search_spark.streaming.dedup_stream import (
+            dedup_batch_twin,
+            dedup_stream,
+        )
+
+        rows = [  # already in event-time order
+            ("d1", "alpha", "2024-01-01 09:00:00"),
+            ("d2", "beta", "2024-01-01 09:01:00"),
+            ("d3", "alpha", "2024-01-01 09:02:00"),  # dup of d1
+            ("d4", "gamma", "2024-01-01 09:03:00"),
+            ("d5", "beta", "2024-01-01 09:04:00"),   # dup of d2
+            ("d6", "alpha", "2024-01-01 09:05:00"),  # dup of d1
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id string, text string, ts string"
+        ).selectExpr("doc_id", "text", "cast(ts as timestamp) ts")
+        src = str(tmp_path / "twin_docs")
+        df.coalesce(1).write.parquet(src)
+
+        stream = spark.readStream.schema(
+            "doc_id string, text string, ts timestamp"
+        ).parquet(src)
+        q = (
+            dedup_stream(stream, watermark="1 hour")
+            .writeStream.format("memory")
+            .queryName("twin_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.doc_id, r.fingerprint)
+            for r in spark.sql("SELECT * FROM twin_out").collect()
+        }
+        want = {
+            (r.doc_id, r.fingerprint) for r in dedup_batch_twin(df).collect()
+        }
+        assert got == want
+        assert {d for d, _ in got} == {"d1", "d2", "d4"}
+
 
 class TestRangeJoinStream:
     def test_stream_matches_batch_range_join(self, spark, tmp_path):
