@@ -379,3 +379,43 @@ class TestPqPlans:
         plan = plan_of(pq_encode(emb, cb))
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+    def test_ivf_pq_search_plan_shape(self, spark):
+        """The r5 serve path (pre-built index -> probe search) must stay
+        free of nested-loop/cartesian joins: probes prune on centroid_id,
+        the ADC LUT rides a broadcast, and the only unkeyed product is
+        the broadcast of the tiny centroid/codebook sides."""
+        from ocr_search_spark.ops.similarity import (
+            ivf_centroids_from_sample,
+            ivf_pq_index,
+            ivf_pq_search,
+            pq_codebooks_from_sample,
+        )
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        cents = ivf_centroids_from_sample(emb, k=16)
+        cb = pq_codebooks_from_sample(emb, m=8, k=16, dim=64)
+        # materialize the index as production does (a table) so the plan
+        # under test is the serve path, not build+serve
+        index = ivf_pq_index(emb, cents, cb).persist()
+        try:
+            index.count()
+            out = ivf_pq_search(
+                index, emb.filter(F.col("vec_id") < 5), cents, cb,
+                k=10, n_probe=4,
+            )
+            plan = plan_of(out)
+            assert "CartesianProduct" not in plan
+            # the only nested-loop products allowed are the documented
+            # broadcast Crosses of O(m·k) driver-built sides (centroids
+            # for probes, codebook for the ADC LUT) against the tiny
+            # query set — every BNLJ line must be that BuildRight Cross;
+            # the corpus-sized index joins only through hash/sort-merge
+            # equi joins
+            for line in plan.splitlines():
+                if "BroadcastNestedLoopJoin" in line:
+                    assert "Cross" in line and "BuildRight" in line, line
+            assert "InMemoryTableScan" in plan  # index read, not rebuilt
+        finally:
+            index.unpersist()
