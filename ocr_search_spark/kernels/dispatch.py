@@ -28,7 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .email_extract import eml_to_text
+from .email_fast import eml_to_text_fast
 from .msg_extract import msg_to_text
 from .html_fast import html_to_text_fast
 from .normalize import normalize_series
@@ -46,11 +46,14 @@ KNOWN_KINDS = (
 
 _PASSTHROUGH = ("txt", "docx")
 
-#: per-row scalar kernels for the optional kinds (looped inside the batch)
+#: per-row scalar kernels for the optional kinds (looped inside the batch).
+#: email uses the fast-scanner twin (email_fast, ~23x the stdlib parser);
+#: the golden path keeps stdlib eml_to_text, parity enforced by the
+#: span-equality suite — the html_fast/html_extract discipline.
 _SCALAR_KERNELS = {
     "rtf": rtf_to_text,
     "xls": xls_to_text,
-    "email": eml_to_text,
+    "email": eml_to_text_fast,
     "msg": msg_to_text,
 }
 

@@ -1,0 +1,245 @@
+"""Fast EML scanner — hot-path twin of :mod:`.email_extract` (E15).
+
+``BytesParser(policy=default)`` spends ~90% of its time in the
+``headerregistry`` value parsers (measured 1.75 ms/span — 26× the HTML
+kernel), which doubled end-to-end extraction cost when email entered the
+corpus mix at 2%. This module is the ``html_fast`` pattern applied to
+EML: a hand-rolled header/MIME scanner for the common shapes, with a
+conservative **bail-out to the full stdlib parser** whenever anything
+unusual appears — nested multipart, exotic transfer encodings, unknown
+charsets, parse errors. The golden path (kernels/reference_impl.py)
+keeps the stdlib ``eml_to_text``, so the two implementations stay
+independent and the span-equality suite + parity tests pin them to each
+other (same discipline as html_extract vs html_fast).
+
+Replicated ``policy=default`` observables (parity-tested):
+
+* RFC2047 encoded-word decoding in Subject/From/To/Cc;
+* Date headers re-rendered from the parsed datetime (the stdlib's
+  DateHeader corrects a wrong weekday name — so must we);
+* first non-attachment text/plain part as body, else text/html
+  flattened with the shared ``_email_html_to_text``;
+* attachment filenames enumerated in part order.
+"""
+
+from __future__ import annotations
+
+import quopri
+import re
+from base64 import b64decode
+from email.header import decode_header, make_header
+from email.utils import format_datetime, parsedate_to_datetime
+
+from .email_extract import _email_html_to_text, eml_to_text
+
+_OK_CTE = {None, "", "7bit", "8bit", "binary", "base64", "quoted-printable"}
+
+_HEAD_SPLIT = re.compile(r"\r?\n\r?\n")
+_LINE_SPLIT = re.compile(r"\r?\n")
+_ENCODED_WORD = re.compile(r"=\?")
+_FILENAME = re.compile(r'filename\s*=\s*(?:"([^"]*)"|([^;\s]+))', re.I)
+_NAME = re.compile(r'name\s*=\s*(?:"([^"]*)"|([^;\s]+))', re.I)
+_CHARSET = re.compile(r'charset\s*=\s*(?:"([^"]*)"|([^;\s]+))', re.I)
+_BOUNDARY = re.compile(r'boundary\s*=\s*(?:"([^"]*)"|([^;\s]+))', re.I)
+
+
+def _parse_headers(head: str) -> dict[str, str] | None:
+    """Unfold and collect first occurrence of each header (lower-cased
+    name). Returns None on malformed head (no colon on a non-continuation
+    line) — caller bails to the stdlib parser."""
+    headers: dict[str, str] = {}
+    name = None
+    for line in _LINE_SPLIT.split(head):
+        if not line:
+            continue
+        if line[0] in " \t":
+            if name is None:
+                return None
+            headers[name] += " " + line.strip()
+            continue
+        i = line.find(":")
+        if i <= 0:
+            return None
+        name = line[:i].strip().lower()
+        if name not in headers:
+            headers[name] = line[i + 1 :].strip()
+        else:
+            name = f"__dup_{name}"  # keep first value, swallow continuations
+            headers.setdefault(name, "")
+    return headers
+
+
+def _decode_hdr(v: str) -> str | None:
+    """RFC2047 decode matching policy=default's unstructured parsing for
+    the simple shapes; None → bail."""
+    if not _ENCODED_WORD.search(v):
+        return v
+    try:
+        return str(make_header(decode_header(v)))
+    except Exception:
+        return None
+
+
+def _render_date(v: str) -> str | None:
+    """policy=default's DateHeader re-renders from the parsed datetime
+    (corrects weekday names); replicate via parsedate + format."""
+    try:
+        return format_datetime(parsedate_to_datetime(v))
+    except Exception:
+        return None
+
+
+def _decode_body(payload: str, cte: str, ctype_params: str) -> str | None:
+    cte = (cte or "").strip().lower()
+    if cte not in _OK_CTE:
+        return None
+    m = _CHARSET.search(ctype_params)
+    charset = (m.group(1) or m.group(2)).strip().lower() if m else "utf-8"
+    try:
+        if cte == "base64":
+            return b64decode(re.sub(r"\s+", "", payload)).decode(charset)
+        if cte == "quoted-printable":
+            return quopri.decodestring(payload.encode("utf-8")).decode(charset)
+        # 7bit/8bit/binary: already text; charset only matters for bytes
+        # input, and our span model carries str
+        return payload
+    except Exception:
+        return None
+
+
+def _fast_parse(raw: str) -> str | None:
+    """One message → the reference text template, or None to bail."""
+    m = _HEAD_SPLIT.search(raw)
+    if m is None:
+        head, body_raw = raw, ""
+    else:
+        head, body_raw = raw[: m.start()], raw[m.end() :]
+    headers = _parse_headers(head)
+    if headers is None:
+        return None
+
+    def hdr(name: str) -> str | None:
+        v = headers.get(name)
+        return None if v is None else _decode_hdr(v)
+
+    subject, frm, to, cc = hdr("subject"), hdr("from"), hdr("to"), hdr("cc")
+    if "\\" in (headers.get("from", "") + headers.get("to", "") + headers.get("cc", "")) or any(
+        ch in (headers.get(h) or "") for h in ("from", "to", "cc") for ch in "<(\""
+    ):
+        return None  # structured address forms -> let AddressHeader render
+    date = None
+    if "date" in headers:
+        date = _render_date(headers["date"])
+        if date is None:
+            return None
+
+    ctype_full = headers.get("content-type", "text/plain")
+    ctype = ctype_full.split(";", 1)[0].strip().lower()
+    params = ctype_full.split(";", 1)[1] if ";" in ctype_full else ""
+    cte = headers.get("content-transfer-encoding")
+
+    body = ""
+    atts: list[str] = []
+    if ctype.startswith("multipart/"):
+        bm = _BOUNDARY.search(params)
+        if not bm:
+            return None
+        boundary = (bm.group(1) or bm.group(2)).strip()
+        text_part, html_part = None, None
+        # split on delimiter lines; first chunk is the preamble
+        chunks = re.split(
+            r"(?:^|\r?\n)--" + re.escape(boundary) + r"(--)?[ \t]*(?:\r?\n|$)",
+            body_raw,
+        )
+        # re.split with one group interleaves the terminator markers
+        parts = [c for c in chunks[1:] if c is not None and c != "--"]
+        for part in parts:
+            if not part.strip():
+                continue
+            pm = _HEAD_SPLIT.search(part)
+            if pm is None:
+                phead, pbody = part, ""
+            else:
+                phead, pbody = part[: pm.start()], part[pm.end() :]
+            ph = _parse_headers(phead)
+            if ph is None:
+                return None
+            pct_full = ph.get("content-type", "text/plain")
+            pct = pct_full.split(";", 1)[0].strip().lower()
+            pparams = pct_full.split(";", 1)[1] if ";" in pct_full else ""
+            if pct.startswith("multipart/") or pct == "message/rfc822":
+                return None  # nested structure -> stdlib parser
+            disp = (ph.get("content-disposition") or "").strip()
+            if disp.split(";", 1)[0].strip().lower() == "attachment":
+                fn = _FILENAME.search(disp) or _NAME.search(pct_full)
+                atts.append(
+                    (fn.group(1) or fn.group(2)).strip() if fn else "attachment"
+                )
+                continue
+            if pct == "text/plain" and text_part is None:
+                text_part = _decode_body(
+                    pbody, ph.get("content-transfer-encoding", ""), pparams
+                )
+                if text_part is None:
+                    return None
+            elif pct == "text/html" and html_part is None:
+                html_part = _decode_body(
+                    pbody, ph.get("content-transfer-encoding", ""), pparams
+                )
+                if html_part is None:
+                    return None
+        body = (
+            text_part
+            if text_part is not None
+            else _email_html_to_text(html_part or "")
+        )
+    elif ctype == "message/rfc822":
+        return None
+    else:
+        decoded = _decode_body(body_raw, cte or "", params)
+        if decoded is None:
+            return None
+        body = (
+            _email_html_to_text(decoded) if ctype == "text/html" else decoded
+        )
+
+    if subject is None or frm is None or to is None or cc is None:
+        # a present-but-undecodable header bailed above; absent headers
+        # render as "" exactly like safe(msg.get(...))
+        subject = subject or ("" if "subject" not in headers else None)
+        frm = frm or ("" if "from" not in headers else None)
+        to = to or ("" if "to" not in headers else None)
+        cc = cc or ("" if "cc" not in headers else None)
+        if None in (subject, frm, to, cc):
+            return None
+
+    lines = [
+        f"Тема: {subject or ''}",
+        f"От  : {frm or ''}",
+        f"Кому: {to or ''}",
+        f"Копия: {cc or ''}",
+        f"Дата: {date or ''}",
+    ]
+    if body:
+        lines.append("Тело письма:\n" + body)
+    if atts:
+        lines.append(
+            "Вложения:\n" + "\n".join(f"{i+1}. {n}" for i, n in enumerate(atts))
+        )
+    return "\n".join(lines)
+
+
+def eml_to_text_fast(raw: str | bytes) -> str:
+    """Drop-in fast twin of :func:`.email_extract.eml_to_text`."""
+    if not raw:
+        return ""
+    if isinstance(raw, bytes):
+        try:
+            raw = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            return eml_to_text(raw)
+    try:
+        out = _fast_parse(raw)
+    except Exception:
+        out = None
+    return eml_to_text(raw) if out is None else out

@@ -85,6 +85,105 @@ class TestEmail:
         assert eml_to_text("") == ""
 
 
+class TestEmailFastParity:
+    """The fast scanner (hot path) must match the stdlib parser (golden
+    path) byte-for-byte on every shape the corpus emits, and must bail to
+    the stdlib parser — thereby staying equal by construction — on
+    structures it doesn't model."""
+
+    CASES = [
+        TestEmail.EML,
+        # CRLF vs LF, folded header, no Cc, no Date
+        "From: a@b.c\nTo: t@u.v\nSubject: folded\n subject tail\n\nbody\n",
+        # RFC2047 subject + 8bit utf-8 body
+        (
+            "Subject: =?utf-8?b?0YHRh9GR0YIg0L7Qv9C70LDRgtCw?=\n"
+            "From: user1@corp.ru\nTo: user2@x.io\n"
+            "Date: Mon, 10 Apr 2025 12:30:00 +0300\n"
+            "Content-Type: text/plain; charset=utf-8\n"
+            "Content-Transfer-Encoding: 8bit\n\n"
+            "привет мир\n"
+        ),
+        # wrong weekday -> DateHeader re-render parity
+        (
+            "Subject: s\nFrom: a@b.c\nTo: t@u.v\n"
+            "Date: Mon, 10 Apr 2025 15:55:00 +0300\n\nbody\n"
+        ),
+        # html-only body
+        (
+            "From: a@b.c\nSubject: s\n"
+            "Content-Type: text/html; charset=utf-8\n\n"
+            "<html><body><p>para</p><div>конец</div></body></html>\n"
+        ),
+        # quoted-printable body
+        (
+            "From: a@b.c\nSubject: qp\n"
+            "Content-Type: text/plain; charset=utf-8\n"
+            "Content-Transfer-Encoding: quoted-printable\n\n"
+            "caf=C3=A9 line\n"
+        ),
+        # multipart with attachment (the corpus shape)
+        (
+            "Subject: m\nFrom: a@b.c\nTo: t@u.v\nMIME-Version: 1.0\n"
+            'Content-Type: multipart/mixed; boundary="bX"\n\n'
+            "--bX\nContent-Type: text/plain; charset=utf-8\n"
+            "Content-Transfer-Encoding: 8bit\n\nhello body\n"
+            '--bX\nContent-Type: application/pdf; name="r.pdf"\n'
+            'Content-Disposition: attachment; filename="r.pdf"\n'
+            "Content-Transfer-Encoding: base64\n\nJVBERi0=\n--bX--\n"
+        ),
+        # multipart, html part only + unnamed attachment
+        (
+            "Subject: m2\nFrom: a@b.c\n"
+            'Content-Type: multipart/mixed; boundary="bY"\n\n'
+            "--bY\nContent-Type: text/html; charset=utf-8\n\n<p>hi</p>\n"
+            "--bY\nContent-Type: application/octet-stream\n"
+            "Content-Disposition: attachment\n\nAAAA\n--bY--\n"
+        ),
+        # structured address (display name) -> fast path bails, still equal
+        (
+            'From: "Alice A" <alice@corp.ru>\nTo: bob@x.io\nSubject: s\n\nb\n'
+        ),
+        # nested multipart -> bail, still equal
+        (
+            "Subject: n\nFrom: a@b.c\n"
+            'Content-Type: multipart/mixed; boundary="o"\n\n'
+            '--o\nContent-Type: multipart/alternative; boundary="i"\n\n'
+            "--i\nContent-Type: text/plain\n\ninner\n--i--\n--o--\n"
+        ),
+        # unknown transfer encoding -> bail, still equal
+        (
+            "Subject: u\nFrom: a@b.c\n"
+            "Content-Transfer-Encoding: x-uuencode\n\nstuff\n"
+        ),
+        # no headers at all
+        "\njust a body\n",
+        "",
+    ]
+
+    def test_handwritten_cases(self):
+        from ocr_search_spark.kernels.email_fast import eml_to_text_fast
+
+        for eml in self.CASES:
+            assert eml_to_text_fast(eml) == eml_to_text(eml), repr(eml[:80])
+
+    def test_corpus_parity(self):
+        from ocr_search_spark.corpus import build_document, load_base_texts
+        from ocr_search_spark.kernels.email_fast import eml_to_text_fast
+
+        base = load_base_texts("/root/testdata/sf0.001")
+        n = 0
+        for i in range(4000):
+            doc = build_document(i, base)
+            for s in doc["spans"]:
+                if s["kind"] == "email":
+                    assert eml_to_text_fast(s["text"]) == eml_to_text(
+                        s["text"]
+                    ), doc["doc_id"]
+                    n += 1
+        assert n > 200  # the mix actually exercised the kernel
+
+
 from ocr_search_spark.kernels.cfb_build import build_cfb, build_msg
 
 
