@@ -34,13 +34,16 @@ from .email_extract import _email_html_to_text, eml_to_text
 
 _OK_CTE = {None, "", "7bit", "8bit", "binary", "base64", "quoted-printable"}
 
-_HEAD_SPLIT = re.compile(r"\r?\n\r?\n")
+# first EMPTY line ends the head — including a blank line at position 0
+# (feedparser semantics: '\n\nx' has empty headers and body '\nx')
+_HEAD_SPLIT = re.compile(r"(?:^|\r?\n)\r?\n")
 _LINE_SPLIT = re.compile(r"\r?\n")
 _ENCODED_WORD = re.compile(r"=\?")
 _FILENAME = re.compile(r'filename\s*=\s*(?:"([^"]*)"|([^;\s]+))', re.I)
 _NAME = re.compile(r'name\s*=\s*(?:"([^"]*)"|([^;\s]+))', re.I)
 _CHARSET = re.compile(r'charset\s*=\s*(?:"([^"]*)"|([^;\s]+))', re.I)
 _BOUNDARY = re.compile(r'boundary\s*=\s*(?:"([^"]*)"|([^;\s]+))', re.I)
+_SIMPLE_ADDR = re.compile(r'[^\s<>,;()"\\\[\]:@]+@[^\s<>,;()"\\\[\]:@]+')
 
 
 def _parse_headers(head: str) -> dict[str, str] | None:
@@ -55,14 +58,18 @@ def _parse_headers(head: str) -> dict[str, str] | None:
         if line[0] in " \t":
             if name is None:
                 return None
-            headers[name] += " " + line.strip()
+            # unfolding removes ONLY the newline: the continuation line's
+            # own whitespace is preserved (policy=default: 'a\n  b ' ->
+            # 'a  b ')
+            headers[name] += line
             continue
         i = line.find(":")
         if i <= 0:
             return None
         name = line[:i].strip().lower()
         if name not in headers:
-            headers[name] = line[i + 1 :].strip()
+            # leading WSP after the colon is dropped, trailing kept
+            headers[name] = line[i + 1 :].lstrip(" \t")
         else:
             name = f"__dup_{name}"  # keep first value, swallow continuations
             headers.setdefault(name, "")
@@ -90,19 +97,24 @@ def _render_date(v: str) -> str | None:
 
 
 def _decode_body(payload: str, cte: str, ctype_params: str) -> str | None:
+    """Decode one text part exactly like ``get_text_content``: charset
+    defaults to us-ascii and decoding ALWAYS uses errors='replace' (the
+    stdlib content manager never raises on bad bytes — an undeclared
+    utf-8 body becomes per-byte U+FFFD, and so must ours)."""
     cte = (cte or "").strip().lower()
     if cte not in _OK_CTE:
         return None
     m = _CHARSET.search(ctype_params)
-    charset = (m.group(1) or m.group(2)).strip().lower() if m else "utf-8"
+    charset = (m.group(1) or m.group(2)).strip().lower() if m else "us-ascii"
     try:
         if cte == "base64":
-            return b64decode(re.sub(r"\s+", "", payload)).decode(charset)
-        if cte == "quoted-printable":
-            return quopri.decodestring(payload.encode("utf-8")).decode(charset)
-        # 7bit/8bit/binary: already text; charset only matters for bytes
-        # input, and our span model carries str
-        return payload
+            data = b64decode(re.sub(r"\s+", "", payload))
+        elif cte == "quoted-printable":
+            data = quopri.decodestring(payload.encode("utf-8"))
+        else:  # 7bit/8bit/binary: the span model carries str; the wire
+            # form the stdlib parser sees is its utf-8 encoding
+            data = payload.encode("utf-8")
+        return data.decode(charset, errors="replace")
     except Exception:
         return None
 
@@ -123,10 +135,13 @@ def _fast_parse(raw: str) -> str | None:
         return None if v is None else _decode_hdr(v)
 
     subject, frm, to, cc = hdr("subject"), hdr("from"), hdr("to"), hdr("cc")
-    if "\\" in (headers.get("from", "") + headers.get("to", "") + headers.get("cc", "")) or any(
-        ch in (headers.get(h) or "") for h in ("from", "to", "cc") for ch in "<(\""
-    ):
-        return None  # structured address forms -> let AddressHeader render
+    # AddressHeader re-renders anything that isn't a bare addr-spec
+    # (display names, groups, quoting of unparsable values) — bail unless
+    # the raw value is a single simple token@token (or absent/empty)
+    for h in ("from", "to", "cc"):
+        v = headers.get(h)
+        if v and not _SIMPLE_ADDR.fullmatch(v):
+            return None
     date = None
     if "date" in headers:
         date = _render_date(headers["date"])
@@ -196,12 +211,23 @@ def _fast_parse(raw: str) -> str | None:
     elif ctype == "message/rfc822":
         return None
     else:
-        decoded = _decode_body(body_raw, cte or "", params)
-        if decoded is None:
-            return None
-        body = (
-            _email_html_to_text(decoded) if ctype == "text/html" else decoded
-        )
+        # stdlib behavior: an invalid/absent content-type defaults to
+        # text/plain; any OTHER single-part type (application/*, image/*)
+        # is skipped by the text/plain-or-html walk, leaving body empty
+        if not ctype or "/" not in ctype:
+            ctype = "text/plain"
+        if ctype == "text/plain":
+            decoded = _decode_body(body_raw, cte or "", params)
+            if decoded is None:
+                return None
+            body = decoded
+        elif ctype == "text/html":
+            decoded = _decode_body(body_raw, cte or "", params)
+            if decoded is None:
+                return None
+            body = _email_html_to_text(decoded)
+        else:
+            body = ""
 
     if subject is None or frm is None or to is None or cc is None:
         # a present-but-undecodable header bailed above; absent headers
