@@ -46,6 +46,30 @@ def _email_html_to_text(html: str) -> str:
     return "\n".join(p.parts)
 
 
+#: MS compound-file magic (an Outlook .msg container); as latin-1-mapped
+#: str for the span data model's binary-kind convention
+CFB_MAGIC = bytes((0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1))
+CFB_MAGIC_STR = CFB_MAGIC.decode("latin-1")
+
+
+def is_msg(raw: str | bytes) -> bool:
+    """The reference's MSG sniff (email.py:45-50): CFB magic prefix."""
+    if isinstance(raw, bytes):
+        return raw.startswith(CFB_MAGIC)
+    return isinstance(raw, str) and raw.startswith(CFB_MAGIC_STR)
+
+
+def eml_or_msg_to_text(raw: str | bytes) -> str:
+    """The reference's combined EMLMSGExtractor entry: sniff the CFB
+    magic and route Outlook containers to the MSG kernel, everything
+    else through the RFC-822 parser (email.py:45-50 dispatch)."""
+    if raw and is_msg(raw):
+        from .msg_extract import msg_to_text
+
+        return msg_to_text(raw)
+    return eml_to_text(raw)
+
+
 def eml_to_text(raw: str | bytes) -> str:
     """Flatten one RFC-822 message to the reference's text template."""
     if not raw:

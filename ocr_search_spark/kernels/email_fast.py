@@ -256,9 +256,16 @@ def _fast_parse(raw: str) -> str | None:
 
 
 def eml_to_text_fast(raw: str | bytes) -> str:
-    """Drop-in fast twin of :func:`.email_extract.eml_to_text`."""
+    """Drop-in fast twin of :func:`.email_extract.eml_or_msg_to_text`:
+    same CFB sniff for Outlook containers, fast scanner for RFC-822."""
     if not raw:
         return ""
+    from .email_extract import is_msg
+
+    if is_msg(raw):
+        from .msg_extract import msg_to_text
+
+        return msg_to_text(raw)
     if isinstance(raw, bytes):
         try:
             raw = raw.decode("utf-8")

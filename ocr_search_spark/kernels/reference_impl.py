@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from .email_extract import eml_to_text
+from .email_extract import eml_or_msg_to_text
 from .msg_extract import msg_to_text
 from .html_extract import html_to_text
 from .normalize import preprocess_text_layer
@@ -43,7 +43,9 @@ def extract_span_text(kind: str, text: str, media_ref: str) -> str:
     elif kind == "xls":
         raw = xls_to_text(text)
     elif kind == "email":
-        raw = eml_to_text(text)
+        # the reference's combined extractor sniffs CFB containers
+        # (a user may hand a .msg file the .eml route, email.py:45-50)
+        raw = eml_or_msg_to_text(text)
     elif kind == "msg":
         raw = msg_to_text(text)
     else:  # uns + unknown kinds (bytes_xtractor.py:70)

@@ -100,9 +100,19 @@ def _decode_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     pdf = batch.to_pandas()
     texts = []
     media_refs = []
+    from .kernels.email_extract import CFB_MAGIC
+
     for kind, content, path in zip(pdf["kind"], pdf["content"], pdf["path"]):
         data = bytes(content) if content is not None else b""
-        if kind in _TEXTUAL_KINDS:
+        if kind == "email" and data.startswith(CFB_MAGIC):
+            # Outlook .msg container (the .msg extension maps to the email
+            # kind, mirroring _guess_ext): carry the raw bytes latin-1-
+            # mapped — the binary-kind span convention — so the kernel's
+            # CFB sniff sees the magic intact; the txt decode cascade
+            # (utf-8 -> cp1251) would remap the bytes and corrupt it
+            texts.append(data.decode("latin-1"))
+            media_refs.append("")
+        elif kind in _TEXTUAL_KINDS:
             encs = HTML_ENCODINGS if kind == "html" else TXT_ENCODINGS
             texts.append(decode_bytes(data, encs))
             media_refs.append("")

@@ -93,6 +93,41 @@ class TestFolderToDocuments:
         texts = {r.doc_id: r.text for r in flat.collect()}
         assert texts["c.html"] == "visible"  # html boilerplate stripped
 
+    def test_msg_and_eml_files_route_by_magic(self, spark, tmp_path):
+        """A real user's email corpus through the folder path: .eml files
+        parse as RFC-822; .msg files (CFB containers, .msg ext maps to
+        the email kind like the reference's _guess_ext) are sniffed by
+        magic and routed to the MSG kernel — the decode cascade must not
+        corrupt the binary (reference email.py:45-50 is_msg dispatch)."""
+        from datetime import datetime, timezone
+
+        from ocr_search_spark.kernels.cfb_build import build_msg
+
+        root = tmp_path / "mail"
+        root.mkdir()
+        (root / "note.eml").write_text(
+            "Subject: hello note\nFrom: a@corp.ru\nTo: b@x.io\n"
+            "Content-Type: text/plain; charset=utf-8\n\nplain body here\n",
+            encoding="utf-8",
+        )
+        ft = int(
+            (datetime(2024, 7, 1, 10, 0, tzinfo=timezone.utc)
+             - datetime(1601, 1, 1, tzinfo=timezone.utc)).total_seconds() * 10**7
+        )
+        (root / "memo.msg").write_bytes(
+            build_msg(subject="msg subject", sender="s@corp.ru",
+                      to="t@x.io", body="ole body", delivery_filetime=ft)
+        )
+        docs = folder_to_documents(
+            scan_folder_df(spark, str(root), allowed_ext=None)
+        )
+        flat = explode_spans(extract_documents(docs, num_partitions=2))
+        texts = {r.doc_id: r.text for r in flat.collect()}
+        assert "hello note" in texts["note.eml"]
+        assert "plain body here" in texts["note.eml"]
+        assert "msg subject" in texts["memo.msg"]
+        assert "ole body" in texts["memo.msg"]
+
 
 class TestTextSink:
     def test_one_file_per_doc(self, spark, folder, tmp_path):
