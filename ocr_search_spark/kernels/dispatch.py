@@ -35,7 +35,7 @@ from .normalize import normalize_series
 from .ocr_stub import ocr_stub_text
 from .pdf_extract import extract_pdf_page_text
 from .rtf_extract import rtf_to_text
-from .xls_extract import xls_to_text
+from .xls_extract import xls_any_to_text
 
 #: kinds with a dedicated kernel; anything else falls through to ``uns``.
 #: core kinds first (FIXTURES.md §1), then the optional kinds (rtf/xls/email
@@ -52,7 +52,7 @@ _PASSTHROUGH = ("txt", "docx")
 #: span-equality suite — the html_fast/html_extract discipline.
 _SCALAR_KERNELS = {
     "rtf": rtf_to_text,
-    "xls": xls_to_text,
+    "xls": xls_any_to_text,
     "email": eml_to_text_fast,
     "msg": msg_to_text,
 }

@@ -23,7 +23,7 @@ from .normalize import preprocess_text_layer
 from .ocr_stub import ocr_stub_text
 from .pdf_extract import extract_pdf_page_text
 from .rtf_extract import rtf_to_text
-from .xls_extract import xls_to_text
+from .xls_extract import xls_any_to_text
 
 
 def extract_span_text(kind: str, text: str, media_ref: str) -> str:
@@ -41,7 +41,7 @@ def extract_span_text(kind: str, text: str, media_ref: str) -> str:
     elif kind == "rtf":
         raw = rtf_to_text(text)
     elif kind == "xls":
-        raw = xls_to_text(text)
+        raw = xls_any_to_text(text)
     elif kind == "email":
         # the reference's combined extractor sniffs CFB containers
         # (a user may hand a .msg file the .eml route, email.py:45-50)

@@ -17,6 +17,28 @@ from __future__ import annotations
 import json
 
 
+def xls_any_to_text(payload: str | bytes) -> str:
+    """Combined xls-kind entry: real .xlsx (ZIP magic) through the
+    stdlib OOXML reader (:mod:`.xlsx_extract`); legacy BIFF .xls (CFB
+    magic) is unsupported without xlrd → "" (P5 semantics, counted
+    upstream); everything else is the JSON workbook span convention."""
+    from .email_extract import is_msg as _is_cfb
+    from .xlsx_extract import is_xlsx, xlsx_to_text
+
+    if not payload:
+        return ""
+    if is_xlsx(payload):
+        return xlsx_to_text(payload)
+    if _is_cfb(payload):  # CFB magic = legacy BIFF container
+        return ""
+    if isinstance(payload, bytes):
+        try:
+            payload = payload.decode("utf-8")
+        except UnicodeDecodeError:
+            return ""
+    return xls_to_text(payload)
+
+
 def xls_to_text(payload: str) -> str:
     if not payload:
         return ""

@@ -104,12 +104,14 @@ def _decode_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
 
     for kind, content, path in zip(pdf["kind"], pdf["content"], pdf["path"]):
         data = bytes(content) if content is not None else b""
-        if kind == "email" and data.startswith(CFB_MAGIC):
-            # Outlook .msg container (the .msg extension maps to the email
-            # kind, mirroring _guess_ext): carry the raw bytes latin-1-
+        if (kind == "email" and data.startswith(CFB_MAGIC)) or (
+            kind == "xls" and data[:4] in (b"PK\x03\x04", CFB_MAGIC[:4])
+        ):
+            # binary container kinds (Outlook .msg via the email kind,
+            # real .xlsx/.xls workbooks): carry the raw bytes latin-1-
             # mapped — the binary-kind span convention — so the kernel's
-            # CFB sniff sees the magic intact; the txt decode cascade
-            # (utf-8 -> cp1251) would remap the bytes and corrupt it
+            # magic sniff sees them intact; the txt decode cascade
+            # (utf-8 -> cp1251) would remap the bytes and corrupt them
             texts.append(data.decode("latin-1"))
             media_refs.append("")
         elif kind in _TEXTUAL_KINDS:

@@ -316,3 +316,134 @@ class TestDispatchWiring:
         assert list(got) == [extract_span_text(*r) for r in rows]
         assert list(failed) == [False, False, False, False]
         assert got[0] == "Hello\nworld" or got[0] == "Hello world"
+
+
+def build_xlsx(sheets: dict[str, list[list]], shared_first_cell: bool = True) -> bytes:
+    """Minimal real .xlsx: stdlib zipfile + hand-authored OOXML parts.
+    String cells go through sharedStrings (like real writers); numbers
+    and bools are typed cells."""
+    import io
+    import zipfile
+
+    strings: list[str] = []
+
+    def sref(s: str) -> int:
+        if s not in strings:
+            strings.append(s)
+        return strings.index(s)
+
+    def colref(i: int) -> str:
+        out = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            out = chr(65 + r) + out
+        return out
+
+    sheet_xml = {}
+    for si, (name, rows) in enumerate(sheets.items(), start=1):
+        body = []
+        for ri, row in enumerate(rows, start=1):
+            cells = []
+            for ci, v in enumerate(row):
+                if v is None:
+                    continue  # sparse gap
+                ref = f"{colref(ci)}{ri}"
+                if isinstance(v, bool):
+                    cells.append(f'<c r="{ref}" t="b"><v>{int(v)}</v></c>')
+                elif isinstance(v, (int, float)):
+                    cells.append(f'<c r="{ref}"><v>{v}</v></c>')
+                else:
+                    cells.append(
+                        f'<c r="{ref}" t="s"><v>{sref(str(v))}</v></c>'
+                    )
+            body.append(f'<row r="{ri}">{"".join(cells)}</row>')
+        sheet_xml[f"xl/worksheets/sheet{si}.xml"] = (
+            '<worksheet xmlns="http://schemas.openxmlformats.org/'
+            'spreadsheetml/2006/main"><sheetData>'
+            + "".join(body)
+            + "</sheetData></worksheet>"
+        )
+
+    wb_sheets = "".join(
+        f'<sheet name="{n}" sheetId="{i}" r:id="rId{i}"/>'
+        for i, n in enumerate(sheets, start=1)
+    )
+    workbook = (
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/'
+        '2006/main" xmlns:r="http://schemas.openxmlformats.org/'
+        f'officeDocument/2006/relationships"><sheets>{wb_sheets}</sheets>'
+        "</workbook>"
+    )
+    rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+        '2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i}" Type="http://schemas.'
+            'openxmlformats.org/officeDocument/2006/relationships/'
+            f'worksheet" Target="worksheets/sheet{i}.xml"/>'
+            for i in range(1, len(sheets) + 1)
+        )
+        + "</Relationships>"
+    )
+    sst = (
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/'
+        f'main" count="{len(strings)}" uniqueCount="{len(strings)}">'
+        + "".join(f"<si><t>{s}</t></si>" for s in strings)
+        + "</sst>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        for part, xml in sheet_xml.items():
+            zf.writestr(part, xml)
+    return buf.getvalue()
+
+
+class TestXlsxBinary:
+    """Real .xlsx through the pure-stdlib OOXML reader (E14 binary path)."""
+
+    def test_template_and_cell_types(self):
+        from ocr_search_spark.kernels.xlsx_extract import xlsx_to_text
+
+        raw = build_xlsx(
+            {
+                "Лист1": [["итог", 3655, True], ["x", None, "y"]],
+                "Data": [[1.5, "b"]],
+            }
+        )
+        out = xlsx_to_text(raw)
+        # identical template shape to the JSON-convention twin (xls.py
+        # parity: header, blank line, TSV with trailing newline, sheets
+        # joined by \n\n, final strip) — sparse gap padded like pandas NaN
+        assert out == (
+            "=== Лист: Лист1 ===\n\n"
+            "итог\t3655\tTrue\nx\t\ty\n"
+            "\n\n=== Лист: Data ===\n\n1.5\tb"
+        )
+
+    def test_latin1_mapped_str_input(self):
+        from ocr_search_spark.kernels.xlsx_extract import xlsx_to_text
+
+        raw = build_xlsx({"S": [["a"]]})
+        assert xlsx_to_text(raw.decode("latin-1")) == xlsx_to_text(raw)
+
+    def test_corrupt_returns_empty(self):
+        from ocr_search_spark.kernels.xlsx_extract import xlsx_to_text
+
+        assert xlsx_to_text(b"PK\x03\x04 garbage") == ""
+        assert xlsx_to_text(b"") == ""
+
+    def test_combined_entry_routes_by_magic(self):
+        from ocr_search_spark.kernels.xls_extract import xls_any_to_text
+
+        raw = build_xlsx({"S": [["hello", 7]]})
+        assert "=== Лист: S ===" in xls_any_to_text(raw.decode("latin-1"))
+        # JSON convention still works through the combined entry
+        assert "Лист: J" in xls_any_to_text(
+            '{"sheets": {"J": [["a", 1]]}}'
+        )
+        # legacy BIFF container -> "" (unsupported, P5)
+        assert xls_any_to_text("\xd0\xcf\x11\xe0rest") == ""

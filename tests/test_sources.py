@@ -128,6 +128,25 @@ class TestFolderToDocuments:
         assert "msg subject" in texts["memo.msg"]
         assert "ole body" in texts["memo.msg"]
 
+    def test_real_xlsx_through_folder_ingest(self, spark, tmp_path):
+        """A real .xlsx workbook (ZIP container) survives ingest with its
+        bytes latin-1-preserved and flattens via the stdlib OOXML reader
+        to the reference's sheet template."""
+        from tests.test_optional_kinds import build_xlsx
+
+        root = tmp_path / "office"
+        root.mkdir()
+        (root / "book.xlsx").write_bytes(
+            build_xlsx({"Лист1": [["итог", 42]]})
+        )
+        docs = folder_to_documents(
+            scan_folder_df(spark, str(root), allowed_ext=None)
+        )
+        flat = explode_spans(extract_documents(docs, num_partitions=2))
+        texts = {r.doc_id: r.text for r in flat.collect()}
+        assert "Лист: Лист1" in texts["book.xlsx"]
+        assert "итог" in texts["book.xlsx"] and "42" in texts["book.xlsx"]
+
 
 class TestTextSink:
     def test_one_file_per_doc(self, spark, folder, tmp_path):
