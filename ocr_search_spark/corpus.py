@@ -211,11 +211,20 @@ def _rtf_payload(rng: _Rng, pool: list[str]) -> str:
 
 
 def _xls_payload(rng: _Rng, pool: list[str]) -> str:
-    """Workbook JSON (E14): the span-data-model convention of
-    kernels.xls_extract — ``{"sheets": {name: [[cell, ...], ...]}}`` with
-    Cyrillic sheet names and mixed word/number cells."""
+    """Workbook payload (E14), two representations drawn 50/50:
+
+    * the JSON span-data-model convention of kernels.xls_extract
+      (``{"sheets": {name: [[cell, ...], ...]}}``), and
+    * a REAL ``.xlsx`` ZIP container (kernels.xlsx_build, byte-
+      deterministic) latin-1-mapped — the binary-kind convention — so
+      the pure-stdlib OOXML reader runs under the hash-exact
+      extract_spans golden.
+
+    Cyrillic sheet names, mixed word/number cells either way.
+    """
     import json
 
+    as_binary = rng.next(2) == 0
     sheets: dict[str, list[list[Any]]] = {}
     for si in range(1 + rng.next(3)):
         n_rows, n_cols = 1 + rng.next(5), 1 + rng.next(4)
@@ -229,6 +238,10 @@ def _xls_payload(rng: _Rng, pool: list[str]) -> str:
                     row.append(_words(rng, pool, 1)[0])
             rows.append(row)
         sheets[f"Лист{si + 1}"] = rows
+    if as_binary:
+        from .kernels.xlsx_build import build_xlsx
+
+        return build_xlsx(sheets).decode("latin-1")
     return json.dumps({"sheets": sheets}, ensure_ascii=False)
 
 
