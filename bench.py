@@ -51,9 +51,10 @@ def corpus_cache_path(sf_dir: str) -> str:
 
     import ocr_search_spark.corpus as _corpus
     import ocr_search_spark.kernels.cfb_build as _cfb
+    import ocr_search_spark.kernels.xlsx_build as _xlsx
 
     h = hashlib.md5()
-    for mod in (_corpus, _cfb):
+    for mod in (_corpus, _cfb, _xlsx):
         h.update(inspect.getsource(mod).encode())
     sf = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     return os.path.join(CACHE_ROOT, f"corpus_{sf}_{h.hexdigest()[:10]}.parquet")

@@ -148,13 +148,14 @@ def ensure_scaling_corpus() -> str:
 
     import ocr_search_spark.corpus as _corpus
     import ocr_search_spark.kernels.cfb_build as _cfb
+    import ocr_search_spark.kernels.xlsx_build as _xlsx
     from ocr_search_spark.corpus import corpus_df
     from ocr_search_spark.session import get_spark
 
     # recipe-hash-keyed like bench.py (inspect.getsource: zip-import-safe):
     # a corpus change regenerates rather than silently measuring stale data
     h = hashlib.md5()
-    for mod in (_corpus, _cfb):
+    for mod in (_corpus, _cfb, _xlsx):
         h.update(inspect.getsource(mod).encode())
     path = os.path.join(
         REPO, ".data",
