@@ -66,7 +66,13 @@ def _parse_headers(head: str) -> dict[str, str] | None:
         i = line.find(":")
         if i <= 0:
             return None
-        name = line[:i].strip().lower()
+        raw_name = line[:i]
+        # feedparser's header-name charset: printable ASCII minus colon
+        # (and no spaces) — anything else makes the stdlib treat the line
+        # as body start, so bail and let it decide
+        if not all(0x21 <= ord(c) <= 0x7E for c in raw_name):
+            return None
+        name = raw_name.lower()
         if name not in headers:
             # leading WSP after the colon is dropped, trailing kept
             headers[name] = line[i + 1 :].lstrip(" \t")

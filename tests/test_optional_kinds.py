@@ -159,6 +159,12 @@ class TestEmailFastParity:
         # no headers at all
         "\njust a body\n",
         "",
+        # malformed header names -> stdlib treats the line as body start
+        "\x08:\n\n",
+        "bad name: v\nSubject: s\n\nb\n",
+        "Name : v\n\nb\n",
+        ":empty\n\nb\n",
+        "Тема: utf8-name\n\nb\n",
     ]
 
     def test_handwritten_cases(self):
