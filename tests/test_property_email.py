@@ -98,3 +98,62 @@ class TestEmailFastParityProperty:
     @given(_message())
     def test_fast_equals_stdlib(self, eml):
         assert eml_to_text_fast(eml) == eml_to_text(eml)
+
+
+class TestXlsxRoundTripProperty:
+    """Deterministic builder -> stdlib OOXML reader round trip: the
+    extracted template must equal the one computed directly from the
+    sheet dict (grid semantics: sparse gaps pad to "", numbers/bools
+    render as literals, sheet order preserved)."""
+
+    _cell = st.one_of(
+        st.sampled_from(["итог", "x", "a b", ""]),
+        st.integers(min_value=0, max_value=99999),
+        st.booleans(),
+        st.none(),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.dictionaries(
+            st.sampled_from(["Лист1", "Data", "S&<>"]),
+            st.lists(
+                st.lists(_cell, min_size=1, max_size=4),
+                min_size=1,
+                max_size=4,
+            ),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    def test_round_trip(self, sheets):
+        from ocr_search_spark.kernels.xlsx_build import build_xlsx
+        from ocr_search_spark.kernels.xlsx_extract import xlsx_to_text
+
+        def render(v):
+            if v is None:
+                return ""
+            if isinstance(v, bool):
+                return str(v)
+            return str(v)
+
+        parts = []
+        for name, rows in sheets.items():
+            # None trailing cells are skipped by the builder, so the
+            # dense width is the max index of any non-None cell + 1
+            width = 0
+            for r in rows:
+                for i, v in enumerate(r):
+                    if v is not None:
+                        width = max(width, i + 1)
+            tsv = "".join(
+                "\t".join(
+                    (render(r[i]) if i < len(r) else "") for i in range(width)
+                )
+                + "\n"
+                for r in rows
+            )
+            parts.append(f"=== Лист: {name} ===")
+            parts.append(tsv)
+        want = "\n\n".join(parts).strip()
+        assert xlsx_to_text(build_xlsx(sheets)) == want
