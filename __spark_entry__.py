@@ -893,6 +893,34 @@ def q_vocab_topk(spark, sf_dir):
     return vocab.orderBy(F.col("tf").desc(), F.col("term")).limit(50)
 
 
+def _lm_parts(spark, sf_dir):
+    """Shared LM-build stage: bigram LM + vocab size trained on a
+    deterministic 30% md5 slice (the trusted-reference-corpus stand-in),
+    then every document scored against it."""
+    from ocr_search_spark.ops.lm import lm_score, lm_vocab_size, ngram_lm
+    from ocr_search_spark.ops.sampling import deterministic_sample
+
+    d = _docs(spark, sf_dir)
+    ref = deterministic_sample(d, 0.30, salt="lm")
+    return d, lm_score(d, ngram_lm(ref), lm_vocab_size(ref))
+
+
+def q_lm_bits(spark, sf_dir):
+    """CCNet-style LM quality scores: per-document bigram surprise in
+    whole bits (integer-exact floor-log2 form) + bits-per-kilotoken."""
+    _, scored = _lm_parts(spark, sf_dir)
+    return scored
+
+
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail: per-language perplexity terciles of the
+    LM score — the quality split a web-crawl mixing recipe keys on."""
+    from ocr_search_spark.ops.lm import ccnet_buckets
+
+    d, scored = _lm_parts(spark, sf_dir)
+    return ccnet_buckets(scored, d.select("doc_id", "lang"))
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test assignment by md5 hash range —
     repeatable across runs/engines, disjoint and exhaustive."""
@@ -1345,6 +1373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_tags": q_meta_tags,
         "dedup_stream_twin": q_dedup_stream_twin,
         "range_join_stream_twin": q_range_join_stream_twin,
+        "lm_bits": q_lm_bits,
+        "ccnet_buckets": q_ccnet_buckets,
         # --- r4-certified fillers touching this round's changed files ---
         "fts_count": q_fts_count,
         "fts_search_topk": q_fts_search_topk,
@@ -1884,6 +1914,102 @@ def oracle_sql() -> dict[str, str]:
                    l.us - r.us AS gap_us
             FROM l JOIN r ON r.user_id = l.user_id
                          AND r.us <= l.us AND r.us >= l.us - 86400000000
+        """,
+        "lm_bits": f"""
+            WITH ref AS (
+              SELECT doc_id, {_TOK} AS t FROM documents
+              WHERE ('0x' || substring(md5('lm' || doc_id), 1, 8))::BIGINT
+                    % 10000 < 3000
+            ), ref_grams AS (
+              SELECT g.w1 AS w1, g.w2 AS w2
+              FROM (
+                SELECT unnest(list_transform(range(2, len(t) + 1),
+                              i -> {{'w1': t[i-1], 'w2': t[i]}})) AS g
+                FROM ref
+              )
+            ), c_gram AS (
+              SELECT w1, w2, count(*) AS c_gram FROM ref_grams GROUP BY 1, 2
+            ), c_prefix AS (
+              SELECT w1, count(*) AS c_prefix FROM ref_grams GROUP BY 1
+            ), vocab AS (
+              SELECT count(DISTINCT tk) AS v
+              FROM (SELECT unnest(t) AS tk FROM ref)
+            ), doc_grams AS (
+              SELECT doc_id, g.w1 AS w1, g.w2 AS w2
+              FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(2, len(t) + 1),
+                              i -> {{'w1': t[i-1], 'w2': t[i]}})) AS g
+                FROM (SELECT doc_id, {_TOK} AS t FROM documents)
+              )
+            ), scored AS (
+              SELECT doc_id,
+                     length(bin((coalesce(cp.c_prefix, 0) + v)
+                                // (coalesce(cg.c_gram, 0) + 1))) - 1 AS bits
+              FROM doc_grams dg
+              LEFT JOIN c_gram cg USING (w1, w2)
+              LEFT JOIN c_prefix cp USING (w1)
+              , vocab
+            ), per_doc AS (
+              SELECT doc_id, count(*) AS n_grams, sum(bits)::BIGINT AS bits_total
+              FROM scored GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(n_grams, 0) AS n_grams,
+                   coalesce(bits_total, 0) AS bits_total,
+                   CASE WHEN coalesce(n_grams, 0) = 0 THEN NULL
+                        ELSE (bits_total * 1000) // n_grams END
+                     AS bits_per_kilotoken
+            FROM documents d LEFT JOIN per_doc USING (doc_id)
+        """,
+        "ccnet_buckets": f"""
+            WITH ref AS (
+              SELECT doc_id, {_TOK} AS t FROM documents
+              WHERE ('0x' || substring(md5('lm' || doc_id), 1, 8))::BIGINT
+                    % 10000 < 3000
+            ), ref_grams AS (
+              SELECT g.w1 AS w1, g.w2 AS w2
+              FROM (
+                SELECT unnest(list_transform(range(2, len(t) + 1),
+                              i -> {{'w1': t[i-1], 'w2': t[i]}})) AS g
+                FROM ref
+              )
+            ), c_gram AS (
+              SELECT w1, w2, count(*) AS c_gram FROM ref_grams GROUP BY 1, 2
+            ), c_prefix AS (
+              SELECT w1, count(*) AS c_prefix FROM ref_grams GROUP BY 1
+            ), vocab AS (
+              SELECT count(DISTINCT tk) AS v
+              FROM (SELECT unnest(t) AS tk FROM ref)
+            ), doc_grams AS (
+              SELECT doc_id, g.w1 AS w1, g.w2 AS w2
+              FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(2, len(t) + 1),
+                              i -> {{'w1': t[i-1], 'w2': t[i]}})) AS g
+                FROM (SELECT doc_id, {_TOK} AS t FROM documents)
+              )
+            ), scored AS (
+              SELECT doc_id,
+                     length(bin((coalesce(cp.c_prefix, 0) + v)
+                                // (coalesce(cg.c_gram, 0) + 1))) - 1 AS bits
+              FROM doc_grams dg
+              LEFT JOIN c_gram cg USING (w1, w2)
+              LEFT JOIN c_prefix cp USING (w1)
+              , vocab
+            ), per_doc AS (
+              SELECT doc_id, count(*) AS n_grams, sum(bits)::BIGINT AS bits_total
+              FROM scored GROUP BY 1
+            )
+            SELECT doc_id, lang,
+                   (bits_total * 1000) // n_grams AS bits_per_kilotoken,
+                   ['head','middle','tail'][
+                     ntile(3) OVER (
+                       PARTITION BY lang
+                       ORDER BY (bits_total * 1000) // n_grams, doc_id)]
+                     AS bucket
+            FROM per_doc JOIN documents USING (doc_id)
+            WHERE n_grams > 0
         """,
         "meta_filter": """
             WITH m AS (

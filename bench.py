@@ -155,6 +155,8 @@ def main() -> None:
         "line_dedup",
         "compression_signals",
         "mixing_corpus",
+        "lm_bits",
+        "ccnet_buckets",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

@@ -35,6 +35,7 @@ from .similarity import (
 from .relational import asof_join, range_join
 from .lines import remove_duplicate_lines
 from .compress import compression_filter, compression_signals
+from .lm import ccnet_buckets, lm_score, lm_vocab_size, ngram_lm
 from .scrub import (
     domain_blocklist_filter,
     domain_counts,
@@ -80,6 +81,10 @@ __all__ = [
     "remove_duplicate_lines",
     "compression_filter",
     "compression_signals",
+    "ccnet_buckets",
+    "lm_score",
+    "lm_vocab_size",
+    "ngram_lm",
     "domain_blocklist_filter",
     "domain_counts",
     "mojibake_filter",

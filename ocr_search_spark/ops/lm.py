@@ -1,0 +1,180 @@
+"""CCNet-style n-gram language-model quality scoring.
+
+CCNet (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data") ranks every web document by the
+perplexity of a language model trained on a trusted reference corpus,
+then splits each language into head / middle / tail perplexity buckets;
+the head bucket is what ships into training mixes. The reference repo
+has no analogue (it is a search service); this is a first-class
+training-pipeline addition in the spirit of the dedup/quality family,
+pairing with the zlib compression-ratio signal in ``ops/compress.py``
+(ccnet's other quality axis).
+
+Integer-exact by construction, so the DuckDB oracle matches hash-exactly:
+
+* probabilities are never materialised as floats. Each scored n-gram
+  contributes ``floor(log2((c_prefix + V) // (c_gram + 1)))`` bits —
+  add-one-smoothed inverse probability, floored to whole bits via the
+  binary-string-length identity ``floor(log2(x)) = length(bin(x)) - 1``,
+  which Spark's ``bin()`` and DuckDB's ``bin()`` compute identically on
+  BIGINT. The per-document total is a sum of small integers, so the
+  distributed aggregation is order-independent and engine-exact (the
+  same fixed-point discipline as the PQ ADC scorer in
+  ``ops/similarity.py``).
+* bits-per-kilotoken (the perplexity rank statistic; 1000×bits/n-grams,
+  integer division) keeps three digits of resolution without floats.
+* head/middle/tail assignment is ``ntile(3)`` per language over
+  (bits_per_kilotoken, doc_id) — deterministic, and Spark/DuckDB agree
+  on ntile's earlier-buckets-get-extras convention (verified).
+
+Scale shape (the 100-TB story):
+
+* LM build: one explode + two map-side-combinable groupBys (gram counts,
+  prefix counts) + an equi join on the prefix — shuffle volume is the
+  distinct-gram table, not the token stream.
+* Scoring: the LM stays DISTRIBUTED — scored n-grams posting-join the
+  gram and prefix tables on their keys (two shuffles keyed by gram). No
+  broadcast of the model, so a billion-gram LM works; for Zipf-skewed
+  hot grams AQE skew-join splitting applies (the session enables AQE).
+  The vocabulary size is the only driver-visible scalar and is attached
+  via a broadcast single-row crossJoin (the ``search/ranking.py``
+  pattern), never ``.collect()`` into the plan.
+* No UDFs anywhere — every expression is whole-stage-codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ocr_search_spark.search.analysis import tokens_expr
+
+
+def _bigrams(text_col: str):
+    """Array<struct<w1,w2>> of adjacent token pairs of the text column."""
+    toks = tokens_expr(text_col)
+    n = F.size(toks)
+    return F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
+def ngram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Train a bigram count LM over a corpus slice.
+
+    Returns (w1, w2, c_gram, c_prefix): bigram count and its prefix
+    (unigram) count — the integer sufficient statistics of
+    P(w2|w1) = c_gram / c_prefix. Both aggregations are map-side
+    combinable; the prefix join is an equi join between two
+    distinct-gram-sized tables.
+    """
+    grams = df.select(F.explode(_bigrams(text_col)).alias("g")).select(
+        "g.w1", "g.w2"
+    )
+    c_gram = grams.groupBy("w1", "w2").agg(F.count("*").alias("c_gram"))
+    c_prefix = grams.groupBy("w1").agg(F.count("*").alias("c_prefix"))
+    return c_gram.join(c_prefix, "w1")
+
+
+def lm_vocab_size(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Single-row (v) DataFrame: distinct token count of the LM corpus
+    (the add-one smoothing denominator)."""
+    return (
+        df.select(F.explode(tokens_expr(text_col)).alias("t"))
+        .agg(F.count_distinct("t").alias("v"))
+    )
+
+
+def lm_score(
+    df: DataFrame,
+    lm: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document against a bigram LM: total surprise in whole
+    bits plus the bits-per-kilotoken rank statistic.
+
+    Per scored bigram: ``floor(log2((c_prefix + V) // (c_gram + 1)))``
+    — add-one-smoothed inverse conditional probability floored to whole
+    bits. Unseen prefixes contribute ``floor(log2(V))`` (c_prefix and
+    c_gram both 0), so out-of-domain text pays the full vocabulary
+    penalty per token, which is exactly the ordering ccnet's perplexity
+    gate needs. Documents with fewer than two tokens score NULL
+    bits_per_kilotoken (nothing to condition on).
+
+    Output: (id_col, n_grams, bits_total, bits_per_kilotoken).
+    """
+    prefixes = lm.select("w1", "c_prefix").distinct()
+    grams = df.select(
+        F.col(id_col), F.explode(_bigrams(text_col)).alias("g")
+    ).select(id_col, "g.w1", "g.w2")
+    scored = (
+        grams.join(lm.select("w1", "w2", "c_gram"), ["w1", "w2"], "left")
+        .join(prefixes, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            (
+                F.length(
+                    F.bin(
+                        F.expr(
+                            "(coalesce(c_prefix, 0L) + v) DIV (coalesce(c_gram, 0L) + 1L)"
+                        )
+                    )
+                )
+                - 1
+            ).alias("bits"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"), F.sum("bits").alias("bits_total")
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("bits_total", F.lit(0)).alias("bits_total"),
+            F.expr(
+                "CASE WHEN coalesce(n_grams, 0) = 0 THEN NULL "
+                "ELSE (bits_total * 1000) DIV n_grams END"
+            ).alias("bits_per_kilotoken"),
+        )
+    )
+
+
+def ccnet_buckets(
+    scored: DataFrame,
+    lang: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet head/middle/tail: per-language perplexity terciles.
+
+    ``lang`` maps id_col → lang. Only scoreable documents (n_grams > 0)
+    are bucketed — a document with no bigrams has no perplexity, exactly
+    as ccnet drops unscorable pages. ntile(3) over
+    (bits_per_kilotoken, doc_id) is deterministic and its uneven-split
+    convention matches DuckDB's. One shuffle on lang; at corpus scale
+    the per-language sort is the cost, which is the same cost ccnet's
+    percentile cutoffs pay.
+
+    Output: (id_col, lang, bits_per_kilotoken, bucket) with bucket in
+    head|middle|tail.
+    """
+    w = Window.partitionBy("lang").orderBy("bits_per_kilotoken", id_col)
+    return (
+        scored.filter(F.col("n_grams") > 0)
+        .join(lang, id_col)
+        .select(id_col, "lang", "bits_per_kilotoken")
+        .withColumn(
+            "bucket",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                F.ntile(3).over(w),
+            ),
+        )
+    )

@@ -419,3 +419,24 @@ class TestPqPlans:
             assert "InMemoryTableScan" in plan  # index read, not rebuilt
         finally:
             index.unpersist()
+
+
+class TestLmPlans:
+    def test_lm_score_stays_distributed(self, spark):
+        """The LM posting joins must be hash equi joins (model stays
+        distributed); the only nested-loop product allowed is the
+        broadcast single-row vocab-size Cross; no Python UDFs."""
+        from ocr_search_spark.ops.lm import lm_score, lm_vocab_size, ngram_lm
+
+        docs = spark.createDataFrame(
+            [(i, "a b c d e f") for i in range(10)], "doc_id long, text string"
+        )
+        out = lm_score(docs, ngram_lm(docs), lm_vocab_size(docs))
+        plan = plan_of(out)
+        assert "CartesianProduct" not in plan
+        for line in plan.splitlines():
+            if "BroadcastNestedLoopJoin" in line:
+                assert "Cross" in line and "BuildRight" in line, line
+        assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+        # gram/prefix posting joins are equi joins
+        assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
