@@ -389,6 +389,50 @@ def q_domain_counts(spark, sf_dir):
     return domain_counts(planted, "doc_id", "text")
 
 
+def _planted_url_variants(docs):
+    """Append ONE URL to every doc, in one of four raw forms by
+    ``doc_id % 4`` — www+trailing-slash, utm+unsorted params, fragment,
+    fbclid+unsorted — all of which canonicalize to
+    ``https://site{d%10}.example.org/p/{d%25}`` plus ``?a=1&b=2`` iff
+    doc_id is odd.  The DuckDB twin derives that canonical form
+    ARITHMETICALLY from doc_id (it never runs the regex chain), so the
+    oracle is an independent derivation, not a reimplementation."""
+    g = (F.col("doc_id") % 10).cast("string")
+    k = (F.col("doc_id") % 25).cast("string")
+    v = F.col("doc_id") % 4
+    url = F.concat(
+        F.lit("https://"),
+        F.when(v == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("site"),
+        g,
+        F.lit(".example.org/p/"),
+        k,
+        F.when(v == 0, F.lit("/"))
+        .when(v == 1, F.lit("?utm_source=news&b=2&a=1"))
+        .when(v == 2, F.lit("#frag"))
+        .otherwise(F.lit("?b=2&a=1&fbclid=xyz")),
+    )
+    return docs.withColumn("text", F.concat(F.col("text"), F.lit(" see "), url))
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-level dedup over canonical page identity (ops/scrub.py
+    canonical_url_expr — lowercase scheme/host, strip www/fragment/
+    default-port/trailing-slash, drop tracking params, sort survivors;
+    pure codegen'd regexp chain, no UDF): one row per canonical URL with
+    raw-URL count, distinct-doc count, and min-id first document."""
+    from ocr_search_spark.ops.scrub import url_dedup
+
+    planted = _planted_url_variants(_docs(spark, sf_dir))
+    out = url_dedup(planted, "doc_id", "text")
+    return out.select(
+        "canon_url",
+        "n_urls",
+        "n_docs",
+        F.col("first_id").alias("first_doc"),
+    )
+
+
 def _epoch_events(spark, sf_dir, event_type):
     """Events of one type with ts as floored epoch seconds — the integer
     form both engines agree on exactly (DuckDB twin:
@@ -1412,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "domain_counts": q_domain_counts,
         "domain_filter": q_domain_filter,
+        "url_dedup": q_url_dedup,
         "stratified_sample": q_stratified_sample,
         "length_stats": q_length_stats,
         "lsh_bands": q_lsh_bands,
@@ -1726,6 +1771,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM planted
             WHERE doc_id NOT IN (SELECT id FROM offenders)
+        """,
+        "url_dedup": """
+            -- independent derivation: every planted raw-URL variant
+            -- canonicalizes to site{d%10}/p/{d%25} (+ ?a=1&b=2 iff odd);
+            -- the oracle computes that form arithmetically from doc_id
+            -- and never runs the Spark-side regex chain
+            WITH c AS (
+              SELECT doc_id,
+                     'https://site' || (doc_id % 10)
+                       || '.example.org/p/' || (doc_id % 25)
+                       || CASE WHEN doc_id % 2 = 1
+                               THEN '?a=1&b=2' ELSE '' END AS canon_url
+              FROM documents
+            )
+            SELECT canon_url,
+                   count(*) AS n_urls,
+                   count(DISTINCT doc_id) AS n_docs,
+                   min(doc_id) AS first_doc
+            FROM c GROUP BY 1
         """,
         "length_stats": """
             SELECT lang, count(*) AS n,

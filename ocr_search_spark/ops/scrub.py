@@ -195,3 +195,79 @@ def mojibake_filter(
     return sig.filter(F.col("mojibake_per_10k") <= int(max_per_10k)).drop(
         "n_mojibake", "mojibake_per_10k"
     )
+
+
+#: query parameters that never change page identity (analytics tags);
+#: anchored, portable Java∩RE2 subset like every pattern in this module
+TRACKING_PARAM_PATTERN = r"^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|yclid|mc_cid|mc_eid)="
+#: scheme://authority prefix of a URL (the only case-insensitive part)
+_URL_PREFIX_PATTERN = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+
+
+def canonical_url_expr(col: Column | str) -> Column:
+    """Canonical form of a URL — the Common-Crawl-style page-identity key.
+
+    Normalisations (each a documented identity-preserving choice):
+    lowercase scheme+host; strip the fragment; strip a leading ``www.``;
+    strip explicit default ports (``:80`` for http, ``:443`` for https);
+    strip one trailing slash (host root with and without ``/`` unify);
+    drop analytics query params (``TRACKING_PARAM_PATTERN``) and SORT the
+    survivors, so ``?b=2&a=1`` and ``?a=1&utm_source=x&b=2`` collapse.
+
+    Pure codegen'd column expressions — regexp chain + array
+    filter/sort on the split query string, no UDF. Every pattern is in
+    the Java∩RE2 subset and an unmatched optional group substitutes as
+    empty in both engines, so the DuckDB twin (backslash group refs
+    instead of ``$n``) is hash-exact. Param sort is binary string order
+    (ASCII percent-encoded query strings sort identically in both).
+    """
+    u = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(u, r"#.*", "")
+    u = F.concat(
+        F.lower(F.regexp_extract(u, _URL_PREFIX_PATTERN, 0)),
+        F.regexp_replace(u, _URL_PREFIX_PATTERN, ""),
+    )
+    u = F.regexp_replace(u, r"^(https?://)www\.", "$1")
+    u = F.regexp_replace(u, r"^(http://[^/?#:]+):80([/?#].*)?$", "$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/?#:]+):443([/?#].*)?$", "$1$2")
+    base = F.regexp_replace(F.regexp_replace(u, r"\?.*", ""), r"([^/])/$", "$1")
+    params = F.array_sort(
+        F.filter(
+            F.split(F.regexp_extract(u, r"\?(.*)", 1), "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_PATTERN),
+        )
+    )
+    return F.when(
+        F.size(params) > 0,
+        F.concat(base, F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(base)
+
+
+def canonicalize_urls(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, url, domain, canon_url) for every URL in ``text_col`` —
+    ``url_domains`` plus the canonical page-identity key."""
+    return url_domains(df, id_col, text_col).withColumn(
+        "canon_url", canonical_url_expr("url")
+    )
+
+
+def url_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """URL-level dedup table: one row per canonical URL with its raw-form
+    count, distinct-document count, and the deterministic first (min-id)
+    document — the crawl-frontier / page-identity dedup a web pipeline
+    runs before any text-level dedup.
+
+    One explode + one map-side-combinable groupBy on the canonical key;
+    the canonicalisation itself is projection-only, so the shuffle
+    carries per-partition partials of the distinct-URL table, never the
+    raw URL stream.
+    """
+    return (
+        canonicalize_urls(df, id_col, text_col)
+        .groupBy("canon_url")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("id").alias("n_docs"),
+            F.min("id").alias("first_id"),
+        )
+    )

@@ -1821,3 +1821,68 @@ class TestReviewRegressions3:
         cand = {(r.a_id, r.b_id) for r in verified_near_dup_pairs(
             df, "doc_id", "text", verify_candidates_only=True, **kw).collect()}
         assert full == cand and ("a", "d") in full
+
+
+class TestUrlCanon:
+    CASES = [
+        # (raw, canonical)
+        ("https://www.shop.example.com/item/4", "https://shop.example.com/item/4"),
+        ("https://shop.example.com/item/4/", "https://shop.example.com/item/4"),
+        (
+            "https://www.shop.example.com/item/4?utm_source=f&b=2&a=1",
+            "https://shop.example.com/item/4?a=1&b=2",
+        ),
+        (
+            "https://shop.example.com/item/4?a=1&b=2#frag",
+            "https://shop.example.com/item/4?a=1&b=2",
+        ),
+        ("http://h.example.org:80/p?x=1", "http://h.example.org/p?x=1"),
+        ("https://h.example.org:443/", "https://h.example.org"),
+        # default-port strip is scheme-specific: :443 on http is a REAL port
+        ("http://h.example.org:443/p", "http://h.example.org:443/p"),
+        ("HTTPS://HOST.example.org/Path/Stays", "https://host.example.org/Path/Stays"),
+        ("https://example.com/", "https://example.com"),
+        ("https://example.com", "https://example.com"),
+        ("https://example.com/?utm_campaign=z", "https://example.com"),
+        ("https://example.com/a?fbclid=abc&q=1", "https://example.com/a?q=1"),
+    ]
+
+    def test_hand_cases(self, spark):
+        from ocr_search_spark.ops.scrub import canonical_url_expr
+
+        df = spark.createDataFrame(
+            [(r,) for r, _ in self.CASES], "url string"
+        ).select("url", canonical_url_expr("url").alias("canon"))
+        got = {r["url"]: r["canon"] for r in df.collect()}
+        for raw, want in self.CASES:
+            assert got[raw] == want, raw
+
+    def test_url_dedup_collapses_variants(self, spark):
+        from ocr_search_spark.ops.scrub import url_dedup
+
+        rows = [
+            (1, "see https://www.a.example.com/x/"),
+            (2, "see https://a.example.com/x?utm_source=f"),
+            (3, "see https://a.example.com/x and https://a.example.com/x"),
+            (4, "see https://a.example.com/x?p=1"),
+            (5, "no urls here"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["canon_url"]: (r["n_urls"], r["n_docs"], r["first_id"])
+            for r in url_dedup(df, "doc_id", "text").collect()
+        }
+        # docs 1-3 all collapse onto the bare canonical; doc 4's real
+        # query param keeps it a distinct page identity
+        assert out == {
+            "https://a.example.com/x": (4, 3, 1),
+            "https://a.example.com/x?p=1": (1, 1, 4),
+        }
+
+    def test_no_udf_plan(self, spark):
+        from ocr_search_spark.ops.scrub import url_dedup
+
+        df = spark.createDataFrame([(1, "https://a.example.com/x")],
+                                   "doc_id long, text string")
+        plan = url_dedup(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+        assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
