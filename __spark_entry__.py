@@ -648,6 +648,57 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental near-dedup of a NEW batch against the accepted
+    corpus's MinHash signature store (ops/dedup.py — the continuous-
+    crawl ingestion step: LSH band join new-vs-store, signature-
+    agreement estimate for cross-generation dups, exact-verified
+    near_dedup within the batch). Base = doc_id%5!=0; new batch =
+    doc_id%5==0, with every %10==0 doc replaced by base doc_id+1's text
+    so cross-generation dups exist deterministically."""
+    from ocr_search_spark.ops.dedup import (
+        incremental_near_dedup,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    donor = base.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("__dtext")
+    )
+    newb = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .join(donor, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 10 == 0) & F.col("__dtext").isNotNull(),
+                F.col("__dtext"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    base_sigs = minhash_signatures(base, "doc_id", "text")
+    survivors, _sigs = incremental_near_dedup(
+        newb, "doc_id", "text", base_sigs
+    )
+    return survivors.select("doc_id")
+
+
+def q_temperature_rebalance(spark, sf_dir):
+    """Temperature-0.5 language rebalancing (T5/UniMax mixing rule:
+    surviving group sizes ∝ count^0.5, smallest group kept whole;
+    ops/sampling.py — O(groups) rates table broadcast-joined onto the
+    corpus, md5-bucket keep filter, no RNG. sqrt is IEEE correctly
+    rounded, so the DuckDB twin is bit-exact on the thresholds)."""
+    from ocr_search_spark.ops.sampling import temperature_rebalance
+
+    return temperature_rebalance(
+        _docs(spark, sf_dir), "lang", alpha=0.5, salt="temp"
+    ).select("doc_id", "lang")
+
+
 def q_near_dedup_cc(spark, sf_dir):
     """Near-dedup with a CONNECTED-COMPONENTS keeper: the same LSH
     candidates → exact-Jaccard verify as near_dedup_survivors, then
@@ -1458,6 +1509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_filter": q_domain_filter,
         "url_dedup": q_url_dedup,
         "stratified_sample": q_stratified_sample,
+        "temperature_rebalance": q_temperature_rebalance,
+        "incremental_dedup": q_incremental_dedup,
         "length_stats": q_length_stats,
         "lsh_bands": q_lsh_bands,
         "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -1476,6 +1529,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _TOK = "list_filter(regexp_split_to_array(lower(text), '[^a-zа-яё0-9_]+'), x -> x <> '')"
+
+#: 3-token shingle set of `text` (the ops.dedup default), as DuckDB SQL
+_SHINGLES3 = (
+    f"list_distinct(list_transform(range(1, greatest(len({_TOK}) - 1, 1)), "
+    f"i -> array_to_string(list_slice({_TOK}, i, i + 2), ' ')))"
+)
+#: 8-hash MinHash signature columns over a `shingles` column
+_SIG8 = ", ".join(
+    f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS mh{i}"
+    for i in range(8)
+)
+#: signature-agreement count between aliases n and b (ops.dedup.sig_jaccard_est)
+_AGREE8 = " + ".join(
+    f"(CASE WHEN n.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(8)
+)
+
+
+def _bands8_sql(sig_cte: str) -> str:
+    """LSH band rows (id, band, bucket) of an 8-hash signature CTE,
+    band_size 2 — mirrors ops.dedup.lsh_band_table."""
+    return " UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5(mh{b} || '|' || mh{b + 1}) AS bucket "
+        f"FROM {sig_cte} WHERE mh0 IS NOT NULL"
+        for b in range(0, 8, 2)
+    )
 
 
 def _simhash_vote_sql(bits: int = 32) -> str:
@@ -2347,6 +2425,78 @@ def oracle_sql() -> dict[str, str]:
                   < CASE WHEN lang = 'es' THEN 6000
                          WHEN lang = 'en' THEN 3000
                          ELSE 10000 END
+        """,
+        "incremental_dedup": f"""
+            WITH newraw AS (
+              SELECT n.doc_id,
+                     CASE WHEN n.doc_id % 10 = 0 AND d.text IS NOT NULL
+                          THEN d.text ELSE n.text END AS text
+              FROM documents n LEFT JOIN documents d
+                ON d.doc_id = n.doc_id + 1 AND d.doc_id % 5 <> 0
+              WHERE n.doc_id % 5 = 0
+            ), base AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+            ), bsh AS (
+              SELECT doc_id, {_SHINGLES3} AS shingles FROM base
+            ), bsig AS (
+              SELECT doc_id AS id, {_SIG8} FROM bsh
+            ), bband AS (
+              {_bands8_sql("bsig")}
+            ), nsh AS (
+              SELECT doc_id, {_SHINGLES3} AS shingles FROM newraw
+            ), nsig AS (
+              SELECT doc_id AS id, {_SIG8} FROM nsh
+            ), nband AS (
+              {_bands8_sql("nsig")}
+            ), cand AS (
+              SELECT DISTINCT nb.id AS new_id, bb.id AS base_id
+              FROM nband nb JOIN bband bb
+                ON nb.band = bb.band AND nb.bucket = bb.bucket
+            ), dup AS (
+              SELECT DISTINCT c.new_id FROM cand c
+              JOIN nsig n ON n.id = c.new_id
+              JOIN bsig b ON b.id = c.base_id
+              WHERE ({_AGREE8}) / 8.0 >= 0.5
+            ), fresh AS (
+              SELECT * FROM newraw
+              WHERE doc_id NOT IN (SELECT new_id FROM dup)
+            ), fsh AS (
+              SELECT doc_id, {_SHINGLES3} AS shingles FROM fresh
+            ), fsig AS (
+              SELECT doc_id AS id, {_SIG8} FROM fsh
+            ), fband AS (
+              {_bands8_sql("fsig")}
+            ), fcand AS (
+              SELECT DISTINCT a.id AS a_id, b.id AS b_id
+              FROM fband a JOIN fband b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+            ), ver AS (
+              SELECT c.b_id FROM fcand c
+              JOIN fsh sa ON sa.doc_id = c.a_id
+              JOIN fsh sb ON sb.doc_id = c.b_id
+              WHERE len(list_distinct(list_concat(sa.shingles, sb.shingles))) > 0
+                AND len(list_intersect(sa.shingles, sb.shingles))
+                    >= len(list_distinct(list_concat(sa.shingles, sb.shingles))) * 0.5
+            )
+            SELECT doc_id FROM fresh
+            WHERE doc_id NOT IN (SELECT b_id FROM ver)
+        """,
+        "temperature_rebalance": """
+            WITH counts AS (
+              SELECT lang, count(*) AS c FROM documents GROUP BY lang
+            ), m AS (
+              SELECT min(c) AS cmin FROM counts
+            ), rates AS (
+              SELECT lang,
+                     least(10000,
+                           floor(sqrt(cmin::DOUBLE / c) * 10000))::BIGINT
+                       AS thresh
+              FROM counts, m
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN rates r ON d.lang = r.lang
+            WHERE ('0x' || substring(md5('temp' || d.doc_id), 1, 8))::BIGINT
+                  % 10000 < r.thresh
         """,
         "training_corpus": f"""
             WITH t AS (

@@ -11,7 +11,7 @@ Hashes are md5-based so every computation is reproducible in any engine
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..search.analysis import tokens_expr
@@ -92,6 +92,44 @@ def minhash_signatures(
     return flat.groupBy("id").agg(*aggs)
 
 
+def lsh_band_table(
+    signatures: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """(band, bucket, id) LSH band table of a signature table — the
+    durable index a continuously-ingesting pipeline persists (bucketed
+    by ``bucket``) so each new batch joins against it exchange-free on
+    the base side. One pass: each signature row explodes into its
+    ``n_hashes / band_size`` band keys; no N-way self-union
+    re-evaluating the signature plan per band. Docs with no shingles
+    (null components) are excluded.
+    """
+    if n_hashes % band_size:
+        # a trailing short band would reference mh columns that do not
+        # exist (opaque AnalysisException at plan time) — reject up front
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be divisible by band_size ({band_size})"
+        )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.encode(
+                    F.concat_ws("|", *[F.col(f"mh{i}") for i in range(b, b + band_size)]),
+                    "utf-8",
+                )
+            ).alias("bucket"),
+        )
+        for b in range(0, n_hashes, band_size)
+    ]
+    return (
+        signatures.filter(F.col("mh0").isNotNull())
+        .select(F.col("id"), F.explode(F.array(*band_structs)).alias("bb"))
+        .select(F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"), "id")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     n_hashes: int = 8,
@@ -110,31 +148,7 @@ def lsh_candidate_pairs(
     one extra aggregate on the already-shuffled (band, bucket) key —
     broadcast back as a semi-join.
     """
-    if n_hashes % band_size:
-        # a trailing short band would reference mh columns that do not
-        # exist (opaque AnalysisException at plan time) — reject up front
-        raise ValueError(
-            f"n_hashes ({n_hashes}) must be divisible by band_size ({band_size})"
-        )
-    # one pass: each row explodes into its (band, bucket) keys — no N-way
-    # self-union re-evaluating the signature plan per band
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.encode(
-                    F.concat_ws("|", *[F.col(f"mh{i}") for i in range(b, b + band_size)]),
-                    "utf-8",
-                )
-            ).alias("bucket"),
-        )
-        for b in range(0, n_hashes, band_size)
-    ]
-    all_bands = (
-        signatures.filter(F.col("mh0").isNotNull())
-        .select(F.col("id"), F.explode(F.array(*band_structs)).alias("bb"))
-        .select(F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"), "id")
-    )
+    all_bands = lsh_band_table(signatures, n_hashes, band_size)
     if max_bucket_size is not None:
         # mega-buckets are rare by definition → broadcast the BAD set and
         # anti-join (the OK set would be nearly the whole table)
@@ -275,6 +289,119 @@ def near_dedup(
     return df.join(
         losers, F.col(id_col) == F.col("__loser"), "left_anti"
     )
+
+
+def sig_jaccard_est(n_hashes: int = 8, a_prefix: str = "a_mh", b_prefix: str = "b_mh") -> Column:
+    """MinHash-estimated Jaccard between two joined signature rows: the
+    fraction of agreeing components. This is the cross-generation
+    similarity test of an incremental pipeline — the accepted-corpus
+    store keeps only signatures (32 B × n_hashes per doc), never
+    shingles, so similarity against it is estimated, with standard
+    MinHash variance ~ 1/sqrt(n_hashes) (raise ``n_hashes`` to tighten).
+    Null components count as disagreement (never as a spurious match)."""
+    agree = sum(
+        F.when(F.col(f"{a_prefix}{i}") == F.col(f"{b_prefix}{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    return agree / F.lit(float(n_hashes))
+
+
+def incremental_near_dedup(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    base_sigs: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = None,
+    base_bands: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dedup a NEW batch against an already-accepted corpus — the
+    continuous-crawl ingestion step. The accepted corpus is represented
+    only by its MinHash signature store ``base_sigs`` (id, mh0..mhN-1),
+    the durable table a production pipeline maintains; its text is never
+    re-read.
+
+    Two stages, both linear:
+
+    1. cross-generation: LSH-band the new batch's signatures and join
+       them against the base band table on (band, bucket); candidates
+       are tested with the signature-agreement estimate
+       (:func:`sig_jaccard_est` ≥ ``threshold``) and matching new docs
+       are dropped. Pass a persisted ``base_bands`` (bucketed by
+       ``bucket``) to keep the base side exchange-free; otherwise it is
+       derived from ``base_sigs`` here.
+    2. within-batch: the remaining new docs near-dedup against EACH
+       OTHER with the exact-verified pairwise path (:func:`near_dedup`
+       — text is in hand for the batch, so no estimator is needed).
+
+    Returns ``(survivors, survivor_sigs)``: the surviving new rows (all
+    original columns) and their signature rows, which the caller appends
+    to the store (``base_sigs ∪ survivor_sigs`` is the next round's
+    base). Deterministic: same batch + same store → same survivors.
+
+    Scale shape: the base store is touched ONLY through the band
+    equi-join keyed on (band, bucket) and one hash join attaching
+    candidate base signatures — no base-side text, no all-pairs, and
+    with a bucketed band store no base-side shuffle at all.
+    ``max_bucket_size`` diverts boilerplate mega-buckets exactly as in
+    :func:`lsh_candidate_pairs` (applied to the combined bucket
+    population, both generations).
+    """
+    new_sigs = minhash_signatures(new_df, id_col, text_col, n_hashes, shingle_k)
+    new_bands = lsh_band_table(new_sigs, n_hashes, band_size)
+    if base_bands is None:
+        base_bands = lsh_band_table(base_sigs, n_hashes, band_size)
+
+    if max_bucket_size is not None:
+        both = new_bands.select("band", "bucket").unionByName(
+            base_bands.select("band", "bucket")
+        )
+        bad = (
+            both.groupBy("band", "bucket")
+            .agg(F.count("*").alias("sz"))
+            .filter(F.col("sz") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        new_bands = new_bands.join(F.broadcast(bad), ["band", "bucket"], "left_anti")
+        base_bands = base_bands.join(F.broadcast(bad), ["band", "bucket"], "left_anti")
+
+    cand = (
+        new_bands.alias("n")
+        .join(
+            base_bands.alias("b"),
+            (F.col("n.band") == F.col("b.band"))
+            & (F.col("n.bucket") == F.col("b.bucket")),
+        )
+        .select(F.col("n.id").alias("new_id"), F.col("b.id").alias("base_id"))
+        .distinct()
+    )
+    n_side = new_sigs.select(
+        F.col("id").alias("new_id"),
+        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(n_hashes)],
+    )
+    b_side = base_sigs.select(
+        F.col("id").alias("base_id"),
+        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(n_hashes)],
+    )
+    dup_vs_base = (
+        cand.join(n_side, "new_id")
+        .join(b_side, "base_id")
+        .filter(sig_jaccard_est(n_hashes) >= threshold)
+        .select(F.col("new_id").alias("__dup"))
+        .distinct()
+    )
+    fresh = new_df.join(dup_vs_base, F.col(id_col) == F.col("__dup"), "left_anti")
+    survivors = near_dedup(
+        fresh, id_col, text_col, threshold, n_hashes, band_size, shingle_k,
+        max_bucket_size,
+    )
+    survivor_sigs = new_sigs.join(
+        survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
+    )
+    return survivors, survivor_sigs
 
 
 def decontaminate(

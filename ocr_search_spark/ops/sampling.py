@@ -138,6 +138,73 @@ def stratified_sample(
     return df.filter(hash_bucket(id_col, salt) < thresh)
 
 
+def temperature_rates(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-group keep-thresholds for temperature-``alpha`` rebalancing —
+    the T5/UniMax-style mixing rule: resample so group sizes become
+    proportional to ``count^alpha`` (``alpha=1`` keeps the natural
+    distribution, ``alpha=0`` flattens to uniform). Downsample-only: the
+    scale is anchored so the SMALLEST group keeps rate 1.0 and every
+    other group keeps ``(c_min / c_g)^(1-alpha)``.
+
+    Returns (group, __c, __thresh) where ``__thresh`` is the hash-bucket
+    cutoff in [0, BUCKETS]. The rate arithmetic is a division plus
+    ``sqrt`` when ``alpha == 0.5`` (IEEE-754 correctly rounded — bit-
+    identical across engines, so the oracle twin is hash-exact) and
+    ``pow`` otherwise (documented: last-ulp divergence across libm
+    implementations can move a threshold by one bucket).
+
+    Cost: one map-side-combinable count per group + a singleton min —
+    the result is O(groups) and meant for ``F.broadcast``.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__c"))
+    cmin = counts.agg(F.min("__c").alias("__cmin"))
+    ratio = F.col("__cmin").cast("double") / F.col("__c")
+    rate = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    return (
+        counts.crossJoin(F.broadcast(cmin))
+        .select(
+            group_col,
+            "__c",
+            F.least(F.lit(BUCKETS), F.floor(rate * BUCKETS))
+            .cast("long")
+            .alias("__thresh"),
+        )
+    )
+
+
+def temperature_rebalance(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-``alpha`` corpus rebalancing over ``group_col``
+    (language/domain mixing): keep each row iff its deterministic hash
+    bucket falls under its group's ``temperature_rates`` threshold, so
+    surviving group sizes are ∝ ``count^alpha`` (in expectation over the
+    md5 buckets) without any RNG.
+
+    Plan shape: the O(groups) rates table is broadcast-joined onto the
+    corpus — the big side never shuffles and the filter stays a codegen'd
+    integer comparison. Same determinism contract as
+    ``deterministic_sample``: same ids + same salt → same corpus, any
+    cluster, any run.
+    """
+    rates = temperature_rates(df, group_col, alpha)
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(hash_bucket(id_col, salt) < F.col("__thresh"))
+        .drop("__c", "__thresh")
+    )
+
+
 def pack_shards(
     df: DataFrame,
     id_col: str,

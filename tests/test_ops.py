@@ -67,6 +67,93 @@ class TestDedup:
         assert pairs[("a", "b")][0] == pairs[("a", "b")][1]  # jaccard 1.0
         assert all(i >= 0.5 * u for i, u in pairs.values())
 
+    def test_incremental_vs_base_and_within_batch(self, spark, docs):
+        from ocr_search_spark.ops.dedup import incremental_near_dedup
+
+        base = docs.filter(F.col("doc_id").isin("a", "d"))
+        base_sigs = minhash_signatures(base, "doc_id", "text", 8)
+        new = spark.createDataFrame(
+            [
+                ("n1", "the quick brown fox jumps over the lazy dog"),  # = base a
+                ("n2", "a genuinely new document about spark pipelines"),
+                ("n3", "a genuinely new document about spark pipelines"),  # dup of n2
+            ],
+            "doc_id string, text string",
+        )
+        survivors, ssigs = incremental_near_dedup(
+            new, "doc_id", "text", base_sigs
+        )
+        ids = {r.doc_id for r in survivors.collect()}
+        # n1 dies against the store (sig agreement 1.0); n3 dies within
+        # the batch to n2 (min-id keeper); n2 survives
+        assert ids == {"n2"}
+        assert {r.id for r in ssigs.collect()} == {"n2"}
+
+    def test_incremental_store_roundtrip(self, spark, docs):
+        from ocr_search_spark.ops.dedup import incremental_near_dedup
+
+        base = docs.filter(F.col("doc_id") == "d")
+        sigs = minhash_signatures(base, "doc_id", "text", 8)
+        b1 = spark.createDataFrame(
+            [("x1", "first wave document about distributed joins")],
+            "doc_id string, text string",
+        )
+        s1, ss1 = incremental_near_dedup(b1, "doc_id", "text", sigs)
+        assert {r.doc_id for r in s1.collect()} == {"x1"}
+        sigs = sigs.unionByName(ss1)
+        # batch 2 repeats batch 1's survivor -> now a store dup
+        b2 = spark.createDataFrame(
+            [
+                ("y1", "first wave document about distributed joins"),
+                ("y2", "second wave document that is genuinely fresh"),
+            ],
+            "doc_id string, text string",
+        )
+        s2, _ = incremental_near_dedup(b2, "doc_id", "text", sigs)
+        assert {r.doc_id for r in s2.collect()} == {"y2"}
+
+    def test_incremental_empty_base_is_batch_dedup(self, spark, docs):
+        from ocr_search_spark.ops.dedup import (
+            incremental_near_dedup,
+            near_dedup,
+        )
+
+        empty = minhash_signatures(
+            docs.filter(F.lit(False)), "doc_id", "text", 8
+        )
+        got, _ = incremental_near_dedup(docs, "doc_id", "text", empty)
+        want = near_dedup(docs, "doc_id", "text")
+        assert {r.doc_id for r in got.collect()} == {
+            r.doc_id for r in want.collect()
+        }
+
+    def test_incremental_accepts_prebuilt_band_table(self, spark, docs):
+        from ocr_search_spark.ops.dedup import (
+            incremental_near_dedup,
+            lsh_band_table,
+        )
+
+        base = docs.filter(F.col("doc_id").isin("a", "d"))
+        base_sigs = minhash_signatures(base, "doc_id", "text", 8)
+        bands = lsh_band_table(base_sigs, 8, 2)
+        new = spark.createDataFrame(
+            [("n1", "the quick brown fox jumps over the lazy dog")],
+            "doc_id string, text string",
+        )
+        s, _ = incremental_near_dedup(
+            new, "doc_id", "text", base_sigs, base_bands=bands
+        )
+        assert s.count() == 0
+
+    def test_incremental_no_cartesian_plan(self, spark, docs):
+        from ocr_search_spark.ops.dedup import incremental_near_dedup
+
+        base_sigs = minhash_signatures(docs, "doc_id", "text", 8)
+        s, _ = incremental_near_dedup(docs, "doc_id", "text", base_sigs)
+        plan = s._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_simhash_near_dups_close(self, docs):
         sh = {r.doc_id: r.sh for r in docs.select("doc_id", simhash_expr(F.col("text")).alias("sh")).collect()}
         assert sh["a"] == sh["b"]
@@ -1269,6 +1356,71 @@ class TestCorpusMixing:
         df = spark.createDataFrame([("d", "en")], "doc_id string, lang string")
         with pytest.raises(ValueError):
             stratified_sample(df, "lang", {"en": 1.5})
+
+
+class TestTemperatureRebalance:
+    def _df(self, spark):
+        rows = [(f"a{i:03d}", "a") for i in range(160)] + [
+            (f"b{i:03d}", "b") for i in range(10)
+        ]
+        return spark.createDataFrame(rows, "doc_id string, lang string")
+
+    def test_rates_sqrt_path(self, spark):
+        from ocr_search_spark.ops.sampling import temperature_rates
+
+        got = {
+            r["lang"]: (r["__c"], r["__thresh"])
+            for r in temperature_rates(self._df(spark), "lang", 0.5).collect()
+        }
+        # a: sqrt(10/160)=0.25 -> 2500; b (smallest): rate 1.0 -> 10000
+        assert got == {"a": (160, 2500), "b": (10, 10000)}
+
+    def test_alpha_one_keeps_everything(self, spark):
+        from ocr_search_spark.ops.sampling import temperature_rebalance
+
+        df = self._df(spark)
+        assert temperature_rebalance(df, "lang", alpha=1.0).count() == df.count()
+
+    def test_alpha_zero_flattens(self, spark):
+        from ocr_search_spark.ops.sampling import temperature_rates
+
+        got = {
+            r["lang"]: r["__thresh"]
+            for r in temperature_rates(self._df(spark), "lang", 0.0).collect()
+        }
+        # alpha=0: rate = cmin/c exactly -> uniform expected counts
+        assert got == {"a": 625, "b": 10000}
+
+    def test_rebalance_deterministic_and_subset(self, spark):
+        from ocr_search_spark.ops.sampling import temperature_rebalance
+
+        df = self._df(spark)
+        out1 = {r["doc_id"] for r in temperature_rebalance(df, "lang").collect()}
+        out2 = {r["doc_id"] for r in temperature_rebalance(df, "lang").collect()}
+        assert out1 == out2
+        # smallest group survives whole; big group thinned to ~sqrt ratio
+        assert all(d.startswith("b") or d.startswith("a") for d in out1)
+        assert sum(d.startswith("b") for d in out1) == 10
+        n_a = sum(d.startswith("a") for d in out1)
+        assert 0 < n_a < 160  # thinned, not emptied
+
+    def test_validates_alpha(self, spark):
+        from ocr_search_spark.ops.sampling import temperature_rebalance
+
+        with pytest.raises(ValueError):
+            temperature_rebalance(self._df(spark), "lang", alpha=1.5)
+
+    def test_plan_broadcasts_rates(self, spark):
+        from ocr_search_spark.ops.sampling import temperature_rebalance
+
+        plan = (
+            temperature_rebalance(self._df(spark), "lang")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
 class TestPackShards:
