@@ -648,6 +648,53 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _planted_multisite_urls(docs):
+    """Append ONE URL per doc whose hostname exercises each public-
+    suffix rule by ``doc_id % 4``: 2-label suffix (co.uk), default rule
+    (.org, .com with deep subdomains), and 3-label suffix (act.gov.au).
+    All variants of a given (v, doc_id%7) collapse to one registered
+    domain the DuckDB twin derives arithmetically from doc_id."""
+    d = F.col("doc_id")
+    k = (d % 7).cast("string")
+    v = d % 4
+    host = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("sub"), (d % 5).cast("string"), F.lit(".site"), k,
+                F.lit(".co.uk"),
+            ),
+        )
+        .when(v == 1, F.concat(F.lit("www.site"), k, F.lit(".org")))
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("dept"), (d % 3).cast("string"), F.lit(".site"), k,
+                F.lit(".act.gov.au"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("cdn"), (d % 3).cast("string"), F.lit(".media.site"),
+                k, F.lit(".com"),
+            )
+        )
+    )
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"), d.cast("string"))
+    return docs.withColumn("text", F.concat(F.col("text"), F.lit(" see "), url))
+
+
+def q_reg_domain_counts(spark, sf_dir):
+    """Per-SITE (eTLD+1) URL/doc counts over planted multi-suffix
+    hostnames (ops/scrub.py registered_domain_expr — public-suffix
+    longest-match as codegen'd split + literal IN-sets + slice, no UDF;
+    subdomains of one owner collapse onto the registrable domain)."""
+    from ocr_search_spark.ops.scrub import registered_domain_counts
+
+    planted = _planted_multisite_urls(_docs(spark, sf_dir))
+    return registered_domain_counts(planted, "doc_id", "text")
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental near-dedup of a NEW batch against the accepted
     corpus's MinHash signature store (ops/dedup.py — the continuous-
@@ -1511,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "temperature_rebalance": q_temperature_rebalance,
         "incremental_dedup": q_incremental_dedup,
+        "reg_domain_counts": q_reg_domain_counts,
         "length_stats": q_length_stats,
         "lsh_bands": q_lsh_bands,
         "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -2425,6 +2473,26 @@ def oracle_sql() -> dict[str, str]:
                   < CASE WHEN lang = 'es' THEN 6000
                          WHEN lang = 'en' THEN 3000
                          ELSE 10000 END
+        """,
+        "reg_domain_counts": """
+            -- independent derivation: each planted variant's registered
+            -- domain follows arithmetically from doc_id (subdomain depth
+            -- never reaches the key), so the oracle never runs the
+            -- public-suffix matcher
+            WITH c AS (
+              SELECT doc_id,
+                     'site' || (doc_id % 7) ||
+                     CASE doc_id % 4
+                       WHEN 0 THEN '.co.uk'
+                       WHEN 1 THEN '.org'
+                       WHEN 2 THEN '.act.gov.au'
+                       ELSE '.com' END AS reg_domain
+              FROM documents
+            )
+            SELECT reg_domain,
+                   count(*) AS n_urls,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM c GROUP BY 1
         """,
         "incremental_dedup": f"""
             WITH newraw AS (

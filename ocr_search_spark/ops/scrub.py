@@ -204,6 +204,83 @@ TRACKING_PARAM_PATTERN = r"^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|yclid|mc_cid|mc
 _URL_PREFIX_PATTERN = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
 
 
+#: curated subset of the (public) Mozilla Public Suffix List — the
+#: multi-label suffixes common in web-crawl domain stats. Single-label
+#: TLDs need no entry (they are the default rule). A production
+#: deployment swaps in the full PSL snapshot; the algorithm is the same.
+PUBLIC_SUFFIXES_2 = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz",
+    "co.kr", "or.kr", "go.kr",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.mx", "org.mx", "gob.mx",
+    "com.ar", "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "com.tw", "org.tw", "com.hk", "com.sg",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in",
+    "co.za", "org.za", "net.za", "web.za",
+    "com.tr", "org.tr", "net.tr", "com.ua",
+    "co.il", "org.il", "ac.il",
+    "com.eg", "com.sa", "com.my", "com.ph", "com.vn", "com.pk",
+    "co.th", "or.th", "ac.th", "in.th", "go.th",
+)
+PUBLIC_SUFFIXES_3 = ("act.gov.au", "nsw.gov.au", "qld.gov.au")
+
+
+def registered_domain_expr(col: Column | str) -> Column:
+    """eTLD+1 (registered domain) of a hostname — the per-SITE grouping
+    key for crawl stats ("bbc.co.uk", not "uk" or "news.bbc.co.uk").
+
+    Longest-suffix match against the embedded public-suffix subset:
+    if the last 3 labels form a known suffix the registrable domain is
+    the last 4 labels; else last 2 labels if a known 2-label suffix;
+    else the default rule (last 2 labels, suffix = the TLD alone).
+    Hostnames with fewer labels than the match needs fall back to the
+    whole hostname. Pure codegen: one split + literal IN-sets + slice —
+    no UDF, no join (the suffix set is a compile-time constant, so the
+    predicate stays a hashed In expression inside WholeStageCodegen).
+    A single trailing dot (FQDN form / sentence punctuation captured by
+    the URL regex) is stripped first.
+    """
+    d = F.col(col) if isinstance(col, str) else col
+    d = F.regexp_replace(d, r"\.$", "")
+    labels = F.split(d, r"\.")
+    n = F.size(labels)
+
+    def last_k(k: int) -> Column:
+        return F.array_join(
+            F.slice(labels, F.greatest(F.lit(1), n - (k - 1)), F.lit(k)), "."
+        )
+
+    return (
+        F.when(
+            (n >= 4) & last_k(3).isin(*PUBLIC_SUFFIXES_3), last_k(4)
+        )
+        .when((n >= 3) & last_k(2).isin(*PUBLIC_SUFFIXES_2), last_k(3))
+        .otherwise(last_k(2))
+    )
+
+
+def registered_domain_counts(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-SITE (eTLD+1) URL and document counts — ``domain_counts``
+    rolled up to the registrable domain, the grouping an actual crawl
+    report uses (all subdomains of one owner collapse). Same plan shape:
+    explode + map-side-combinable aggregation, one shuffle on the
+    registered-domain key."""
+    return (
+        url_domains(df, id_col, text_col)
+        .withColumn("reg_domain", registered_domain_expr("domain"))
+        .groupBy("reg_domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("id").alias("n_docs"),
+        )
+    )
+
+
 def canonical_url_expr(col: Column | str) -> Column:
     """Canonical form of a URL — the Common-Crawl-style page-identity key.
 

@@ -1358,6 +1358,61 @@ class TestCorpusMixing:
             stratified_sample(df, "lang", {"en": 1.5})
 
 
+class TestRegisteredDomain:
+    CASES = [
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("bbc.co.uk", "bbc.co.uk"),
+        ("co.uk", "co.uk"),  # bare suffix: no registrable part, kept whole
+        ("www.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("a.b.c.example.org", "example.org"),
+        ("dept.site.act.gov.au", "site.act.gov.au"),  # 3-label suffix
+        ("site.act.gov.au", "site.act.gov.au"),
+        ("x.gov.au", "x.gov.au"),  # 2-label suffix, 3 labels
+        ("localhost", "localhost"),
+        ("example.com.", "example.com"),  # FQDN trailing dot stripped
+    ]
+
+    def test_hand_cases(self, spark):
+        from ocr_search_spark.ops.scrub import registered_domain_expr
+
+        df = spark.createDataFrame(
+            [(d,) for d, _ in self.CASES], "domain string"
+        ).select("domain", registered_domain_expr("domain").alias("reg"))
+        got = {r["domain"]: r["reg"] for r in df.collect()}
+        for raw, want in self.CASES:
+            assert got[raw] == want, raw
+
+    def test_counts_collapse_subdomains(self, spark):
+        from ocr_search_spark.ops.scrub import registered_domain_counts
+
+        rows = [
+            (1, "see https://news.bbc.co.uk/a"),
+            (2, "see https://sport.bbc.co.uk/b and https://www.bbc.co.uk/c"),
+            (3, "see https://example.com/x"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["reg_domain"]: (r["n_urls"], r["n_docs"])
+            for r in registered_domain_counts(df, "doc_id", "text").collect()
+        }
+        assert out == {"bbc.co.uk": (3, 2), "example.com": (1, 1)}
+
+    def test_no_udf_plan(self, spark):
+        from ocr_search_spark.ops.scrub import registered_domain_counts
+
+        df = spark.createDataFrame(
+            [(1, "https://a.co.uk/x")], "doc_id long, text string"
+        )
+        plan = (
+            registered_domain_counts(df, "doc_id", "text")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
 class TestTemperatureRebalance:
     def _df(self, spark):
         rows = [(f"a{i:03d}", "a") for i in range(160)] + [
