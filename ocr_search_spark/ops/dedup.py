@@ -394,10 +394,37 @@ def incremental_near_dedup(
         .distinct()
     )
     fresh = new_df.join(dup_vs_base, F.col(id_col) == F.col("__dup"), "left_anti")
-    survivors = near_dedup(
-        fresh, id_col, text_col, threshold, n_hashes, band_size, shingle_k,
-        max_bucket_size,
+
+    # within-batch near-dedup REUSES the batch's band table (a doc's
+    # bands don't change when other docs are dropped, so candidate pairs
+    # among fresh docs are identical to a from-scratch near_dedup on
+    # fresh — just without re-minhashing the batch): self-join the
+    # bands, drop pairs touching a store-dup, exact-verify, min-id keep
+    l, r = new_bands.alias("l"), new_bands.alias("r")
+    within = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"))
+        .distinct()
+        .join(dup_vs_base, F.col("a_id") == F.col("__dup"), "left_anti")
+        .join(dup_vs_base, F.col("b_id") == F.col("__dup"), "left_anti")
     )
+    sh = _with_shingles(fresh, id_col, text_col, shingle_k)
+    pairs = within.join(
+        sh.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a")), "a_id"
+    ).join(sh.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b")), "b_id")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    losers = (
+        pairs.filter((union > 0) & (inter >= union * threshold))
+        .select(F.col("b_id").alias("__loser"))
+        .distinct()
+    )
+    survivors = fresh.join(losers, F.col(id_col) == F.col("__loser"), "left_anti")
     survivor_sigs = new_sigs.join(
         survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
     )
