@@ -521,6 +521,40 @@ def q_line_dedup(spark, sf_dir):
     )
 
 
+def _planted_paragraphs(docs):
+    """Plant a shared boilerplate PARAGRAPH (cookie banner) at the head
+    of every even doc and a shared footer paragraph on all docs, blocks
+    joined by the literal blank-line delimiter — computed identically in
+    the DuckDB twin of para_dedup."""
+    banner = F.lit("we use cookies to improve your browsing experience\n\n")
+    footer = F.lit("\n\nall rights reserved worldwide by the publisher")
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(banner, F.col("text"), footer),
+        ).otherwise(F.concat(F.col("text"), footer)),
+    )
+
+
+def q_para_dedup(spark, sf_dir):
+    """Paragraph-level corpus dedup (Dolma-style variant of the C4 line
+    pass; ops/lines.py — same explode/countDistinct/anti-join/reassembly
+    machinery with blank-line-delimited blocks and a 10-char triviality
+    floor)."""
+    from ocr_search_spark.ops.lines import remove_duplicate_paragraphs
+
+    out = remove_duplicate_paragraphs(
+        _planted_paragraphs(_docs(spark, sf_dir)), "doc_id", "text"
+    )
+    return out.select(
+        "doc_id",
+        F.md5(F.encode(F.col("text_clean"), "utf-8")).alias("clean_md5"),
+        F.col("n_lines").alias("n_paras"),
+        "n_removed",
+    )
+
+
 def q_compression_signals(spark, sf_dir):
     """zlib compression-ratio quality signal (ccnet trick): UTF-8 byte
     length JVM-side + deflate size via an Arrow-batched pandas UDF
@@ -646,6 +680,45 @@ def q_stratified_sample(spark, sf_dir):
     return stratified_sample(
         _docs(spark, sf_dir), "lang", {"en": 0.3, "es": 0.6}, salt="mix"
     ).select("doc_id", "lang")
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking (ops/sampling.py — LM training-sequence
+    prep: 64-token windows, 16-token overlap, stride 48; tokenize →
+    sequence-of-starts explode → slice, pure codegen, no shuffle).
+    Chunk text is md5'd so the row stays compact; the hash pins the
+    exact window content."""
+    from ocr_search_spark.ops.sampling import chunk_documents
+
+    out = chunk_documents(
+        _docs(spark, sf_dir), "doc_id", "text", chunk_tokens=64, overlap=16
+    )
+    return out.select(
+        "id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "n_tokens",
+        F.md5(F.encode(F.col("chunk_text"), "utf-8")).alias("chunk_md5"),
+    )
+
+
+def q_classifier_scores(spark, sf_dir):
+    """fastText-shaped linear classifier serving (ops/classify.py —
+    hashed unigram+bigram buckets, model-as-data broadcast weights,
+    fixed-point integer logit so the distributed sum is order-
+    independent and engine-exact). Weights are the deterministic
+    bucket%2001-1000 ramp, which the DuckDB twin computes inline
+    without materializing the table."""
+    from ocr_search_spark.ops.classify import linear_scores
+
+    docs = _docs(spark, sf_dir)
+    weights = spark.range(1 << 18).select(
+        F.col("id").alias("bucket"),
+        (F.col("id") % 2001 - 1000).alias("weight_fp"),
+    )
+    out = linear_scores(docs, "doc_id", "text", weights, n_buckets=1 << 18)
+    return out.select(
+        "id", "logit_fp", (F.col("logit_fp") >= 0).alias("keep")
+    )
 
 
 def _planted_multisite_urls(docs):
@@ -1526,17 +1599,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_cc": q_near_dedup_cc,
         "substring_dedup": q_substring_dedup,
         "sessionize": q_sessionize,
+        # --- the six late-r5 operators take the window's last slots so
+        # the driver certifies them the round they land ---
+        "url_dedup": q_url_dedup,
+        "reg_domain_counts": q_reg_domain_counts,
+        "temperature_rebalance": q_temperature_rebalance,
+        "incremental_dedup": q_incremental_dedup,
+        "chunk_documents": q_chunk_documents,
+        "classifier_scores": q_classifier_scores,
+        # --- entries below rotate outside the driver's 50-entry window ---
+        # (every one hash-exact in a prior driver window or re-certified
+        # by scripts/check_oracles.py this round; the eight displaced
+        # r4-green entries rotate back in r6)
         "ann_cosine_topk": q_ann_cosine_topk,
         "asof_join": q_asof_join,
         "line_dedup": q_line_dedup,
+        "para_dedup": q_para_dedup,
         "compression_signals": q_compression_signals,
         "mixing_corpus": q_mixing_corpus,
         "training_corpus": q_training_corpus,
         "training_corpus_cc": q_training_corpus_cc,
         "pq_adc_topk": q_pq_adc_topk,
-        # --- entries below rotate outside the driver's 50-entry window ---
-        # (every one hash-exact in the r4 driver window,
-        # CORRECTNESS_r04.json)
         "decontaminate": q_decontaminate,
         "token_quality": q_token_quality,
         "token_counts": q_token_counts,
@@ -1554,11 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "domain_counts": q_domain_counts,
         "domain_filter": q_domain_filter,
-        "url_dedup": q_url_dedup,
         "stratified_sample": q_stratified_sample,
-        "temperature_rebalance": q_temperature_rebalance,
-        "incremental_dedup": q_incremental_dedup,
-        "reg_domain_counts": q_reg_domain_counts,
         "length_stats": q_length_stats,
         "lsh_bands": q_lsh_bands,
         "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -1861,6 +1940,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT t.doc_id, md5(coalesce(r.text_clean, '')) AS clean_md5,
                    t.n_lines, t.n_lines - coalesce(r.n_kept, 0) AS n_removed
+            FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "para_dedup": """
+            WITH planted AS (
+              SELECT doc_id, CASE WHEN doc_id % 2 = 0
+                THEN 'we use cookies to improve your browsing experience'
+                     || chr(10) || chr(10) || text || chr(10) || chr(10)
+                     || 'all rights reserved worldwide by the publisher'
+                ELSE text || chr(10) || chr(10)
+                     || 'all rights reserved worldwide by the publisher'
+                END AS text
+              FROM documents
+            ), ex AS (
+              SELECT doc_id, u.para, u.pos
+              FROM planted, LATERAL (
+                SELECT unnest(string_split(text, chr(10) || chr(10))) AS para,
+                       generate_subscripts(
+                         string_split(text, chr(10) || chr(10)), 1) AS pos
+              ) u
+            ), dups AS (
+              SELECT md5(para) AS para_md5 FROM ex WHERE length(para) >= 10
+              GROUP BY md5(para) HAVING count(DISTINCT doc_id) >= 2
+            ), kept AS (
+              SELECT * FROM ex
+              WHERE md5(para) NOT IN (SELECT para_md5 FROM dups)
+            ), rebuilt AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                       AS text_clean,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            ), totals AS (
+              SELECT doc_id, count(*) AS n_paras FROM ex GROUP BY doc_id
+            )
+            SELECT t.doc_id, md5(coalesce(r.text_clean, '')) AS clean_md5,
+                   t.n_paras, t.n_paras - coalesce(r.n_kept, 0) AS n_removed
             FROM totals t LEFT JOIN rebuilt r USING (doc_id)
         """,
         "topk_per_lang": """
@@ -2473,6 +2588,46 @@ def oracle_sql() -> dict[str, str]:
                   < CASE WHEN lang = 'es' THEN 6000
                          WHEN lang = 'en' THEN 3000
                          ELSE 10000 END
+        """,
+        "chunk_documents": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOK} AS toks FROM documents
+            ), c AS (
+              SELECT doc_id, toks,
+                     unnest(range(0, greatest(1,
+                       ceil((len(toks) - 16) / 48.0)::BIGINT))) AS chunk_idx
+              FROM t
+            )
+            SELECT doc_id AS id,
+                   chunk_idx,
+                   len(list_slice(toks, chunk_idx * 48 + 1,
+                                  chunk_idx * 48 + 64)) AS n_tokens,
+                   md5(array_to_string(
+                     list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64),
+                     ' ')) AS chunk_md5
+            FROM c
+        """,
+        "classifier_scores": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOK} AS toks FROM documents
+            ), f AS (
+              SELECT doc_id,
+                     unnest(list_concat(toks,
+                       list_transform(range(1, greatest(len(toks), 1)),
+                         i -> toks[i] || '_' || toks[i + 1]))) AS feat
+              FROM t
+            ), b AS (
+              SELECT doc_id,
+                     ('0x' || substring(md5(feat), 1, 8))::BIGINT % 262144 AS bk
+              FROM f
+            ), s AS (
+              SELECT doc_id, sum(bk % 2001 - 1000)::BIGINT AS w
+              FROM b GROUP BY doc_id
+            )
+            SELECT d.doc_id AS id,
+                   coalesce(s.w, 0) AS logit_fp,
+                   coalesce(s.w, 0) >= 0 AS keep
+            FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
         """,
         "reg_domain_counts": """
             -- independent derivation: each planted variant's registered

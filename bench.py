@@ -160,6 +160,8 @@ def main() -> None:
         "url_dedup",
         "reg_domain_counts",
         "temperature_rebalance",
+        "chunk_documents",
+        "classifier_scores",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

@@ -105,3 +105,24 @@ def remove_duplicate_lines(
             ),
         )
     )
+
+
+def remove_duplicate_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    min_chars: int = 10,
+) -> DataFrame:
+    """Paragraph-level corpus dedup (the Dolma-style variant of the C4
+    line pass): identical machinery, but the unit is a PARAGRAPH — a
+    literal ``\\n\\n``-delimited block — and the triviality floor is
+    higher (``min_chars=10``: a repeated heading is not boilerplate
+    evidence the way a repeated 200-char footer is). Same two-shuffle
+    plan, same distributed dup table, same order-preserving
+    re-assembly; returns (id, text_clean, n_lines, n_removed) where the
+    counted units are paragraphs."""
+    return remove_duplicate_lines(
+        df, id_col, text_col, delim="\n\n", min_docs=min_docs,
+        min_chars=min_chars,
+    )

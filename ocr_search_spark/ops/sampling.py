@@ -138,6 +138,61 @@ def stratified_sample(
     return df.filter(hash_bucket(id_col, salt) < thresh)
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    context-window chunking step of LM training-sequence prep (and of
+    retrieval indexing). Chunk ``k`` covers tokens
+    ``[k·stride, k·stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; every token lands in at least
+    one chunk and consecutive chunks share ``overlap`` tokens. Documents
+    shorter than one window (including empty ones) yield exactly one
+    chunk.
+
+    Output: (id, chunk_idx, chunk_text, n_tokens) — ``chunk_text`` is
+    the single-space re-join of the window's tokens (tokenized form, the
+    standard LM-prep convention; original whitespace is not preserved).
+
+    Pure codegen: tokenize → ``sequence`` over chunk starts → explode →
+    ``slice``/``array_join``. No UDF, no shuffle — a per-row generate
+    with bounded fan-out ``≈ n_tokens / stride``, so it composes with
+    pushed-down filters and parallelism follows the scan.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    from ..search.analysis import tokens_expr
+
+    stride = chunk_tokens - overlap
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("__toks")
+    )
+    n = F.size("__toks")
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
+    )
+    chunks = toked.select(
+        "id",
+        "__toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    window = F.slice(
+        F.col("__toks"), F.col("chunk_idx") * stride + 1, F.lit(chunk_tokens)
+    )
+    return chunks.select(
+        "id",
+        "chunk_idx",
+        F.array_join(window, " ").alias("chunk_text"),
+        F.size(window).alias("n_tokens"),
+    )
+
+
 def temperature_rates(
     df: DataFrame,
     group_col: str,

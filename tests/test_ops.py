@@ -1358,6 +1358,156 @@ class TestCorpusMixing:
             stratified_sample(df, "lang", {"en": 1.5})
 
 
+class TestParagraphDedup:
+    def test_shared_paragraph_removed_short_kept(self, spark):
+        from ocr_search_spark.ops.lines import remove_duplicate_paragraphs
+
+        banner = "we use cookies on this site to improve your experience"
+        rows = [
+            (1, f"{banner}\n\nunique body one\n\nshort"),
+            (2, f"{banner}\n\nunique body two\n\nshort"),
+            (3, "standalone document with its own text"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: (r.text_clean, r.n_lines, r.n_removed)
+            for r in remove_duplicate_paragraphs(df, "doc_id", "text").collect()
+        }
+        # banner (cross-doc, >=10 chars) removed; "short" (<10 chars)
+        # repeats but stays under the triviality floor
+        assert out[1] == ("unique body one\n\nshort", 3, 1)
+        assert out[2] == ("unique body two\n\nshort", 3, 1)
+        assert out[3] == ("standalone document with its own text", 1, 0)
+
+
+class TestChunkDocuments:
+    def test_windows_and_overlap(self, spark):
+        from ocr_search_spark.ops.sampling import chunk_documents
+
+        text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+        df = spark.createDataFrame([("d", text)], "doc_id string, text string")
+        out = sorted(
+            (r.chunk_idx, r.chunk_text, r.n_tokens)
+            for r in chunk_documents(
+                df, "doc_id", "text", chunk_tokens=4, overlap=1
+            ).collect()
+        )
+        # stride 3: starts 0,3,6 -> ceil((10-1)/3)=3 chunks
+        assert out == [
+            (0, "t0 t1 t2 t3", 4),
+            (1, "t3 t4 t5 t6", 4),
+            (2, "t6 t7 t8 t9", 4),
+        ]
+
+    def test_short_and_empty_docs_one_chunk(self, spark):
+        from ocr_search_spark.ops.sampling import chunk_documents
+
+        df = spark.createDataFrame(
+            [("s", "only three tokens"), ("e", "")],
+            "doc_id string, text string",
+        )
+        out = {
+            r.id: (r.chunk_idx, r.n_tokens)
+            for r in chunk_documents(
+                df, "doc_id", "text", chunk_tokens=8, overlap=2
+            ).collect()
+        }
+        assert out == {"s": (0, 3), "e": (0, 0)}
+
+    def test_every_token_covered(self, spark):
+        from ocr_search_spark.ops.sampling import chunk_documents
+
+        text = " ".join(f"w{i}" for i in range(53))
+        df = spark.createDataFrame([("d", text)], "doc_id string, text string")
+        rows = chunk_documents(
+            df, "doc_id", "text", chunk_tokens=16, overlap=4
+        ).collect()
+        covered = set()
+        for r in rows:
+            covered.update(r.chunk_text.split(" "))
+        assert covered == {f"w{i}" for i in range(53)}
+        # consecutive chunks share exactly `overlap` tokens
+        by_idx = {r.chunk_idx: r.chunk_text.split(" ") for r in rows}
+        for i in range(len(by_idx) - 1):
+            assert by_idx[i][-4:] == by_idx[i + 1][:4]
+
+    def test_validates_params(self, spark):
+        from ocr_search_spark.ops.sampling import chunk_documents
+
+        df = spark.createDataFrame([("d", "x")], "doc_id string, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(df, "doc_id", "text", chunk_tokens=0)
+        with pytest.raises(ValueError):
+            chunk_documents(df, "doc_id", "text", chunk_tokens=8, overlap=8)
+
+
+class TestLinearClassifier:
+    def _weights(self, spark, mapping):
+        from ocr_search_spark.ops.classify import token_bucket_expr
+
+        toks = spark.createDataFrame(
+            [(t, w) for t, w in mapping.items()], "tok string, w long"
+        )
+        return toks.select(
+            token_bucket_expr(F.col("tok"), 1 << 18).alias("bucket"),
+            F.col("w").alias("weight_fp"),
+        )
+
+    def test_logit_is_count_weighted_sum(self, spark):
+        from ocr_search_spark.ops.classify import linear_scores
+
+        df = spark.createDataFrame(
+            [(1, "good good bad"), (2, "neutral words only"), (3, "")],
+            "doc_id long, text string",
+        )
+        w = self._weights(spark, {"good": 500_000, "bad": -250_000})
+        out = {
+            r.id: r.logit_fp
+            for r in linear_scores(
+                df, "doc_id", "text", w, bias_fp=1000, bigrams=False
+            ).collect()
+        }
+        assert out == {1: 2 * 500_000 - 250_000 + 1000, 2: 1000, 3: 1000}
+
+    def test_bigram_features_fire(self, spark):
+        from ocr_search_spark.ops.classify import linear_scores
+
+        df = spark.createDataFrame(
+            [(1, "new york"), (2, "york new")], "doc_id long, text string"
+        )
+        w = self._weights(spark, {"new_york": 1_000_000})
+        out = {
+            r.id: r.logit_fp
+            for r in linear_scores(df, "doc_id", "text", w).collect()
+        }
+        # bigram is ordered: only doc 1 contains "new_york"
+        assert out == {1: 1_000_000, 2: 0}
+
+    def test_filter_and_broadcast_plan(self, spark):
+        from ocr_search_spark.ops.classify import classifier_filter
+
+        df = spark.createDataFrame(
+            [(1, "good doc"), (2, "bad doc")], "doc_id long, text string"
+        )
+        w = self._weights(spark, {"good": 1_000_000, "bad": -1_000_000})
+        kept = classifier_filter(
+            df, "doc_id", "text", w, threshold_fp=1, bigrams=False
+        )
+        assert [r.doc_id for r in kept.collect()] == [1]
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "PythonUDF" not in plan
+
+    def test_sigmoid_monotone(self, spark):
+        from ocr_search_spark.ops.classify import sigmoid_score
+
+        df = spark.createDataFrame(
+            [(-2_000_000,), (0,), (2_000_000,)], "logit_fp long"
+        ).select(sigmoid_score("logit_fp").alias("s"))
+        vals = [r.s for r in df.collect()]
+        assert vals[0] < 0.5 and abs(vals[1] - 0.5) < 1e-12 and vals[2] > 0.5
+
+
 class TestRegisteredDomain:
     CASES = [
         ("news.bbc.co.uk", "bbc.co.uk"),
