@@ -162,6 +162,7 @@ def main() -> None:
         "temperature_rebalance",
         "chunk_documents",
         "classifier_scores",
+        "para_dedup",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

@@ -1,0 +1,142 @@
+"""Linear text-classifier scoring at corpus scale (fastText-shaped).
+
+The model-based quality filters of modern training pipelines (e.g. a
+fastText/logistic classifier over hashed bag-of-ngrams) reduce, at
+serving time, to: hash each token/bigram into a bucket, look the bucket's
+weight up, sum, threshold. This module implements exactly that serving
+path Spark-first:
+
+* features are md5-hashed buckets — pure codegen'd expressions, engine-
+  reproducible (the same trick as ``ops.sampling.hash_bucket``);
+* the model is DATA: an O(n_buckets) (bucket, weight_fp) DataFrame that
+  broadcast-joins onto the exploded feature stream — swapping models
+  never changes the plan;
+* weights are FIXED-POINT integers (``FP_ONE`` units) and the per-doc
+  reduction is an integer sum — associative and order-independent, so a
+  distributed aggregation is bit-identical to any serial oracle (the
+  ``pq_adc_topk`` discipline). The float sigmoid is a presentation-layer
+  convenience, never part of the decision columns.
+
+Training the weights is out of scope (an offline job); any
+(bucket, weight) table plugs in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..search.analysis import tokens_expr
+
+#: fixed-point scale: 1.0 == 1_000_000 units
+FP_ONE = 1_000_000
+
+
+def token_bucket_expr(tok: Column, n_buckets: int) -> Column:
+    """Feature bucket in [0, n_buckets) of a token/ngram string —
+    md5-based, identical in any engine."""
+    h = F.md5(F.encode(tok, "utf-8"))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_buckets
+
+
+def hashed_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 1 << 18,
+    bigrams: bool = True,
+) -> DataFrame:
+    """(id, bucket, cnt): hashed bag-of-features per document — unigram
+    tokens plus (optionally) ``a_b`` word bigrams, the fastText feature
+    map. One tokenize + explode + map-side-combinable count; the feature
+    stream never leaves its scan partition until the per-(id, bucket)
+    aggregation."""
+    toks = tokens_expr(F.col(text_col))
+    feats = toks
+    if bigrams:
+        grams = F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        )
+        feats = F.concat(toks, grams)
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode_outer(feats).alias("__f"))
+        .filter(F.col("__f").isNotNull())
+        .select("id", token_bucket_expr(F.col("__f"), n_buckets).alias("bucket"))
+        .groupBy("id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def linear_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    n_buckets: int = 1 << 18,
+    bias_fp: int = 0,
+    bigrams: bool = True,
+) -> DataFrame:
+    """(id, logit_fp): fixed-point logit of a linear classifier over
+    hashed features. ``weights`` is (bucket long, weight_fp long) —
+    broadcast onto the feature stream (models are MBs even at 2^20
+    buckets). Buckets absent from ``weights`` contribute 0. Documents
+    with no features score exactly ``bias_fp``.
+
+    Integer end-to-end: logit_fp = bias_fp + Σ cnt·weight_fp — the
+    distributed sum is order-independent, so thresholding decisions are
+    reproducible bit-for-bit anywhere."""
+    feats = hashed_features(df, id_col, text_col, n_buckets, bigrams)
+    scored = (
+        feats.join(F.broadcast(weights), "bucket", "left")
+        .groupBy("id")
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(F.col("cnt") * F.coalesce(F.col("weight_fp"), F.lit(0))),
+                    F.lit(0),
+                )
+                + F.lit(int(bias_fp))
+            ).alias("logit_fp")
+        )
+    )
+    # featureless docs drop out of the explode->agg; restore them at bias
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return all_ids.join(scored, "id", "left").select(
+        "id", F.coalesce(F.col("logit_fp"), F.lit(int(bias_fp))).alias("logit_fp")
+    )
+
+
+def sigmoid_score(logit_fp: Column | str) -> Column:
+    """Float sigmoid of a fixed-point logit — presentation only (never a
+    decision column: libm ``exp`` differs in the last ulp across
+    engines)."""
+    c = F.col(logit_fp) if isinstance(logit_fp, str) else logit_fp
+    x = c.cast("double") / F.lit(float(FP_ONE))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-x))
+
+
+def classifier_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    threshold_fp: int,
+    n_buckets: int = 1 << 18,
+    bias_fp: int = 0,
+    bigrams: bool = True,
+) -> DataFrame:
+    """Keep rows whose classifier logit is ≥ ``threshold_fp`` — the
+    model-based quality gate, as a semi-join against the integer-exact
+    score table (all original columns preserved)."""
+    keep = (
+        linear_scores(
+            df, id_col, text_col, weights, n_buckets, bias_fp, bigrams
+        )
+        .filter(F.col("logit_fp") >= int(threshold_fp))
+        .select("id")
+    )
+    return df.join(
+        keep.withColumnRenamed("id", id_col), id_col, "left_semi"
+    )

@@ -217,19 +217,22 @@ def temperature_rates(
     """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    from pyspark.sql import Window
+
     counts = df.groupBy(group_col).agg(F.count("*").alias("__c"))
-    cmin = counts.agg(F.min("__c").alias("__cmin"))
-    ratio = F.col("__cmin").cast("double") / F.col("__c")
+    # global min as a window over the ALREADY-AGGREGATED counts table
+    # (O(groups) rows to one partition) — a separate agg + crossJoin
+    # would put the corpus-wide count subtree into the plan twice and
+    # cost a second full scan at production scale
+    cmin = F.min("__c").over(Window.partitionBy())
+    ratio = cmin.cast("double") / F.col("__c")
     rate = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
-    return (
-        counts.crossJoin(F.broadcast(cmin))
-        .select(
-            group_col,
-            "__c",
-            F.least(F.lit(BUCKETS), F.floor(rate * BUCKETS))
-            .cast("long")
-            .alias("__thresh"),
-        )
+    return counts.select(
+        group_col,
+        "__c",
+        F.least(F.lit(BUCKETS), F.floor(rate * BUCKETS))
+        .cast("long")
+        .alias("__thresh"),
     )
 
 

@@ -240,11 +240,11 @@ def registered_domain_expr(col: Column | str) -> Column:
     whole hostname. Pure codegen: one split + literal IN-sets + slice —
     no UDF, no join (the suffix set is a compile-time constant, so the
     predicate stays a hashed In expression inside WholeStageCodegen).
-    A single trailing dot (FQDN form / sentence punctuation captured by
-    the URL regex) is stripped first.
+    The hostname is lowercased and a single trailing dot (FQDN form /
+    sentence punctuation captured by the URL regex) stripped first.
     """
     d = F.col(col) if isinstance(col, str) else col
-    d = F.regexp_replace(d, r"\.$", "")
+    d = F.regexp_replace(F.lower(d), r"\.$", "")
     labels = F.split(d, r"\.")
     n = F.size(labels)
 

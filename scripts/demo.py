@@ -135,6 +135,68 @@ def main() -> None:
         F.sum("n_mojibake").alias("total_artifacts")
     ).show()
 
+    print("== web hygiene: canonical-URL dedup + eTLD+1 rollup (r5)")
+    from ocr_search_spark.ops.scrub import registered_domain_counts, url_dedup
+
+    linked = content.withColumn(
+        "text",
+        F.concat(
+            F.col("content"),
+            F.lit(" see https://www.news.example.co.uk/a/"),
+            F.col("doc_id"),
+            F.lit("?utm_source=feed"),
+        ),
+    )
+    url_dedup(linked, "doc_id", "text").agg(
+        F.count("*").alias("canonical_urls"),
+        F.sum("n_urls").alias("raw_urls"),
+    ).show()
+    registered_domain_counts(linked, "doc_id", "text").orderBy(
+        F.desc("n_urls")
+    ).show(3, truncate=False)
+
+    print("== incremental ingest: batch 2 deduped against batch 1's sig store (r5)")
+    from ocr_search_spark.ops.dedup import (
+        incremental_near_dedup,
+        minhash_signatures,
+    )
+
+    wave1 = content.filter(F.col("doc_id").substr(-1, 1) < "8").select(
+        "doc_id", F.col("content").alias("text")
+    )
+    wave2 = content.select("doc_id", F.col("content").alias("text"))
+    sig_store = minhash_signatures(wave1, "doc_id", "text")
+    surv, _sigs = incremental_near_dedup(wave2, "doc_id", "text", sig_store)
+    print(
+        {
+            "wave1_store": sig_store.count(),
+            "wave2_batch": wave2.count(),
+            "wave2_admitted": surv.count(),
+        }
+    )
+
+    print("== classifier gate + temperature mixing + chunking (r5)")
+    from ocr_search_spark.ops.classify import linear_scores
+    from ocr_search_spark.ops.sampling import (
+        chunk_documents,
+        temperature_rebalance,
+    )
+
+    wts = spark.range(1 << 18).select(
+        F.col("id").alias("bucket"), (F.col("id") % 2001 - 1000).alias("weight_fp")
+    )
+    linear_scores(content, "doc_id", "content", wts).agg(
+        F.count("*").alias("docs"),
+        F.sum((F.col("logit_fp") >= 0).cast("int")).alias("kept_at_0"),
+    ).show()
+    lang2 = content.withColumn(
+        "lang", F.when(F.col("doc_id").substr(-1, 1) < "5", "ru").otherwise("en")
+    )
+    temperature_rebalance(lang2, "lang", alpha=0.5).groupBy("lang").count().show()
+    chunk_documents(content, "doc_id", "content", 64, 16).agg(
+        F.count("*").alias("chunks"), F.sum("n_tokens").alias("tokens")
+    ).show()
+
     print("== corpus assembly: stratified rebalance -> ~4k-char shards")
     from ocr_search_spark.ops.sampling import pack_shards, stratified_sample
 

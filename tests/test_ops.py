@@ -1521,6 +1521,8 @@ class TestRegisteredDomain:
         ("x.gov.au", "x.gov.au"),  # 2-label suffix, 3 labels
         ("localhost", "localhost"),
         ("example.com.", "example.com"),  # FQDN trailing dot stripped
+        ("WWW.Example.COM", "example.com"),  # lowercased before matching
+        ("News.BBC.CO.UK", "bbc.co.uk"),
     ]
 
     def test_hand_cases(self, spark):

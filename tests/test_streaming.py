@@ -464,3 +464,92 @@ class TestLateEventSessions:
             ).collect()
         }
         assert got == want  # one session [11:45, 12:00] with 2 events
+
+
+class TestIncrementalDedupStream:
+    BATCH0 = [
+        ("a1", "the quick brown fox jumps over the lazy dog"),
+        ("a2", "the quick brown fox jumps over the lazy dog"),  # in-batch dup
+        ("a3", "a completely different document about rivers"),
+    ]
+    BATCH1 = [
+        ("b1", "the quick brown fox jumps over the lazy dog"),  # dup of store
+        ("b2", "a genuinely fresh document about mountains"),
+    ]
+
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id string, text string")
+
+    def test_sequential_batches_and_store_growth(self, spark, tmp_path):
+        from ocr_search_spark.streaming.incremental_dedup_stream import (
+            process_incremental_batch,
+        )
+
+        store = str(tmp_path / "store")
+        out = str(tmp_path / "out")
+        process_incremental_batch(
+            self._mk(spark, self.BATCH0), 0, store, out
+        )
+        s0 = {r.doc_id for r in spark.read.parquet(f"{out}/batch_id=0").collect()}
+        assert s0 == {"a1", "a3"}  # a2 loses in-batch to a1
+        process_incremental_batch(
+            self._mk(spark, self.BATCH1), 1, store, out
+        )
+        s1 = {r.doc_id for r in spark.read.parquet(f"{out}/batch_id=1").collect()}
+        assert s1 == {"b2"}  # b1 dies against the batch-0 store entry
+        sigs = spark.read.option("basePath", store).parquet(store)
+        assert {r.id for r in sigs.collect()} == {"a1", "a3", "b2"}
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        from ocr_search_spark.streaming.incremental_dedup_stream import (
+            process_incremental_batch,
+        )
+
+        store = str(tmp_path / "store")
+        out = str(tmp_path / "out")
+        process_incremental_batch(self._mk(spark, self.BATCH0), 0, store, out)
+        process_incremental_batch(self._mk(spark, self.BATCH1), 1, store, out)
+        # replay batch 1 (at-least-once): the store already holds batch 1's
+        # own signatures — the exclude-own-partition read must keep b2
+        # alive instead of deduping the batch against itself
+        process_incremental_batch(self._mk(spark, self.BATCH1), 1, store, out)
+        s1 = {r.doc_id for r in spark.read.parquet(f"{out}/batch_id=1").collect()}
+        assert s1 == {"b2"}
+        sigs = spark.read.option("basePath", store).parquet(store)
+        assert {r.id for r in sigs.collect()} == {"a1", "a3", "b2"}
+
+    def test_streaming_end_to_end_matches_sequential(self, spark, tmp_path):
+        from ocr_search_spark.streaming.incremental_dedup_stream import (
+            incremental_dedup_stream,
+        )
+
+        src = str(tmp_path / "src")
+        # two source files -> two micro-batches (maxFilesPerTrigger=1)
+        self._mk(spark, self.BATCH0).coalesce(1).write.parquet(f"{src}/f0")
+        self._mk(spark, self.BATCH1).coalesce(1).write.parquet(f"{src}/f1")
+        stream = (
+            spark.readStream.schema("doc_id string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        store = str(tmp_path / "store")
+        out = str(tmp_path / "out")
+        q = incremental_dedup_stream(
+            stream,
+            store,
+            out,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            trigger_available_now=True,
+        )
+        q.awaitTermination(180)
+        survivors = {
+            r.doc_id
+            for r in spark.read.option("basePath", out).parquet(out).collect()
+        }
+        # same admit-set as the two sequential batch calls regardless of
+        # which file forms which micro-batch: the cross-file dup pair
+        # (a1/a2/b1 text) collapses to exactly one survivor
+        assert "b2" in survivors and "a3" in survivors
+        assert len(survivors & {"a1", "a2", "b1"}) == 1
+        sigs = spark.read.option("basePath", store).parquet(store)
+        assert {r.id for r in sigs.collect()} == survivors
