@@ -721,6 +721,28 @@ def q_classifier_scores(spark, sf_dir):
     )
 
 
+def q_domain_pagerank(spark, sf_dir):
+    """Fixed-point damped PageRank over a planted domain link graph
+    (ops/graph.py — per-round rank join + contribution aggregation, all
+    integer arithmetic so ranks are partitioning-independent; the DuckDB
+    twin unrolls the identical 3 iterations as chained CTEs). Edge per
+    doc: d{doc_id%17} -> d{(doc_id*7+3)%17}, self-loops dropped."""
+    from ocr_search_spark.ops.graph import pagerank
+
+    d = F.col("doc_id")
+    edges = (
+        _docs(spark, sf_dir)
+        .select(
+            F.concat(F.lit("d"), (d % 17).cast("string")).alias("src"),
+            F.concat(F.lit("d"), ((d * 7 + 3) % 17).cast("string")).alias(
+                "dst"
+            ),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return pagerank(edges, n_iter=3)
+
+
 def _planted_multisite_urls(docs):
     """Append ONE URL per doc whose hostname exercises each public-
     suffix rule by ``doc_id % 4``: 2-label suffix (co.uk), default rule
@@ -1615,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "line_dedup": q_line_dedup,
         "para_dedup": q_para_dedup,
+        "domain_pagerank": q_domain_pagerank,
         "compression_signals": q_compression_signals,
         "mixing_corpus": q_mixing_corpus,
         "training_corpus": q_training_corpus,
@@ -2628,6 +2651,50 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(s.w, 0) AS logit_fp,
                    coalesce(s.w, 0) >= 0 AS keep
             FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+        """,
+        "domain_pagerank": """
+            WITH e AS (
+              SELECT 'd' || (doc_id % 17) AS src,
+                     'd' || ((doc_id * 7 + 3) % 17) AS dst
+              FROM documents
+              WHERE (doc_id % 17) <> ((doc_id * 7 + 3) % 17)
+            ), n AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+              )
+            ), deg AS (
+              SELECT src, count(*) AS deg FROM e GROUP BY src
+            ), pr0 AS (
+              SELECT node, 1000000::BIGINT AS pr FROM n
+            ), c1 AS (
+              SELECT e.dst AS node, sum(pr0.pr // deg.deg) AS s
+              FROM e JOIN pr0 ON pr0.node = e.src
+                     JOIN deg ON deg.src = e.src
+              GROUP BY e.dst
+            ), pr1 AS (
+              SELECT n.node,
+                     (150000 + (coalesce(c1.s, 0) * 85) // 100)::BIGINT AS pr
+              FROM n LEFT JOIN c1 ON c1.node = n.node
+            ), c2 AS (
+              SELECT e.dst AS node, sum(pr1.pr // deg.deg) AS s
+              FROM e JOIN pr1 ON pr1.node = e.src
+                     JOIN deg ON deg.src = e.src
+              GROUP BY e.dst
+            ), pr2 AS (
+              SELECT n.node,
+                     (150000 + (coalesce(c2.s, 0) * 85) // 100)::BIGINT AS pr
+              FROM n LEFT JOIN c2 ON c2.node = n.node
+            ), c3 AS (
+              SELECT e.dst AS node, sum(pr2.pr // deg.deg) AS s
+              FROM e JOIN pr2 ON pr2.node = e.src
+                     JOIN deg ON deg.src = e.src
+              GROUP BY e.dst
+            ), pr3 AS (
+              SELECT n.node,
+                     (150000 + (coalesce(c3.s, 0) * 85) // 100)::BIGINT AS pr
+              FROM n LEFT JOIN c3 ON c3.node = n.node
+            )
+            SELECT node, pr AS pr_fp FROM pr3
         """,
         "reg_domain_counts": """
             -- independent derivation: each planted variant's registered

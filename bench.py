@@ -163,6 +163,7 @@ def main() -> None:
         "chunk_documents",
         "classifier_scores",
         "para_dedup",
+        "domain_pagerank",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

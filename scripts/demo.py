@@ -197,6 +197,16 @@ def main() -> None:
         F.count("*").alias("chunks"), F.sum("n_tokens").alias("tokens")
     ).show()
 
+    print("== domain authority: fixed-point PageRank over the link graph (r5)")
+    from ocr_search_spark.ops.graph import domain_link_edges, pagerank
+
+    sited = linked.withColumn(
+        "site",
+        F.concat(F.lit("s"), F.col("doc_id").substr(-1, 1), F.lit(".example.org")),
+    )
+    pr_edges = domain_link_edges(sited, "site", "text", "doc_id")
+    pagerank(pr_edges, n_iter=3).orderBy(F.desc("pr_fp")).show(3)
+
     print("== corpus assembly: stratified rebalance -> ~4k-char shards")
     from ocr_search_spark.ops.sampling import pack_shards, stratified_sample
 

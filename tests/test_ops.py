@@ -1358,6 +1358,88 @@ class TestCorpusMixing:
             stratified_sample(df, "lang", {"en": 1.5})
 
 
+class TestPagerank:
+    @staticmethod
+    def _model(edges, n_iter, d=85):
+        from collections import Counter, defaultdict
+
+        FP = 1_000_000
+        nodes = {n for e in edges for n in e}
+        outdeg = Counter(s for s, _ in edges)
+        base = FP * (100 - d) // 100
+        pr = {n: FP for n in nodes}
+        for _ in range(n_iter):
+            inc = defaultdict(int)
+            for s, t in edges:
+                inc[t] += pr[s] // outdeg[s]
+            pr = {n: base + (inc.get(n, 0) * d) // 100 for n in nodes}
+        return pr
+
+    EDGES = [
+        ("a", "b"), ("b", "a"), ("c", "a"), ("c", "b"), ("d", "a"),
+        ("a", "b"),  # parallel edge, honoured
+        ("e", "d"), ("d", "e"),
+    ]
+
+    def test_matches_scalar_model(self, spark):
+        from ocr_search_spark.ops.graph import pagerank
+
+        df = spark.createDataFrame(self.EDGES, "src string, dst string")
+        for n_iter in (1, 3, 5):
+            got = {
+                r.node: r.pr_fp for r in pagerank(df, n_iter=n_iter).collect()
+            }
+            assert got == self._model(self.EDGES, n_iter), n_iter
+
+    def test_hub_outranks_leaves(self, spark):
+        from ocr_search_spark.ops.graph import pagerank
+
+        # hub <-> leaf0 form a 2-cycle that concentrates rank; the
+        # stable claim is that both outrank every OTHER leaf, which only
+        # ever holds the teleport floor plus decayed mass
+        star = [(f"leaf{i}", "hub") for i in range(6)] + [("hub", "leaf0")]
+        df = spark.createDataFrame(star, "src string, dst string")
+        got = {r.node: r.pr_fp for r in pagerank(df, n_iter=4).collect()}
+        plain = [v for k, v in got.items() if k not in ("hub", "leaf0")]
+        assert got["hub"] > max(plain) and got["leaf0"] > max(plain)
+
+    def test_deterministic_across_runs_and_partitioning(self, spark):
+        from ocr_search_spark.ops.graph import pagerank
+
+        df = spark.createDataFrame(self.EDGES, "src string, dst string")
+        a = {r.node: r.pr_fp for r in pagerank(df, n_iter=3).collect()}
+        b = {
+            r.node: r.pr_fp
+            for r in pagerank(df.repartition(7), n_iter=3).collect()
+        }
+        assert a == b
+
+    def test_validates_params(self, spark):
+        from ocr_search_spark.ops.graph import pagerank
+
+        df = spark.createDataFrame([("a", "b")], "src string, dst string")
+        with pytest.raises(ValueError):
+            pagerank(df, n_iter=0)
+        with pytest.raises(ValueError):
+            pagerank(df, damping_pct=100)
+
+    def test_domain_link_edges(self, spark):
+        from ocr_search_spark.ops.graph import domain_link_edges
+
+        rows = [
+            (1, "www.blog.example.com", "see https://news.bbc.co.uk/a"),
+            (2, "blog.example.com", "see https://cdn.example.com/x"),  # self
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, site string, text string"
+        )
+        got = {
+            (r.src, r.dst)
+            for r in domain_link_edges(df, "site", "text", "doc_id").collect()
+        }
+        assert got == {("example.com", "bbc.co.uk")}
+
+
 class TestParagraphDedup:
     def test_shared_paragraph_removed_short_kept(self, spark):
         from ocr_search_spark.ops.lines import remove_duplicate_paragraphs
