@@ -721,6 +721,73 @@ def q_classifier_scores(spark, sf_dir):
     )
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC container round-trip (kernels/warc_build → kernels/warc —
+    the web-crawl source format, pure-stdlib writer AND reader): every
+    doc's text becomes the HTTP body of a response record in a WARC
+    container (gzip members for odd doc_ids, plain for even), which is
+    parsed back and fingerprinted. The oracle knows the expected fields
+    arithmetically, so builder and parser must BOTH be byte-correct for
+    the md5s to match — the xlsx/cfb round-trip discipline."""
+    import hashlib as _hl
+
+    import pandas as pd
+
+    from ocr_search_spark.kernels.warc import parse_warc
+    from ocr_search_spark.kernels.warc_build import (
+        build_http_response,
+        build_warc,
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body = str(text).encode("utf-8")
+                data = build_warc(
+                    [
+                        (
+                            "response",
+                            build_http_response(body),
+                            f"https://w.example/doc/{int(doc_id)}",
+                        )
+                    ],
+                    gzip=(int(doc_id) % 2 == 1),
+                )
+                for rec in parse_warc(data):
+                    rows.append(
+                        (
+                            int(doc_id),
+                            rec["warc_type"],
+                            rec["target_uri"],
+                            rec["http_status"],
+                            rec["http_content_type"],
+                            _hl.md5(rec["body"]).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "warc_type",
+                    "target_uri",
+                    "http_status",
+                    "mime",
+                    "body_md5",
+                ],
+            )
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(
+            kernel,
+            "doc_id long, warc_type string, target_uri string, "
+            "http_status int, mime string, body_md5 string",
+        )
+    )
+
+
 def q_domain_pagerank(spark, sf_dir):
     """Fixed-point damped PageRank over a planted domain link graph
     (ops/graph.py — per-round rank join + contribution aggregation, all
@@ -1638,6 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "para_dedup": q_para_dedup,
         "domain_pagerank": q_domain_pagerank,
+        "warc_roundtrip": q_warc_roundtrip,
         "compression_signals": q_compression_signals,
         "mixing_corpus": q_mixing_corpus,
         "training_corpus": q_training_corpus,
@@ -2651,6 +2719,20 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(s.w, 0) AS logit_fp,
                    coalesce(s.w, 0) >= 0 AS keep
             FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+        """,
+        "warc_roundtrip": """
+            -- independent derivation: the Spark side BUILDS a WARC
+            -- container from each doc (gzip members for odd ids) and
+            -- PARSES it back; the oracle states the expected fields
+            -- directly, so a byte error in either writer or reader
+            -- breaks the md5 match
+            SELECT doc_id,
+                   'response' AS warc_type,
+                   'https://w.example/doc/' || doc_id AS target_uri,
+                   200 AS http_status,
+                   'text/html; charset=utf-8' AS mime,
+                   md5(text) AS body_md5
+            FROM documents
         """,
         "domain_pagerank": """
             WITH e AS (

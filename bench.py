@@ -164,6 +164,7 @@ def main() -> None:
         "classifier_scores",
         "para_dedup",
         "domain_pagerank",
+        "warc_roundtrip",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

@@ -221,3 +221,74 @@ def write_text_sink(flat_spans: DataFrame, out_dir: str) -> int:
 
     counts = docs.mapInPandas(writer, "n long").agg(F.sum("n")).collect()[0][0]
     return int(counts or 0)
+
+
+WARC_RECORD_SCHEMA = (
+    "path string, record_idx int, warc_type string, target_uri string, "
+    "warc_date string, http_status int, http_content_type string, "
+    "body binary"
+)
+
+
+def warc_records(scanned: DataFrame) -> DataFrame:
+    """Parse a binaryFile scan of ``.warc`` / ``.warc.gz`` containers into
+    one row per record — the web-crawl ingestion source.
+
+    Arrow-batched ``mapInPandas`` over the pure-stdlib scanner
+    (``kernels.warc.parse_warc``): one WARC file is one input row, so the
+    fan-out is records-per-file and parallelism follows the file scan —
+    at crawl scale the natural partitioning is the (many, ~1 GB) WARC
+    files themselves, exactly what binaryFile provides. Fail-soft per
+    file: malformed framing yields that file's parsed prefix, never an
+    executor error (the P5 kernel contract).
+    """
+    import pandas as pd
+
+    from .kernels.warc import parse_warc
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for i, rec in enumerate(parse_warc(bytes(content))):
+                    rows.append(
+                        (
+                            path,
+                            i,
+                            rec["warc_type"],
+                            rec["target_uri"],
+                            rec["date"],
+                            rec["http_status"],
+                            rec["http_content_type"],
+                            rec["body"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path",
+                    "record_idx",
+                    "warc_type",
+                    "target_uri",
+                    "warc_date",
+                    "http_status",
+                    "http_content_type",
+                    "body",
+                ],
+            )
+
+    return scanned.select("path", "content").mapInPandas(
+        kernel, WARC_RECORD_SCHEMA
+    )
+
+
+def scan_warc_folder(
+    spark: SparkSession,
+    path: str,
+    recursive: bool = True,
+) -> DataFrame:
+    """binaryFile scan restricted to WARC containers → parsed records."""
+    scanned = scan_folder_df(
+        spark, path, allowed_ext=("warc", "gz"), recursive=recursive
+    )
+    return warc_records(scanned)
