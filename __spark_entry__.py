@@ -721,6 +721,29 @@ def q_classifier_scores(spark, sf_dir):
     )
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot diff between two corpus versions (ops/dedup.py — full
+    outer hash join on fingerprints computed map-side). New snapshot:
+    doc_id%7==0 texts changed, doc_id%11==0 removed, and a shifted-id
+    copy of every doc_id%13==0 row added."""
+    from ocr_search_spark.ops.dedup import corpus_diff
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    d = F.col("doc_id")
+    changed = docs.select(
+        "doc_id",
+        F.when(d % 7 == 0, F.concat(F.col("text"), F.lit(" [edited]")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    new = changed.filter(d % 11 != 0).unionByName(
+        docs.filter(d % 13 == 0).select(
+            (d + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    return corpus_diff(docs, new, "doc_id", "text")
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC container round-trip (kernels/warc_build → kernels/warc —
     the web-crawl source format, pure-stdlib writer AND reader): every
@@ -1706,6 +1729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "para_dedup": q_para_dedup,
         "domain_pagerank": q_domain_pagerank,
         "warc_roundtrip": q_warc_roundtrip,
+        "corpus_diff": q_corpus_diff,
         "compression_signals": q_compression_signals,
         "mixing_corpus": q_mixing_corpus,
         "training_corpus": q_training_corpus,
@@ -2719,6 +2743,29 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(s.w, 0) AS logit_fp,
                    coalesce(s.w, 0) >= 0 AS keep
             FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+        """,
+        "corpus_diff": """
+            WITH old AS (
+              SELECT doc_id, md5(text) AS old_md5 FROM documents
+            ), changed AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text || ' [edited]' ELSE text END AS text
+              FROM documents
+            ), new AS (
+              SELECT doc_id, md5(text) AS new_md5 FROM changed
+              WHERE doc_id % 11 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, md5(text) AS new_md5
+              FROM documents WHERE doc_id % 13 = 0
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS id,
+                   CASE WHEN o.old_md5 IS NULL THEN 'added'
+                        WHEN n.new_md5 IS NULL THEN 'removed'
+                        WHEN o.old_md5 = n.new_md5 THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   o.old_md5, n.new_md5
+            FROM old o FULL OUTER JOIN new n ON n.doc_id = o.doc_id
         """,
         "warc_roundtrip": """
             -- independent derivation: the Spark side BUILDS a WARC

@@ -165,6 +165,7 @@ def main() -> None:
         "para_dedup",
         "domain_pagerank",
         "warc_roundtrip",
+        "corpus_diff",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

@@ -62,6 +62,42 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the dataset-versioning
+    primitive (what changed between crawl N and crawl N+1, or between
+    two preprocessing runs): (id, status, old_md5, new_md5) with
+    ``status ∈ {added, removed, changed, unchanged}`` by content
+    fingerprint.
+
+    One full-outer hash join on the id — md5 is computed map-side before
+    the shuffle, so the join carries (id, 32-byte digest), never text.
+    At 100 TB both sides shuffle once on the same key; store snapshots
+    bucketed by id (``tables.write_bucketed_table``) and the join is
+    exchange-free.
+    """
+    o = old.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.encode(F.col(text_col), "utf-8")).alias("old_md5"),
+    )
+    n = new.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.encode(F.col(text_col), "utf-8")).alias("new_md5"),
+    )
+    j = o.join(n, "id", "full_outer")
+    status = (
+        F.when(F.col("old_md5").isNull(), F.lit("added"))
+        .when(F.col("new_md5").isNull(), F.lit("removed"))
+        .when(F.col("old_md5") == F.col("new_md5"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("id", status.alias("status"), "old_md5", "new_md5")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

@@ -67,6 +67,28 @@ class TestDedup:
         assert pairs[("a", "b")][0] == pairs[("a", "b")][1]  # jaccard 1.0
         assert all(i >= 0.5 * u for i, u in pairs.values())
 
+    def test_corpus_diff_statuses(self, spark):
+        from ocr_search_spark.ops.dedup import corpus_diff
+
+        old = spark.createDataFrame(
+            [(1, "same"), (2, "before"), (3, "gone")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(1, "same"), (2, "after"), (4, "fresh")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.id: r.status
+            for r in corpus_diff(old, new, "doc_id", "text").collect()
+        }
+        assert got == {
+            1: "unchanged",
+            2: "changed",
+            3: "removed",
+            4: "added",
+        }
+
     def test_incremental_vs_base_and_within_batch(self, spark, docs):
         from ocr_search_spark.ops.dedup import incremental_near_dedup
 
