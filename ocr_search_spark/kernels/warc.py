@@ -24,6 +24,10 @@ import zlib
 #: scan bounds — a container yielding more is pathological input
 MAX_RECORDS = 100_000
 MAX_HEADER_BYTES = 64 * 1024
+#: per-gzip-member expansion cap (gzip-bomb guard): a crawled container
+#: is attacker-supplied bytes; an unbounded decompress of a 42-byte bomb
+#: would exhaust executor memory. Real WARC members are ≤ a few MB.
+MAX_MEMBER_BYTES = 256 * 1024 * 1024
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
@@ -66,9 +70,11 @@ def _gunzip_members(data: bytes):
             return
         d = zlib.decompressobj(31)
         try:
-            chunk = d.decompress(data[pos:])
+            chunk = d.decompress(data[pos:], MAX_MEMBER_BYTES)
         except zlib.error:
             return
+        if d.unconsumed_tail:
+            return  # member expands past the bomb cap — fail soft
         if not d.eof:
             return  # truncated member
         yield chunk

@@ -67,6 +67,21 @@ class TestWarcKernel:
                         gzip=True)
         assert len(parse_warc(gz + b"\x1f\x8b garbage")) == 1
 
+    def test_gzip_bomb_capped(self, monkeypatch):
+        """A member expanding past MAX_MEMBER_BYTES is dropped fail-soft
+        (never decompressed in full) — attacker-supplied crawl bytes must
+        not be able to exhaust executor memory."""
+        import ocr_search_spark.kernels.warc as w
+
+        bomb = build_warc(
+            [("resource", b"\0" * (8 * 1024 * 1024), "u")], gzip=True
+        )
+        monkeypatch.setattr(w, "MAX_MEMBER_BYTES", 1024 * 1024)
+        assert w.parse_warc(bomb) == []
+        # and a small member under the cap still parses
+        ok = build_warc([("resource", b"tiny", "u")], gzip=True)
+        assert len(w.parse_warc(ok)) == 1
+
     @settings(max_examples=40, deadline=None)
     @given(st.binary(max_size=200), st.booleans())
     def test_property_arbitrary_payload_roundtrip(self, body, gz):
