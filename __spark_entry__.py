@@ -880,6 +880,19 @@ def q_reg_domain_counts(spark, sf_dir):
     return registered_domain_counts(planted, "doc_id", "text")
 
 
+def q_unimax_rebalance(spark, sf_dir):
+    """UniMax-style budgeted rebalancing (ops/sampling.py — water-fill a
+    300-row budget over languages: small groups whole, large groups
+    capped at the integer water level; window functions over the
+    O(groups) counts table, pure integer arithmetic, md5-bucket keep
+    filter — no RNG, no collect)."""
+    from ocr_search_spark.ops.sampling import unimax_rebalance
+
+    return unimax_rebalance(
+        _docs(spark, sf_dir), "lang", budget_rows=300, salt="unimax"
+    ).select("doc_id", "lang")
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental near-dedup of a NEW batch against the accepted
     corpus's MinHash signature store (ops/dedup.py — the continuous-
@@ -1720,6 +1733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "classifier_scores": q_classifier_scores,
         # --- entries below rotate outside the driver's 50-entry window ---
+        "unimax_rebalance": q_unimax_rebalance,
         # (every one hash-exact in a prior driver window or re-certified
         # by scripts/check_oracles.py this round; the eight displaced
         # r4-green entries rotate back in r6)
@@ -2899,6 +2913,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM fresh
             WHERE doc_id NOT IN (SELECT b_id FROM ver)
+        """,
+        "unimax_rebalance": """
+            WITH counts AS (
+              SELECT lang, count(*) AS c FROM documents GROUP BY lang
+            ), ranked AS (
+              SELECT lang, c,
+                     row_number() OVER (ORDER BY c, lang) AS i,
+                     sum(c) OVER (ORDER BY c, lang
+                                  ROWS UNBOUNDED PRECEDING) AS p,
+                     count(*) OVER () AS n
+              FROM counts
+            ), shared AS (
+              SELECT lang, c,
+                     (300 - (p - c)) // (n - i + 1) AS share,
+                     c <= (300 - (p - c)) // (n - i + 1) AS isfull
+              FROM ranked
+            ), capped AS (
+              SELECT *, max(CASE WHEN NOT isfull THEN share END)
+                          OVER () AS cap
+              FROM shared
+            ), rates AS (
+              SELECT lang,
+                     ((CASE WHEN isfull THEN c ELSE cap END) * 10000) // c
+                       AS thresh
+              FROM capped
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN rates r ON r.lang = d.lang
+            WHERE ('0x' || substring(md5('unimax' || d.doc_id), 1, 8))::BIGINT
+                  % 10000 < r.thresh
         """,
         "temperature_rebalance": """
             WITH counts AS (

@@ -166,6 +166,7 @@ def main() -> None:
         "domain_pagerank",
         "warc_roundtrip",
         "corpus_diff",
+        "unimax_rebalance",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

@@ -263,6 +263,85 @@ def temperature_rebalance(
     )
 
 
+def unimax_rates(
+    df: DataFrame,
+    group_col: str,
+    budget_rows: int,
+) -> DataFrame:
+    """Water-filling allocation of a total row budget across groups —
+    the UniMax-style mixing rule (budget spread as uniformly as the
+    group sizes allow, downsample-only): every group smaller than the
+    water level keeps ALL its rows; the remaining budget divides evenly
+    (integer) among the larger groups, which are capped at that level.
+
+    Returns (group, __c, __t, __thresh): ``__t`` is the integer target
+    row count and ``__thresh`` the hash-bucket cutoff
+    ``(__t · BUCKETS) div __c``. The water level is found with window
+    functions over the O(groups) counts table — groups sorted ascending
+    by size, a group is taken whole iff its size ≤ the integer-divided
+    remaining-budget share at its rank, and the first not-whole rank
+    fixes the cap for every larger group. Pure integer arithmetic, so
+    the oracle twin is hash-exact; one count aggregation, no second
+    corpus scan, no collect.
+    """
+    if budget_rows <= 0:
+        raise ValueError(f"budget_rows must be positive, got {budget_rows}")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__c"))
+    w = Window.orderBy(F.col("__c").asc(), F.col(group_col).asc())
+    wall = Window.partitionBy()
+    ranked = counts.select(
+        group_col,
+        "__c",
+        F.row_number().over(w).alias("__i"),
+        F.sum("__c").over(w).alias("__p"),  # cumulative incl. current
+        F.count("*").over(wall).alias("__n"),
+    )
+    # remaining budget before rank i is B - (P_i - c_i); its even share
+    # over the i..n tail is the water-level candidate at rank i. The
+    # full test is valid at every rank because fullness is prefix-closed
+    # (shares strictly decrease past the first non-full rank, so no
+    # later rank can test full — see the test's brute-force check).
+    share = F.expr("(%d - (__p - __c)) div (__n - __i + 1)" % int(budget_rows))
+    ranked = ranked.withColumn("__full", F.col("__c") <= share).withColumn(
+        "__share", share
+    )
+    # cap = share at the FIRST non-full rank; since non-full shares
+    # strictly decrease with rank, that is their MAX (null when every
+    # group is full, i.e. budget >= corpus — then the when() below never
+    # reaches it)
+    cap = F.max(F.when(~F.col("__full"), F.col("__share"))).over(wall)
+    t = F.when(F.col("__full"), F.col("__c")).otherwise(cap)
+    return ranked.select(
+        group_col,
+        "__c",
+        t.alias("__t"),
+        F.expr("(__t * %d) div __c" % BUCKETS).alias("__thresh"),
+    )
+
+
+def unimax_rebalance(
+    df: DataFrame,
+    group_col: str,
+    budget_rows: int,
+    id_col: str = "doc_id",
+    salt: str = "unimax",
+) -> DataFrame:
+    """Budgeted UniMax rebalancing over ``group_col``: keep each row iff
+    its deterministic hash bucket falls under its group's water-filled
+    threshold, so surviving group sizes approximate the integer targets
+    of :func:`unimax_rates` (small groups whole, large groups capped at
+    a common level) without any RNG. Same broadcast-rates plan shape as
+    :func:`temperature_rebalance`."""
+    rates = unimax_rates(df, group_col, budget_rows)
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(hash_bucket(id_col, salt) < F.col("__thresh"))
+        .drop("__c", "__t", "__thresh")
+    )
+
+
 def pack_shards(
     df: DataFrame,
     id_col: str,

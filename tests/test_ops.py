@@ -1734,6 +1734,81 @@ class TestTemperatureRebalance:
         assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
+class TestUnimax:
+    COUNTS = {"a": 160, "b": 10, "c": 40}
+
+    @staticmethod
+    def _model(counts: dict, budget: int) -> dict:
+        """Scalar water-fill: ascending by (count, group); full groups
+        take all; the first non-full rank's integer share caps the rest."""
+        items = sorted(counts.items(), key=lambda kv: (kv[1], kv[0]))
+        t, rem = {}, budget
+        for idx, (g, c) in enumerate(items):
+            share = rem // (len(items) - idx)
+            if c <= share:
+                t[g] = c
+                rem -= c
+            else:
+                for g2, _ in items[idx:]:
+                    t[g2] = share
+                break
+        return t
+
+    def _df(self, spark):
+        rows = [
+            (f"{g}{i:04d}", g) for g, c in self.COUNTS.items() for i in range(c)
+        ]
+        return spark.createDataFrame(rows, "doc_id string, lang string")
+
+    def test_targets_match_waterfill_model(self, spark):
+        from ocr_search_spark.ops.sampling import unimax_rates
+
+        df = self._df(spark)
+        for budget in (3, 30, 60, 120, 209, 210, 1000):
+            got = {
+                r["lang"]: r["__t"]
+                for r in unimax_rates(df, "lang", budget).collect()
+            }
+            assert got == self._model(self.COUNTS, budget), budget
+
+    def test_thresholds_integer_exact(self, spark):
+        from ocr_search_spark.ops.sampling import unimax_rates
+
+        got = {
+            r["lang"]: (r["__t"], r["__thresh"])
+            for r in unimax_rates(self._df(spark), "lang", 60).collect()
+        }
+        # model: b full (10), rem 50 over {c,a}: share 25 -> both capped
+        assert got == {
+            "b": (10, 10000),
+            "c": (25, 25 * 10000 // 40),
+            "a": (25, 25 * 10000 // 160),
+        }
+
+    def test_rebalance_budget_and_small_group_whole(self, spark):
+        from ocr_search_spark.ops.sampling import unimax_rebalance
+
+        df = self._df(spark)
+        out = unimax_rebalance(df, "lang", budget_rows=60)
+        by = {
+            r["lang"]: r["count"]
+            for r in out.groupBy("lang").count().collect()
+        }
+        assert by["b"] == 10  # smallest group kept whole
+        # hash sampling approximates the targets; exact determinism
+        assert 10 <= by["a"] <= 45 and 10 <= by["c"] <= 35
+        again = unimax_rebalance(df, "lang", budget_rows=60)
+        assert {r.doc_id for r in out.collect()} == {
+            r.doc_id for r in again.collect()
+        }
+
+    def test_validates_budget(self, spark):
+        from ocr_search_spark.ops.sampling import unimax_rebalance
+
+        with pytest.raises(ValueError):
+            unimax_rebalance(self._df(spark), "lang", budget_rows=0)
+
+
 class TestPackShards:
     def test_shard_budget_and_determinism(self, spark):
         from ocr_search_spark.ops.sampling import pack_shards
