@@ -598,6 +598,24 @@ def q_length_stats(spark, sf_dir):
     return grouped_percentiles(_docs(spark, sf_dir), "lang", "n_chars")
 
 
+def q_adaptive_quality(spark, sf_dir):
+    """Adaptive quality gate: drop each language's bottom length
+    quartile, with the threshold computed FROM the corpus (per-lang p25
+    via exact percentile) instead of a fixed constant — the
+    distribution-aware form of a quality filter. Broadcast the O(langs)
+    threshold table onto the corpus; `percentile` ≡ `quantile_cont`
+    bit-for-bit, so the float comparison is engine-exact."""
+    docs = _docs(spark, sf_dir)
+    th = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.25)").alias("__p25")
+    )
+    return (
+        docs.join(F.broadcast(th), "lang")
+        .filter(F.col("n_chars") >= F.col("__p25"))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
 def q_pack_shards(spark, sf_dir):
     """Token-budget shard packing (corpus assembly): docs packed into
     ~2000-char shards within 16 deterministic hash groups
@@ -1734,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_scores": q_classifier_scores,
         # --- entries below rotate outside the driver's 50-entry window ---
         "unimax_rebalance": q_unimax_rebalance,
+        "adaptive_quality": q_adaptive_quality,
         # (every one hash-exact in a prior driver window or re-certified
         # by scripts/check_oracles.py this round; the eight displaced
         # r4-green entries rotate back in r6)
@@ -2913,6 +2932,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM fresh
             WHERE doc_id NOT IN (SELECT b_id FROM ver)
+        """,
+        "adaptive_quality": """
+            WITH th AS (
+              SELECT lang, quantile_cont(n_chars, 0.25) AS p25
+              FROM documents GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN th ON th.lang = d.lang
+            WHERE d.n_chars >= th.p25
         """,
         "unimax_rebalance": """
             WITH counts AS (

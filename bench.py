@@ -167,6 +167,7 @@ def main() -> None:
         "warc_roundtrip",
         "corpus_diff",
         "unimax_rebalance",
+        "adaptive_quality",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then
