@@ -14,7 +14,11 @@ Handles the two layouts crawls ship:
 
 ``response`` payloads carrying an ``application/http`` block are split
 into HTTP status / headers / body; the body is what downstream
-extraction kernels consume.
+extraction kernels consume. The body is returned as archived —
+``Transfer-Encoding: chunked`` / ``Content-Encoding: gzip`` bodies are
+NOT decoded here (most archivers store the decoded form; when yours
+does not, de-chunk/inflate downstream where the HTTP headers are in
+hand).
 """
 
 from __future__ import annotations

@@ -82,7 +82,10 @@ def linear_scores(
     hashed features. ``weights`` is (bucket long, weight_fp long) —
     broadcast onto the feature stream (models are MBs even at 2^20
     buckets). Buckets absent from ``weights`` contribute 0. Documents
-    with no features score exactly ``bias_fp``.
+    with no features score exactly ``bias_fp``. CONTRACT: ``weights``
+    must be unique per bucket — a duplicate bucket row would silently
+    multiply matching features through the join (train-side exports
+    are unique by construction; dedupe defensively if unsure).
 
     Integer end-to-end: logit_fp = bias_fp + Σ cnt·weight_fp — the
     distributed sum is order-independent, so thresholding decisions are

@@ -300,6 +300,7 @@ def write_jsonl_shards(
     shard_cols: tuple[str, ...] = ("shard_group", "shard_idx"),
     order_col: str | None = None,
     compression: str | None = "gzip",
+    count_rows: bool = False,
 ) -> int:
     """Training-data export sink: one JSONL file tree partitioned by the
     shard key — the layout LM data loaders consume
@@ -310,9 +311,12 @@ def write_jsonl_shards(
     ``order_col`` sorts rows within the partition so file content is
     deterministic — byte-stable exports rerun to the same artifact.
     Spark's json writer IS JSON-Lines (one object per line). Returns the
-    number of rows written.
+    number of rows written when ``count_rows=True`` (NOTE: that is a
+    second full computation of ``df`` — at production scale leave it
+    False, default, and the function returns -1; row accounting belongs
+    in the audit table, not a recount).
     """
-    n = df.count()
+    n = df.count() if count_rows else -1
     out = df.repartition(*[F.col(c) for c in shard_cols])
     if order_col is not None:
         out = out.sortWithinPartitions(*shard_cols, order_col)

@@ -172,8 +172,10 @@ class TestJsonlShardSink:
         shards = pack_shards(df, "doc_id", "n", target_tokens=1500, n_groups=4)
         full = shards.join(df.select("doc_id", "text"), "doc_id")
         out = str(tmp_path / "export")
-        n = write_jsonl_shards(full, out, order_col="doc_id")
+        n = write_jsonl_shards(full, out, order_col="doc_id", count_rows=True)
         assert n == 60
+        # default skips the second full computation and returns -1
+        assert write_jsonl_shards(full, str(tmp_path / "e2")) == -1
         back = spark.read.json(out)
         assert back.count() == 60
         assert {r.doc_id for r in back.collect()} == {r[0] for r in rows}
