@@ -1191,6 +1191,45 @@ def q_cosine_near_dedup_cc(spark, sf_dir):
     ).select("vec_id")
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (cluster-then-dedup): k-means cells -> within-cluster
+    exact cosine pairs -> connected components -> keep the member
+    FARTHEST from its centroid per group (ops/similarity.py semdedup).
+    Candidate cost is sum(cluster_size^2), not n^2 — the composition
+    used in practice for billion-doc semantic dedup."""
+    from ocr_search_spark.ops.similarity import (
+        ivf_centroids_from_sample,
+        semdedup,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids_from_sample(emb, k=8)
+    return semdedup(emb, cents, threshold=0.42).select("vec_id")
+
+
+def q_semdedup_cluster_sizes(spark, sf_dir):
+    """Duplicate-group size histogram over the SemDeDup components: how
+    many near-dup groups of each size exist (group_size, n_groups) —
+    the standard corpus-health diagnostic after a dedup pass."""
+    from ocr_search_spark.ops.dedup import connected_components_labels
+    from ocr_search_spark.ops.similarity import (
+        ivf_centroids_from_sample,
+        semdedup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids_from_sample(emb, k=8)
+    pairs = semdedup_pairs(emb, cents, threshold=0.42).select("a_id", "b_id")
+    labels = connected_components_labels(pairs)
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("group_size"))
+        .groupBy("group_size")
+        .agg(F.count("*").alias("n_groups"))
+        .orderBy("group_size")
+    )
+
+
 def q_revenue_by_nation(spark, sf_dir):
     """Classic relational path: fact⋈fact shuffle join + broadcast dims +
     grouped aggregate (TPC-H Q5 shape). Revenue is summed in integer
@@ -1780,6 +1819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup_lsh": q_cosine_neardup_lsh,
         "cosine_near_dedup": q_cosine_near_dedup,
         "cosine_near_dedup_cc": q_cosine_near_dedup_cc,
+        "semdedup": q_semdedup,
+        "semdedup_cluster_sizes": q_semdedup_cluster_sizes,
         "pii_redact": q_pii_redact,
         "topk_per_lang": q_topk_per_lang,
         "revenue_by_nation": q_revenue_by_nation,
@@ -3115,6 +3156,8 @@ def oracle_sql() -> dict[str, str]:
         "cosine_neardup_lsh": _cosine_neardup_lsh_oracle_sql(),
         "cosine_near_dedup": _cosine_near_dedup_oracle_sql(),
         "cosine_near_dedup_cc": _cosine_near_dedup_cc_oracle_sql(),
+        "semdedup": _semdedup_oracle_sql(),
+        "semdedup_cluster_sizes": _semdedup_cluster_sizes_oracle_sql(),
         "media_features": _media_features_oracle_sql(),
         "media_near_dedup": _media_near_dedup_oracle_sql(),
         "media_dedup": """
@@ -3914,6 +3957,83 @@ def _cosine_near_dedup_cc_oracle_sql(
         )
         SELECT vec_id FROM embeddings
         WHERE vec_id NOT IN (SELECT id FROM lbl WHERE label < id)
+    """
+
+
+def _semdedup_core_sql(k_cent: int = 8, threshold: float = 0.42) -> str:
+    """Shared CTE chain of the SemDeDup oracles: centroid sample (md5
+    order, as ivf_centroids_from_sample), nearest-cell assignment (ties →
+    larger cid, matching ivf_assign's struct-max), rounded
+    cosine-to-centroid, within-cluster pairs at >= threshold, transitive
+    closure labels. For use inside a WITH RECURSIVE."""
+    cosc = _dd_cos("c.v", "ct.cvec")
+    return f"""
+        cent AS (
+          SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cid,
+                 embedding AS cvec
+          FROM (SELECT vec_id, embedding FROM embeddings
+                ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k_cent})
+        ), corpus AS (
+          SELECT vec_id AS id, embedding AS v FROM embeddings
+        ), asg AS (
+          SELECT id, cid, round(cos, 6) AS ccos FROM (
+            SELECT c.id, ct.cid, {cosc} AS cos,
+                   row_number() OVER (PARTITION BY c.id
+                                      ORDER BY {cosc} DESC, ct.cid DESC) AS rn
+            FROM corpus c CROSS JOIN cent ct
+          ) WHERE rn = 1
+        ), pairs AS (
+          SELECT * FROM (
+            SELECT a.id AS a_id, b.id AS b_id,
+                   round({_dd_cos("av.v", "bv.v")}, 6) AS cos,
+                   a.ccos AS a_ccos, b.ccos AS b_ccos
+            FROM asg a JOIN asg b ON a.cid = b.cid AND a.id < b.id
+            JOIN corpus av ON av.id = a.id
+            JOIN corpus bv ON bv.id = b.id
+          ) WHERE cos >= {threshold}
+        ), edges AS (
+          SELECT a_id AS s, b_id AS d FROM pairs
+          UNION
+          SELECT b_id AS s, a_id AS d FROM pairs
+        ), reach AS (
+          SELECT s AS id, d AS r FROM edges
+          UNION
+          SELECT e.s AS id, rc.r AS r FROM edges e JOIN reach rc ON rc.id = e.d
+        ), lbl AS (
+          SELECT id, least(id, min(r)) AS label FROM reach GROUP BY id
+        )"""
+
+
+def _semdedup_oracle_sql(k_cent: int = 8, threshold: float = 0.42) -> str:
+    """SemDeDup survivors: per component keep the member with the LOWEST
+    rounded cosine-to-centroid (farthest from centroid, the paper's rule),
+    ties → min id; everything not in a component survives."""
+    return f"""
+        WITH RECURSIVE {_semdedup_core_sql(k_cent, threshold)}, mem AS (
+          SELECT l.id, l.label, a.ccos FROM lbl l JOIN asg a ON a.id = l.id
+        ), keep AS (
+          SELECT id FROM (
+            SELECT id, row_number() OVER (PARTITION BY label
+                                          ORDER BY ccos, id) AS rn
+            FROM mem
+          ) WHERE rn = 1
+        )
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (
+          SELECT id FROM mem WHERE id NOT IN (SELECT id FROM keep)
+        )
+    """
+
+
+def _semdedup_cluster_sizes_oracle_sql(
+    k_cent: int = 8, threshold: float = 0.42
+) -> str:
+    """Histogram of SemDeDup duplicate-group sizes."""
+    return f"""
+        WITH RECURSIVE {_semdedup_core_sql(k_cent, threshold)}
+        SELECT group_size, count(*)::BIGINT AS n_groups FROM (
+          SELECT label, count(*)::BIGINT AS group_size FROM lbl GROUP BY label
+        ) GROUP BY group_size ORDER BY group_size
     """
 
 

@@ -790,3 +790,119 @@ def ivf_pq_topk(
         index, queries, centroids, codebooks,
         k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — cluster-then-dedup semantic deduplication
+# ---------------------------------------------------------------------------
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs, the SemDeDup candidate rule
+    (Abbas et al. 2023, arXiv:2303.09540): assign every vector to its
+    nearest k-means centroid, then compute exact pairwise cosine ONLY
+    inside each cluster. Returns (a_id, b_id, cos, centroid_id,
+    a_ccos, b_ccos) with a_id < b_id and cos >= threshold, where
+    ``*_ccos`` is each member's (rounded) cosine to the shared centroid —
+    the paper's keeper criterion.
+
+    Scale shape: this is the whole point of SemDeDup versus all-pairs —
+    the self-join is equi on ``centroid_id``, so the pair count is
+    sum(c_i^2) over cluster sizes instead of n^2. With k grown
+    proportionally to n (k ≈ n/20k in the paper, 50k clusters for 1B
+    docs) the expected cluster size — and so the per-cluster quadratic
+    cost — stays CONSTANT as the corpus grows; the cluster equi-join
+    shuffles each vector once. No broadcast of the corpus, no cartesian
+    node (plan-asserted in tests).
+    """
+    asg = ivf_assign(df, centroids, id_col, vec_col).select(
+        F.col("id"),
+        "centroid_id",
+        F.col("cos").alias("ccos"),  # already rounded to 6 by ivf_assign
+    )
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
+        asg, "id"
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.centroid_id") == F.col("b.centroid_id"))
+        & (F.col("a.id") < F.col("b.id")),
+    )
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        _norm(F.col("a.v")) * _norm(F.col("b.v"))
+    )
+    return pairs.select(
+        F.col("a.id").alias("a_id"),
+        F.col("b.id").alias("b_id"),
+        F.round(cos, 6).alias("cos"),
+        F.col("a.centroid_id").alias("centroid_id"),
+        F.col("a.ccos").alias("a_ccos"),
+        F.col("b.ccos").alias("b_ccos"),
+    ).filter(F.col("cos") >= threshold)
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iters: int = 20,
+) -> DataFrame:
+    """SemDeDup semantic deduplication: k-means clusters → within-cluster
+    cosine pairs → connected components → keep, per duplicate group, the
+    member with the LOWEST cosine to its cluster centroid (the paper's
+    "keep the outlier" rule — the example farthest from the centroid
+    carries the most marginal information), ties broken by min id.
+    Returns the surviving rows of ``df``.
+
+    Differs from :func:`cosine_near_dedup_cc` in both candidate rule
+    (k-means cells instead of hyperplane LSH bands — candidates cannot
+    cross cluster boundaries, which is the recall/cost trade SemDeDup
+    makes) and keeper rule (centroid-distance argmin instead of min id).
+
+    Components are computed over within-cluster pairs; a component is
+    therefore always inside one cluster, so the keeper rule's
+    cosine-to-centroid comparison is against a single shared centroid.
+    Deterministic: centroid seeding is md5-ordered (ivf_centroids_from
+    _sample), assignment tie-breaks lexicographically, ccos is rounded to
+    6 decimals before the argmin so the DuckDB oracle reproduces the
+    selection bit-exactly.
+    """
+    from .dedup import connected_components_labels
+
+    pairs = semdedup_pairs(df, centroids, threshold, id_col, vec_col).persist()
+    labels = connected_components_labels(
+        pairs.select("a_id", "b_id"), max_iters=max_iters
+    )
+    # ccos per member, from either side of the pair table (members appear
+    # in >=1 pair by construction; any_value is safe — ccos is functionally
+    # determined by the id)
+    member_ccos = (
+        pairs.select(F.col("a_id").alias("id"), F.col("a_ccos").alias("ccos"))
+        .unionByName(
+            pairs.select(F.col("b_id").alias("id"), F.col("b_ccos").alias("ccos"))
+        )
+        .groupBy("id")
+        .agg(F.any_value("ccos").alias("ccos"))
+    )
+    keepers = (
+        labels.join(member_ccos, "id")
+        .groupBy("label")
+        .agg(F.min(F.struct(F.col("ccos"), F.col("id"))).alias("k"))
+        .select(F.col("k.id").alias("__keeper"))
+    )
+    members = labels.select("id")
+    losers = members.join(
+        keepers, members["id"] == keepers["__keeper"], "left_anti"
+    ).select(F.col("id").alias("__loser"))
+    out = df.join(losers, F.col(id_col) == F.col("__loser"), "left_anti")
+    pairs.unpersist()
+    return out

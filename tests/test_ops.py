@@ -2424,3 +2424,73 @@ class TestUrlCanon:
                                    "doc_id long, text string")
         plan = url_dedup(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
         assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+class TestSemDeDup:
+    """SemDeDup: cluster-then-dedup semantic deduplication
+    (ops/similarity.py semdedup)."""
+
+    # two well-separated centroids; vectors hand-placed so assignment
+    # and the keeper rule are unambiguous
+    CENTS = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rows = [
+            # cluster 0: v0/v1 near-identical (dup pair); v1 is slightly
+            # farther from the centroid -> v1 is the keeper
+            (0, [1.0, 0.01, 0.0, 0.0]),
+            (1, [1.0, 0.03, 0.0, 0.0]),
+            # cluster 0: unrelated direction, no pair
+            (2, [1.0, 0.0, 0.9, 0.0]),
+            # cluster 1: a 3-chain a~b~c (all pairwise close) -> 1 survivor
+            (3, [0.01, 1.0, 0.0, 0.0]),
+            (4, [0.02, 1.0, 0.0, 0.0]),
+            (5, [0.03, 1.0, 0.0, 0.0]),
+            # near-identical CROSS-cluster pair straddling the bisector:
+            # v6 -> cluster 0, v7 -> cluster 1; SemDeDup cannot see it
+            (6, [1.0, 0.98, 0.0, 0.0]),
+            (7, [0.98, 1.0, 0.0, 0.0]),
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_pairs_within_cluster_only(self, emb):
+        from ocr_search_spark.ops.similarity import semdedup_pairs
+
+        pairs = {
+            (r.a_id, r.b_id)
+            for r in semdedup_pairs(emb, self.CENTS, threshold=0.99).collect()
+        }
+        assert (0, 1) in pairs
+        assert (3, 4) in pairs and (4, 5) in pairs and (3, 5) in pairs
+        # cos(v6, v7) > 0.99 but they live in different clusters
+        assert (6, 7) not in pairs
+        assert not any(a == 2 or b == 2 for a, b in pairs)
+
+    def test_keeper_is_farthest_from_centroid(self, emb):
+        from ocr_search_spark.ops.similarity import semdedup
+
+        kept = {
+            r.vec_id
+            for r in semdedup(emb, self.CENTS, threshold=0.99).collect()
+        }
+        # v1 has lower cos-to-centroid than v0 -> v1 kept, v0 dropped
+        assert 1 in kept and 0 not in kept
+        # 3-chain keeps exactly one member: v5 is farthest from centroid 1
+        assert kept & {3, 4, 5} == {5}
+        # singletons and the cross-cluster pair survive untouched
+        assert {2, 6, 7} <= kept
+
+    def test_plan_no_cartesian(self, emb):
+        from ocr_search_spark.ops.similarity import semdedup_pairs
+
+        plan = (
+            semdedup_pairs(emb, self.CENTS, threshold=0.99)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
