@@ -1230,6 +1230,21 @@ def q_semdedup_cluster_sizes(spark, sf_dir):
     )
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance-resampling data selection (ops/dsir.py): hashed
+    unigram+bigram multinomials fit on the English slice (target) and
+    the full pool (raw); every doc scored by the integer-exact half-bit
+    log importance weight; deterministic top-50 selected. The weight
+    table is n_buckets rows and broadcast; one shuffle keyed by doc."""
+    from ocr_search_spark.ops.dsir import dsir_select
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_select(docs, target, n=50).select(
+        "doc_id", "n_grams", "w_hb", "rnk"
+    )
+
+
 def q_revenue_by_nation(spark, sf_dir):
     """Classic relational path: fact⋈fact shuffle join + broadcast dims +
     grouped aggregate (TPC-H Q5 shape). Revenue is summed in integer
@@ -1821,6 +1836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dedup_cc": q_cosine_near_dedup_cc,
         "semdedup": q_semdedup,
         "semdedup_cluster_sizes": q_semdedup_cluster_sizes,
+        "dsir_select": q_dsir_select,
         "pii_redact": q_pii_redact,
         "topk_per_lang": q_topk_per_lang,
         "revenue_by_nation": q_revenue_by_nation,
@@ -3158,6 +3174,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_near_dedup_cc": _cosine_near_dedup_cc_oracle_sql(),
         "semdedup": _semdedup_oracle_sql(),
         "semdedup_cluster_sizes": _semdedup_cluster_sizes_oracle_sql(),
+        "dsir_select": _dsir_select_oracle_sql(),
         "media_features": _media_features_oracle_sql(),
         "media_near_dedup": _media_near_dedup_oracle_sql(),
         "media_dedup": """
@@ -3957,6 +3974,71 @@ def _cosine_near_dedup_cc_oracle_sql(
         )
         SELECT vec_id FROM embeddings
         WHERE vec_id NOT IN (SELECT id FROM lbl WHERE label < id)
+    """
+
+
+def _dsir_select_oracle_sql(n_buckets: int = 1024, n: int = 50) -> str:
+    """Twin of ops.dsir.dsir_select with target = lang='en': hashed
+    unigram+bigram buckets (hash_bucket md5 convention), add-one-smoothed
+    per-bucket half-bit weights via length(bin(x*x))-1, shared totals
+    delta, integer score sum, deterministic top-n."""
+    hb = "length(bin((({x}) * ({x}))::BIGINT)) - 1"
+    lam = (
+        hb.format(x="coalesce(ct, 0) + 1")
+        + " - ("
+        + hb.format(x="coalesce(cr, 0) + 1")
+        + ")"
+    )
+    delta = (
+        hb.format(x=f"tr + {n_buckets}")
+        + " - ("
+        + hb.format(x=f"tt + {n_buckets}")
+        + ")"
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, lang, {_TOK} AS t FROM documents
+        ), g_raw AS (
+          SELECT doc_id, lang, unnest(
+            list_concat(t, list_transform(range(1, len(t)),
+                                          i -> t[i] || ' ' || t[i + 1]))
+          ) AS g
+          FROM toks
+        ), bucketed AS (
+          SELECT doc_id, lang,
+                 ('0x' || substring(md5('dsir:' || g), 1, 8))::BIGINT
+                   % {n_buckets} AS bucket
+          FROM g_raw
+        ), ctab AS (
+          SELECT bucket, count(*) AS ct FROM bucketed
+          WHERE lang = 'en' GROUP BY bucket
+        ), crab AS (
+          SELECT bucket, count(*) AS cr FROM bucketed GROUP BY bucket
+        ), lamtab AS (
+          SELECT coalesce(ctab.bucket, crab.bucket) AS bucket,
+                 {lam} AS lambda_hb
+          FROM ctab FULL OUTER JOIN crab ON ctab.bucket = crab.bucket
+        ), tot AS (
+          SELECT (SELECT count(*) FROM bucketed WHERE lang = 'en') AS tt,
+                 (SELECT count(*) FROM bucketed) AS tr
+        ), per_doc AS (
+          SELECT b.doc_id, count(*) AS n_grams,
+                 sum(l.lambda_hb) AS w_part
+          FROM bucketed b JOIN lamtab l ON l.bucket = b.bucket
+          GROUP BY b.doc_id
+        ), scored AS (
+          SELECT d.doc_id,
+                 coalesce(p.n_grams, 0) AS n_grams,
+                 (coalesce(p.w_part, 0)
+                   + coalesce(p.n_grams, 0) * ({delta}))::BIGINT AS w_hb
+          FROM documents d
+          LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+          CROSS JOIN tot
+        )
+        SELECT doc_id, n_grams, w_hb, rnk FROM (
+          SELECT *, row_number() OVER (ORDER BY w_hb DESC, doc_id) AS rnk
+          FROM scored
+        ) WHERE rnk <= {n}
     """
 
 

@@ -2494,3 +2494,88 @@ class TestSemDeDup:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestDSIR:
+    """DSIR importance resampling (ops/dsir.py)."""
+
+    @pytest.fixture(scope="class")
+    def pool(self, spark):
+        # two vocabulary families; target is drawn from family A
+        fam_a = ["contract invoice payment ledger audit tax fiscal quarter",
+                 "ledger audit invoice contract fiscal payment balance",
+                 "tax quarter fiscal audit ledger payment invoice"]
+        fam_b = ["goal match striker penalty referee league season club",
+                 "league season match penalty club striker keeper",
+                 "referee penalty goal season league match striker"]
+        rows = [(i, t) for i, t in enumerate(fam_a + fam_b)]
+        raw = spark.createDataFrame(rows, "doc_id long, text string")
+        target = spark.createDataFrame(
+            [(100, fam_a[0]), (101, fam_a[1])], "doc_id long, text string"
+        )
+        return raw, target
+
+    def test_selects_target_like_docs(self, pool):
+        from ocr_search_spark.ops.dsir import dsir_select
+
+        raw, target = pool
+        from ocr_search_spark.ops.dsir import dsir_weights
+
+        top = dsir_select(raw, target, n=3).collect()
+        assert [r.rnk for r in top] == [1, 2, 3]
+        assert {r.doc_id for r in top} == {0, 1, 2}  # the family-A docs
+        # family-A docs outweigh family-B docs strictly (relative order is
+        # the contract; absolute sign carries floor bias)
+        w = {r.doc_id: r.w_hb for r in dsir_weights(raw, target).collect()}
+        assert min(w[i] for i in (0, 1, 2)) > max(w[i] for i in (3, 4, 5))
+
+    def test_weights_match_python_model(self, pool):
+        import hashlib as _h
+        import math
+
+        from ocr_search_spark.ops.dsir import DSIR_BUCKETS, dsir_weights
+
+        raw, target = pool
+
+        def grams(text):
+            toks = [t for t in __import__("re").split(
+                r"[^a-zа-яё0-9_]+", text.lower()) if t]
+            return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+        def bucket(g):
+            return int(_h.md5(f"dsir:{g}".encode()).hexdigest()[:8], 16) % DSIR_BUCKETS
+
+        def hb(x):
+            return math.floor(2 * math.log2(x))
+
+        raw_rows = {r.doc_id: r.text for r in raw.collect()}
+        tgt_rows = [r.text for r in target.collect()]
+        ct, cr = {}, {}
+        for t in tgt_rows:
+            for g in grams(t):
+                ct[bucket(g)] = ct.get(bucket(g), 0) + 1
+        for t in raw_rows.values():
+            for g in grams(t):
+                cr[bucket(g)] = cr.get(bucket(g), 0) + 1
+        tt, tr = sum(ct.values()), sum(cr.values())
+        delta = hb(tr + DSIR_BUCKETS) - hb(tt + DSIR_BUCKETS)
+        expect = {}
+        for did, t in raw_rows.items():
+            gs = grams(t)
+            w = sum(hb(ct.get(bucket(g), 0) + 1) - hb(cr.get(bucket(g), 0) + 1)
+                    for g in gs) + len(gs) * delta
+            expect[did] = (len(gs), w)
+        got = {r.doc_id: (r.n_grams, r.w_hb)
+               for r in dsir_weights(raw, target).collect()}
+        assert got == expect
+
+    def test_plan_broadcast_weights_no_udf(self, pool):
+        from ocr_search_spark.ops.dsir import dsir_weights
+
+        raw, target = pool
+        plan = (
+            dsir_weights(raw, target)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
