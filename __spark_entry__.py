@@ -628,6 +628,19 @@ def q_pack_shards(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Fixed-length training-sequence packing: concat docs in id order
+    within 16 hash groups and split the token stream at exact 512-token
+    boundaries — one row per (doc, sequence) piece with its doc-local
+    token sub-range (ops/sampling.py pack_sequences)."""
+    from ocr_search_spark.ops.sampling import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), "doc_id", "n_chars",
+        seq_len=512, n_groups=16,
+    )
+
+
 def q_mojibake(spark, sf_dir):
     """Encoding-damage signals over planted double-encoding artifacts
     (ops/scrub.py mojibake_signals — ftfy-style heuristic, codegen'd
@@ -1776,6 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- semantics changed in round 5 — must re-certify ---
         "range_join": q_range_join,
         "pack_shards": q_pack_shards,
+        "pack_sequences": q_pack_sequences,
         "ivf_pq_topk": q_ivf_pq_topk,
         # --- corpus-derived goldens regenerated (rtf/xls/email mix) ---
         "extract_spans": q_extract_spans,
@@ -2773,6 +2787,32 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                      ) - n_chars) / 2000)::BIGINT AS shard_idx
             FROM documents
+        """,
+        "pack_sequences": """
+            WITH s AS (
+              SELECT doc_id, n_chars::BIGINT AS tokens,
+                     ('0x' || substring(md5('pack' || doc_id), 1, 8))::BIGINT
+                       % 16 AS shard_group,
+                     sum(n_chars::BIGINT) OVER (
+                       PARTITION BY ('0x' || substring(md5('pack' || doc_id), 1, 8))::BIGINT % 16
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     )::BIGINT AS cum
+              FROM documents
+            ), nz AS (
+              SELECT doc_id, tokens, shard_group, cum,
+                     cum - tokens AS strt
+              FROM s WHERE tokens > 0
+            ), pieces AS (
+              SELECT doc_id, tokens, shard_group, strt,
+                     unnest(generate_series(floor(strt / 512)::BIGINT,
+                                            floor((cum - 1) / 512)::BIGINT)) AS seq_idx
+              FROM nz
+            )
+            SELECT doc_id, tokens, shard_group, seq_idx,
+                   greatest(0, seq_idx * 512 - strt)::BIGINT AS begin_tok,
+                   least(tokens, (seq_idx + 1) * 512 - strt)::BIGINT AS end_tok
+            FROM pieces
         """,
         "mojibake": f"""
             WITH planted AS (

@@ -406,3 +406,94 @@ def pack_shards(
             ).alias("shard_idx"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    seq_len: int,
+    n_groups: int = 1024,
+    salt: str = "pack",
+) -> DataFrame:
+    """Pack documents into EXACT fixed-length training sequences of
+    ``seq_len`` tokens, splitting documents across sequence boundaries —
+    the concat-and-chunk step that turns a token-counted corpus into the
+    (sequence, position) layout an LM pretraining loader consumes.
+    ``pack_shards`` above bins whole documents into ~shard-sized buckets;
+    this operator additionally splits the stream at exact ``seq_len``
+    boundaries, so every sequence except a group's last is exactly full.
+
+    Within each of ``n_groups`` deterministic hash groups, documents are
+    concatenated in id order; document i occupies the half-open token
+    interval [cum_i - n_i, cum_i) of the group's stream, and sequence k
+    covers [k*seq_len, (k+1)*seq_len). A document therefore lands in
+    sequences ``floor(start/seq_len) .. floor((cum-1)/seq_len)`` — one
+    output row per (document, sequence) piece with the document-local
+    token sub-range [begin_tok, end_tok) it contributes.
+
+    Output: (id, tokens, shard_group, seq_idx, begin_tok, end_tok).
+    Zero-token documents contribute no piece (empty interval) and are
+    dropped — count them upstream if they matter; null token counts
+    raise (the pack_shards contract).
+
+    Scale shape: ONE shuffle (the group window), per-row generate with
+    bounded fan-out ``ceil(n/seq_len) + 1``, integer-exact arithmetic
+    throughout. Group-local packing is what makes this distributed: the
+    global-concatenation order a single-stream packer needs is
+    inherently sequential, while per-group streams pack independently
+    and reassemble deterministically — same trade as pack_shards, and at
+    1000 executors you raise ``n_groups``, not the per-group state.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    from pyspark.sql import Window
+
+    grp = hash_bucket(id_col, salt, buckets=n_groups)
+    tokens = F.col(token_count_col).cast("long")
+    tokens = F.when(
+        tokens.isNull(),
+        F.raise_error(
+            F.lit(
+                f"pack_sequences: null {token_count_col} — token counts "
+                "must be non-null (coalesce upstream if 0 is intended)"
+            )
+        ).cast("long"),
+    ).otherwise(tokens)
+    w = (
+        Window.partitionBy("shard_group")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    L = int(seq_len)
+    staged = (
+        df.select(
+            F.col(id_col),
+            tokens.alias("tokens"),
+            grp.alias("shard_group"),
+        )
+        .withColumn("__cum", F.sum("tokens").over(w))
+        .withColumn("__start", F.col("__cum") - F.col("tokens"))
+        .filter(F.col("tokens") > 0)
+        .withColumn(
+            "seq_idx",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__start") / L),
+                    F.floor((F.col("__cum") - 1) / L),
+                )
+            ),
+        )
+    )
+    return staged.select(
+        id_col,
+        "tokens",
+        "shard_group",
+        "seq_idx",
+        F.greatest(F.lit(0), F.col("seq_idx") * L - F.col("__start")).alias(
+            "begin_tok"
+        ),
+        F.least(
+            F.col("tokens"), (F.col("seq_idx") + 1) * L - F.col("__start")
+        ).alias("end_tok"),
+    )

@@ -2579,3 +2579,69 @@ class TestDSIR:
         )
         assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestPackSequences:
+    """Fixed-length sequence packing (ops/sampling.py pack_sequences)."""
+
+    def test_pieces_tile_documents_and_fill_sequences(self, spark):
+        from ocr_search_spark.ops.sampling import pack_sequences
+
+        rows = [(i, 1 + (i * 37) % 700) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+        out = pack_sequences(
+            df, "doc_id", "n_tok", seq_len=256, n_groups=4
+        ).collect()
+        by_doc: dict[int, list] = {}
+        by_seq: dict[tuple, int] = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+            key = (r.shard_group, r.seq_idx)
+            by_seq[key] = by_seq.get(key, 0) + (r.end_tok - r.begin_tok)
+        # every document's pieces tile [0, n_tok) without gap or overlap
+        toks = dict(rows)
+        for did, pieces in by_doc.items():
+            pieces.sort(key=lambda r: r.seq_idx)
+            assert pieces[0].begin_tok == 0
+            assert pieces[-1].end_tok == toks[did]
+            for a, b in zip(pieces, pieces[1:]):
+                assert a.end_tok == b.begin_tok
+                assert b.seq_idx == a.seq_idx + 1  # contiguous sequences
+        assert set(by_doc) == {i for i, n in rows if n > 0}
+        # every sequence except each group's last holds exactly seq_len
+        last_seq = {}
+        for g, s in by_seq:
+            last_seq[g] = max(last_seq.get(g, -1), s)
+        for (g, s), filled in by_seq.items():
+            if s < last_seq[g]:
+                assert filled == 256, (g, s, filled)
+            else:
+                assert 0 < filled <= 256
+
+    def test_zero_token_docs_drop_null_raises(self, spark):
+        from ocr_search_spark.ops.sampling import pack_sequences
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, 0), (3, 5)], "doc_id long, n_tok long"
+        )
+        got = {r.doc_id for r in
+               pack_sequences(df, "doc_id", "n_tok", seq_len=8, n_groups=1).collect()}
+        assert got == {1, 3}
+        bad = spark.createDataFrame(
+            [(1, 10), (2, None)], "doc_id long, n_tok long"
+        )
+        with pytest.raises(Exception, match="null"):
+            pack_sequences(bad, "doc_id", "n_tok", seq_len=8, n_groups=1).collect()
+
+    def test_oversized_doc_spans_sequences(self, spark):
+        from ocr_search_spark.ops.sampling import pack_sequences
+
+        df = spark.createDataFrame([(7, 1000)], "doc_id long, n_tok long")
+        out = sorted(
+            pack_sequences(df, "doc_id", "n_tok", seq_len=256, n_groups=1).collect(),
+            key=lambda r: r.seq_idx,
+        )
+        assert len(out) == 4
+        assert [(r.begin_tok, r.end_tok) for r in out] == [
+            (0, 256), (256, 512), (512, 768), (768, 1000)
+        ]
