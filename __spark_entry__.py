@@ -1751,12 +1751,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     semantics changed this round (`range_join` sub-second precision,
     `pack_shards` null guard, `ivf_pq_topk` index/search split), the
     corpus-derived goldens regenerated for the rtf/xls/email mix
-    (`extract_spans`, `extract_kind_stats`, `html_main_content`), and the
-    three NEW round-5 entries: `meta_tags` (S10 media EXIF/IPTC fixture
-    contract), `dedup_stream_twin` and `range_join_stream_twin` (batch
-    twins certifying the streaming operators' semantics).  The remaining
-    16 window slots keep r4-certified entries that touch this round's
-    changed files (relational/sampling/similarity compositions).
+    (`extract_spans`, `extract_kind_stats`, `html_main_content`), and
+    ALL 20 round-5 queries that have never held a driver row — from
+    `meta_tags`/the stream twins through the late additions
+    (`semdedup`, `dsir_select`, `pack_sequences`).  That fills the
+    window exactly: 25 stale + 5 changed + 20 new = 50.  The displaced
+    r4-green block (fts/dedup/sessionize etc.), `pack_shards` (null
+    guard can't change values on null-free tables) and
+    `semdedup_cluster_sizes` (local-oracle green) queue for r6.
     """
     return {
         # --- returning after rotating out of the r4 window (all r1–r3
@@ -1788,20 +1790,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_revenue": q_running_revenue,
         # --- semantics changed in round 5 — must re-certify ---
         "range_join": q_range_join,
-        "pack_shards": q_pack_shards,
-        "pack_sequences": q_pack_sequences,
         "ivf_pq_topk": q_ivf_pq_topk,
         # --- corpus-derived goldens regenerated (rtf/xls/email mix) ---
         "extract_spans": q_extract_spans,
         "extract_kind_stats": q_extract_kind_stats,
         "html_main_content": q_html_main_content,
-        # --- NEW in round 5 ---
+        # --- NEW in round 5 (never driver-certified) — every remaining
+        # window slot goes to these ---
         "meta_tags": q_meta_tags,
         "dedup_stream_twin": q_dedup_stream_twin,
         "range_join_stream_twin": q_range_join_stream_twin,
         "lm_bits": q_lm_bits,
         "ccnet_buckets": q_ccnet_buckets,
-        # --- r4-certified fillers touching this round's changed files ---
+        "url_dedup": q_url_dedup,
+        "reg_domain_counts": q_reg_domain_counts,
+        "temperature_rebalance": q_temperature_rebalance,
+        "incremental_dedup": q_incremental_dedup,
+        "chunk_documents": q_chunk_documents,
+        "classifier_scores": q_classifier_scores,
+        "unimax_rebalance": q_unimax_rebalance,
+        "adaptive_quality": q_adaptive_quality,
+        "para_dedup": q_para_dedup,
+        "domain_pagerank": q_domain_pagerank,
+        "warc_roundtrip": q_warc_roundtrip,
+        "corpus_diff": q_corpus_diff,
+        "pack_sequences": q_pack_sequences,
+        "semdedup": q_semdedup,
+        "dsir_select": q_dsir_select,
+        # --- entries below rotate outside the driver's 50-entry window:
+        # every one is hash-exact in a prior driver window or certified by
+        # scripts/check_oracles.py this round (pack_shards' r5 null-guard
+        # cannot change values on the null-free tables, so its r4 row
+        # stands; semdedup_cluster_sizes shares semdedup's machinery and
+        # is local-oracle green — both queue for the r6 window, with the
+        # displaced r4-green fts/dedup block) ---
+        "pack_shards": q_pack_shards,
+        "semdedup_cluster_sizes": q_semdedup_cluster_sizes,
         "fts_count": q_fts_count,
         "fts_search_topk": q_fts_search_topk,
         "dedup_exact": q_dedup_exact,
@@ -1810,27 +1834,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_cc": q_near_dedup_cc,
         "substring_dedup": q_substring_dedup,
         "sessionize": q_sessionize,
-        # --- the six late-r5 operators take the window's last slots so
-        # the driver certifies them the round they land ---
-        "url_dedup": q_url_dedup,
-        "reg_domain_counts": q_reg_domain_counts,
-        "temperature_rebalance": q_temperature_rebalance,
-        "incremental_dedup": q_incremental_dedup,
-        "chunk_documents": q_chunk_documents,
-        "classifier_scores": q_classifier_scores,
-        # --- entries below rotate outside the driver's 50-entry window ---
-        "unimax_rebalance": q_unimax_rebalance,
-        "adaptive_quality": q_adaptive_quality,
-        # (every one hash-exact in a prior driver window or re-certified
-        # by scripts/check_oracles.py this round; the eight displaced
-        # r4-green entries rotate back in r6)
         "ann_cosine_topk": q_ann_cosine_topk,
         "asof_join": q_asof_join,
         "line_dedup": q_line_dedup,
-        "para_dedup": q_para_dedup,
-        "domain_pagerank": q_domain_pagerank,
-        "warc_roundtrip": q_warc_roundtrip,
-        "corpus_diff": q_corpus_diff,
         "compression_signals": q_compression_signals,
         "mixing_corpus": q_mixing_corpus,
         "training_corpus": q_training_corpus,
@@ -1848,9 +1854,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup_lsh": q_cosine_neardup_lsh,
         "cosine_near_dedup": q_cosine_near_dedup,
         "cosine_near_dedup_cc": q_cosine_near_dedup_cc,
-        "semdedup": q_semdedup,
-        "semdedup_cluster_sizes": q_semdedup_cluster_sizes,
-        "dsir_select": q_dsir_select,
         "pii_redact": q_pii_redact,
         "topk_per_lang": q_topk_per_lang,
         "revenue_by_nation": q_revenue_by_nation,

@@ -168,6 +168,9 @@ def main() -> None:
         "corpus_diff",
         "unimax_rebalance",
         "adaptive_quality",
+        "semdedup",
+        "dsir_select",
+        "pack_sequences",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then
