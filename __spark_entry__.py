@@ -1559,6 +1559,22 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_search(emb, emb.filter(F.col("vec_id") < 5), cents, k=10, n_probe=4)
 
 
+def q_ann_recall(spark, sf_dir):
+    """Recall@10 of IVF probe search vs exact brute force per query — the
+    index-quality audit run on a query sample before trusting an ANN
+    configuration (ops/similarity.py ann_recall)."""
+    from ocr_search_spark.ops.similarity import (
+        ann_recall,
+        ivf_centroids_from_sample,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids_from_sample(emb, k=16)
+    return ann_recall(
+        emb, emb.filter(F.col("vec_id") < 5), cents, k=10, n_probe=4
+    )
+
+
 def q_pq_adc_topk(spark, sf_dir):
     """Product-quantization ANN (the billion-vector compression path):
     md5-deterministic codebooks → per-subvector nearest-codeword encode
@@ -1865,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_topk_join": q_ann_ivf_topk_join,
+        "ann_recall": q_ann_recall,
         "media_features": q_media_features,
         "media_dedup": q_media_dedup,
         "media_near_dedup": q_media_near_dedup,
@@ -3212,6 +3229,7 @@ def oracle_sql() -> dict[str, str]:
         # the join strategy is bit-identical to the literal strategy by
         # construction — same oracle
         "ann_ivf_topk_join": _ann_ivf_oracle_sql(),
+        "ann_recall": _ann_recall_oracle_sql(),
         "cosine_neardup_lsh": _cosine_neardup_lsh_oracle_sql(),
         "cosine_near_dedup": _cosine_near_dedup_oracle_sql(),
         "cosine_near_dedup_cc": _cosine_near_dedup_cc_oracle_sql(),
@@ -3945,6 +3963,48 @@ def _ann_ivf_oracle_sql(k_cent: int = 16, n_probe: int = 4, k: int = 10) -> str:
                                        ORDER BY cos DESC, neighbor_id) AS rnk
           FROM scored
         ) WHERE rnk <= {k}
+    """
+
+
+def _ann_recall_oracle_sql(
+    k_cent: int = 16, n_probe: int = 4, k: int = 10
+) -> str:
+    """Recall@k twin: the IVF probe-search oracle and the brute-force
+    top-k oracle as nested-WITH subqueries, intersected per query."""
+    exact = f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+          WHERE vec_id < 5
+        ), scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 round({_dd_cos("e.embedding", "q.qvec")}, 6) AS cos
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM scored
+        ) WHERE rnk <= {k}
+    """
+    return f"""
+        WITH ivf AS (
+          SELECT query_id, neighbor_id
+          FROM ({_ann_ivf_oracle_sql(k_cent, n_probe, k)})
+        ), exact AS (
+          SELECT * FROM ({exact})
+        ), hits AS (
+          SELECT i.query_id, count(*)::BIGINT AS n_hits
+          FROM ivf i JOIN exact e
+            ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+          GROUP BY i.query_id
+        )
+        SELECT q.vec_id AS query_id,
+               coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+               floor(coalesce(h.n_hits, 0) * 1000000 / {k})::BIGINT AS recall_ppm
+        FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
+        LEFT JOIN hits h ON h.query_id = q.vec_id
     """
 
 

@@ -906,3 +906,45 @@ def semdedup(
     out = df.join(losers, F.col(id_col) == F.col("__loser"), "left_anti")
     pairs.unpersist()
     return out
+
+
+def ann_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of IVF probe search measured against exact brute force —
+    the standing quality diagnostic every ANN deployment needs before
+    trusting an index configuration (n_probe / cell-count trade). Returns
+    one row per query: (query_id, n_hits, recall_ppm) where ``n_hits`` is
+    |IVF top-k ∩ exact top-k| and ``recall_ppm`` the integer
+    parts-per-million recall (floored — engine-exact, no float division
+    in the output).
+
+    Cost: the exact arm is the brute-force validation twin (broadcast
+    queries × corpus — fine for a query SAMPLE, which is how recall is
+    audited in production: measure on hundreds of queries, serve millions
+    with the index). The approximate arm is the production ivf_search.
+    """
+    approx = ivf_search(
+        corpus, queries, centroids, k=k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    exact = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    hits = (
+        approx.join(exact.select("query_id", "neighbor_id"),
+                    ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qids = queries.select(F.col(id_col).alias("query_id"))
+    n = F.coalesce("n_hits", F.lit(0))
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        n.alias("n_hits"),
+        F.floor(n * 1_000_000 / F.lit(int(k))).cast("long").alias("recall_ppm"),
+    )

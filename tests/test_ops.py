@@ -2645,3 +2645,28 @@ class TestPackSequences:
         assert [(r.begin_tok, r.end_tok) for r in out] == [
             (0, 256), (256, 512), (512, 768), (768, 1000)
         ]
+
+
+class TestAnnRecall:
+    """ANN recall diagnostic (ops/similarity.py ann_recall)."""
+
+    def test_full_probe_count_gives_perfect_recall(self, spark):
+        from ocr_search_spark.ops.similarity import (
+            ann_recall,
+            ivf_centroids_from_sample,
+        )
+
+        rng = np.random.RandomState(11)
+        rows = [(i, [float(x) for x in rng.rand(8)]) for i in range(40)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = ivf_centroids_from_sample(emb, k=4)
+        q = emb.filter(F.col("vec_id") < 3)
+        # probing ALL cells makes IVF exhaustive -> recall must be 1.0
+        full = ann_recall(emb, q, cents, k=5, n_probe=4).collect()
+        assert len(full) == 3
+        assert all(r.n_hits == 5 and r.recall_ppm == 1_000_000 for r in full)
+        # fewer probes can only lose candidates: recall monotone <= 1
+        part = ann_recall(emb, q, cents, k=5, n_probe=1).collect()
+        assert all(0 <= r.recall_ppm <= 1_000_000 for r in part)
+        by_q = {r.query_id: r.n_hits for r in part}
+        assert all(by_q[r.query_id] <= r.n_hits for r in full)
