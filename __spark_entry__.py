@@ -1421,6 +1421,34 @@ def q_training_corpus_cc(spark, sf_dir):
     )
 
 
+def q_selected_corpus(spark, sf_dir):
+    """The DCLM/FineWeb-shaped SELECTION pipeline end to end: quality
+    gate ∧ Gopher repetition gate → connected-components near-dedup →
+    DSIR importance resampling against the English target slice →
+    deterministic top-100 — filtering, dedup and model-based selection
+    composed as one oracled query. The DSIR model is fit on the GATED,
+    DEDUPED pool (selection operates on what survived hygiene, the
+    order real recipes use)."""
+    from ocr_search_spark.ops.dedup import near_dedup_cc
+    from ocr_search_spark.ops.dsir import dsir_select
+    from ocr_search_spark.ops.text_analysis import repetition_filter
+
+    gated = _quality_gated(spark, sf_dir).join(
+        repetition_filter(_docs(spark, sf_dir)).withColumnRenamed("id", "doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    pool = near_dedup_cc(
+        gated, "doc_id", "text", threshold=0.3, n_hashes=8, band_size=2
+    )
+    # the gate projects (doc_id, text); recover lang for the target slice
+    en_ids = _docs(spark, sf_dir).filter(F.col("lang") == "en").select("doc_id")
+    target = pool.join(en_ids, "doc_id", "left_semi")
+    return dsir_select(pool, target, n=100).select(
+        "doc_id", "n_grams", "w_hb", "rnk"
+    )
+
+
 def q_bm25(spark, sf_dir):
     """Okapi BM25 over the query terms — one-pass HOF term counts + scalar
     corpus-stats broadcast (no explode, no wide shuffle)."""
@@ -1857,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixing_corpus": q_mixing_corpus,
         "training_corpus": q_training_corpus,
         "training_corpus_cc": q_training_corpus_cc,
+        "selected_corpus": q_selected_corpus,
         "pq_adc_topk": q_pq_adc_topk,
         "decontaminate": q_decontaminate,
         "token_quality": q_token_quality,
@@ -2381,6 +2410,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "near_dedup_cc": _near_dedup_cc_oracle_sql(),
         "training_corpus_cc": _training_corpus_cc_oracle_sql(),
+        "selected_corpus": _selected_corpus_oracle_sql(),
         "winnow_partial_dups": _winnow_pairs_oracle_sql(),
         "substring_dedup": _substring_dedup_oracle_sql(),
         "repetition_signals": _repetition_signals_oracle_sql(),
@@ -4080,11 +4110,13 @@ def _cosine_near_dedup_cc_oracle_sql(
     """
 
 
-def _dsir_select_oracle_sql(n_buckets: int = 1024, n: int = 50) -> str:
-    """Twin of ops.dsir.dsir_select with target = lang='en': hashed
-    unigram+bigram buckets (hash_bucket md5 convention), add-one-smoothed
-    per-bucket half-bit weights via length(bin(x*x))-1, shared totals
-    delta, integer score sum, deterministic top-n."""
+def _dsir_tail_sql(n_buckets: int = 1024, n: int = 50) -> str:
+    """The DSIR oracle CTE tail: expects a CTE ``pool(doc_id, lang,
+    text)`` in scope (the raw selection pool; target = its lang='en'
+    slice). Hashed unigram+bigram buckets (hash_bucket md5 convention),
+    add-one-smoothed per-bucket half-bit weights via length(bin(x*x))-1,
+    shared totals delta, integer score sum, deterministic top-n.
+    Returns the chain STARTING with a CTE body (no WITH keyword)."""
     hb = "length(bin((({x}) * ({x}))::BIGINT)) - 1"
     lam = (
         hb.format(x="coalesce(ct, 0) + 1")
@@ -4098,9 +4130,8 @@ def _dsir_select_oracle_sql(n_buckets: int = 1024, n: int = 50) -> str:
         + hb.format(x=f"tt + {n_buckets}")
         + ")"
     )
-    return f"""
-        WITH toks AS (
-          SELECT doc_id, lang, {_TOK} AS t FROM documents
+    return f"""toks AS (
+          SELECT doc_id, lang, {_TOK} AS t FROM pool
         ), g_raw AS (
           SELECT doc_id, lang, unnest(
             list_concat(t, list_transform(range(1, len(t)),
@@ -4134,7 +4165,7 @@ def _dsir_select_oracle_sql(n_buckets: int = 1024, n: int = 50) -> str:
                  coalesce(p.n_grams, 0) AS n_grams,
                  (coalesce(p.w_part, 0)
                    + coalesce(p.n_grams, 0) * ({delta}))::BIGINT AS w_hb
-          FROM documents d
+          FROM pool d
           LEFT JOIN per_doc p ON p.doc_id = d.doc_id
           CROSS JOIN tot
         )
@@ -4142,6 +4173,30 @@ def _dsir_select_oracle_sql(n_buckets: int = 1024, n: int = 50) -> str:
           SELECT *, row_number() OVER (ORDER BY w_hb DESC, doc_id) AS rnk
           FROM scored
         ) WHERE rnk <= {n}
+    """
+
+
+def _dsir_select_oracle_sql(n_buckets: int = 1024, n: int = 50) -> str:
+    """Twin of ops.dsir.dsir_select over the full documents table with
+    target = lang='en'."""
+    return f"""
+        WITH pool AS (
+          SELECT doc_id, lang, text FROM documents
+        ), {_dsir_tail_sql(n_buckets, n)}
+    """
+
+
+def _selected_corpus_oracle_sql(n_buckets: int = 1024, n: int = 100) -> str:
+    """The composed selection-pipeline twin: the training_corpus_cc
+    oracle (quality ∧ Gopher gates → LSH+verify → recursive-CTE closure →
+    cluster survivors) defines the pool; the DSIR tail selects its
+    top-n against the pool's English slice."""
+    tcc = _training_corpus_cc_oracle_sql()
+    return f"""
+        WITH pool AS (
+          SELECT d.doc_id, d.lang, d.text FROM documents d
+          WHERE d.doc_id IN (SELECT doc_id FROM ({tcc}))
+        ), {_dsir_tail_sql(n_buckets, n)}
     """
 
 
