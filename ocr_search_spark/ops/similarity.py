@@ -819,15 +819,31 @@ def semdedup_pairs(
     docs) the expected cluster size — and so the per-cluster quadratic
     cost — stays CONSTANT as the corpus grows; the cluster equi-join
     shuffles each vector once. No broadcast of the corpus, no cartesian
-    node (plan-asserted in tests).
+    node (plan-asserted in tests). Vectors are L2-NORMALIZED once per
+    row before the self-join, so the per-pair verify is a bare dot fold
+    — 3× less per-pair arithmetic than dot/(|a|·|b|), and the pair side
+    of the shuffle carries unit vectors it would carry anyway.
     """
     asg = ivf_assign(df, centroids, id_col, vec_col).select(
         F.col("id"),
         "centroid_id",
         F.col("cos").alias("ccos"),  # already rounded to 6 by ivf_assign
     )
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
-        asg, "id"
+    v = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("__n", _norm(F.col("v")))
+        .select(
+            "id",
+            F.transform("v", lambda e: e.cast("double") / F.col("__n")).alias(
+                "vn"
+            ),
+        )
+        .join(asg, "id")
+        # materialize ONCE before the self-join: both join sides would
+        # otherwise re-run (and re-codegen) the assignment+normalization
+        # subtree — with literal centroid expressions that is the
+        # dominant compile cost of the whole operator
+        .localCheckpoint()
     )
     a, b = v.alias("a"), v.alias("b")
     pairs = a.join(
@@ -835,9 +851,7 @@ def semdedup_pairs(
         (F.col("a.centroid_id") == F.col("b.centroid_id"))
         & (F.col("a.id") < F.col("b.id")),
     )
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (
-        _norm(F.col("a.v")) * _norm(F.col("b.v"))
-    )
+    cos = _dot(F.col("a.vn"), F.col("b.vn"))
     return pairs.select(
         F.col("a.id").alias("a_id"),
         F.col("b.id").alias("b_id"),
