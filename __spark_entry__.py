@@ -1116,6 +1116,29 @@ def q_repetition_signals(spark, sf_dir):
     return repetition_signals(_docs(spark, sf_dir)).withColumnRenamed("id", "doc_id")
 
 
+def q_para_lang_profile(spark, sf_dir):
+    """Per-document language mixture over blank-line paragraphs
+    (ops/text_analysis.py paragraph_lang_profile — the CCNet/mC4-style
+    per-paragraph LID segmentation signal). Every third doc gets a
+    planted Russian boilerplate paragraph, so majority/minority shares
+    are exercised; the planted para trips the Cyrillic-ratio rule."""
+    from ocr_search_spark.ops.text_analysis import paragraph_lang_profile
+
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\n\nскидка сегодня на все товары и услуги"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return paragraph_lang_profile(planted, "doc_id", "text")
+
+
 def q_lang_id(spark, sf_dir):
     """Heuristic language id over stopword votes (en vs other)."""
     from ocr_search_spark.search.analysis import with_search_columns
@@ -1900,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "gopher_filter": q_gopher_filter,
         "lang_id": q_lang_id,
+        "para_lang_profile": q_para_lang_profile,
         "quality_filter": q_quality_filter,
         "cosine_neardup_lsh": q_cosine_neardup_lsh,
         "cosine_near_dedup": q_cosine_near_dedup,
@@ -2433,6 +2457,51 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN len(list_intersect(list_distinct({_TOK}), ['the','a','of'])) > 0
                         THEN 'en' ELSE 'und' END AS lang_pred
             FROM documents
+        """,
+        "para_lang_profile": f"""
+            WITH planted AS (
+              SELECT doc_id, CASE WHEN doc_id % 3 = 0
+                THEN text || chr(10) || chr(10)
+                     || 'скидка сегодня на все товары и услуги'
+                ELSE text END AS text
+              FROM documents
+            ), ex AS (
+              SELECT doc_id, u.para FROM planted, LATERAL (
+                SELECT unnest(string_split(text, chr(10) || chr(10))) AS para
+              ) u
+            ), tagged AS (
+              -- corpus-valid simplification of lang_id_expr (same
+              -- argument as the lang_id oracle): only en stopwords occur
+              -- in the base vocabulary, and the planted paragraph is
+              -- caught by the Cyrillic-ratio rule before any vote
+              SELECT doc_id,
+                     CASE WHEN length(regexp_replace(para, '[^а-яёА-ЯЁ]', '', 'g')) * 2
+                               > length(para) THEN 'ru'
+                          WHEN len(list_intersect(
+                                 list_distinct(list_filter(
+                                   regexp_split_to_array(lower(para), '[^a-zа-яё0-9_]+'),
+                                   x -> x <> '')),
+                                 ['the','a','of','and','to','in','is'])) > 0
+                               THEN 'en'
+                          ELSE 'und' END AS plang
+              FROM ex WHERE length(para) > 0
+            ), counts AS (
+              SELECT doc_id, plang, count(*)::BIGINT AS c
+              FROM tagged GROUP BY doc_id, plang
+            ), maj AS (
+              SELECT doc_id, plang AS majority_lang, c AS majority_paras
+              FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY c DESC, plang) AS rn
+                FROM counts
+              ) WHERE rn = 1
+            ), tot AS (
+              SELECT doc_id, sum(c)::BIGINT AS n_paras FROM counts GROUP BY doc_id
+            )
+            SELECT t.doc_id AS id, t.n_paras, m.majority_lang, m.majority_paras,
+                   floor((t.n_paras - m.majority_paras) * 1000000
+                         / t.n_paras)::BIGINT AS minority_ppm
+            FROM tot t JOIN maj m ON m.doc_id = t.doc_id
         """,
         "meta_tags": """
             WITH refs AS (

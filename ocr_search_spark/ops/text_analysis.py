@@ -615,3 +615,69 @@ def grouped_percentiles(
         for i, p in enumerate(probs)
     ]
     return out.select(*cols)
+
+
+def paragraph_lang_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document language mixture over blank-line paragraphs — the
+    mixed-language-document signal (a page that is 70% English and 30%
+    boilerplate in another language is a standard filter/segment target
+    in multilingual corpus prep; fastText-style per-paragraph LID is how
+    CCNet and mC4 segment pages).
+
+    Splits on the literal ``\\n\\n`` paragraph convention of
+    ``ops.lines.remove_duplicate_paragraphs``, tags each non-empty
+    paragraph with :func:`lang_id_expr`, and reports per document:
+    (id, n_paras, majority_lang, majority_paras, minority_ppm) where
+    ``minority_ppm`` is the floored parts-per-million of paragraphs NOT
+    in the majority language. Majority ties break on language code
+    (ascending), so the result is deterministic.
+
+    Scale shape: explode → map-side lang tag (codegen'd regexp +
+    array_intersect votes, no UDF) → two keyed aggregations on id — one
+    shuffle carrying (id, lang) pairs, partial-agg-combined. Documents
+    whose every paragraph is empty (or empty text) produce no row, like
+    the upstream paragraph ops.
+    """
+    import re as _re
+
+    from pyspark.sql import Window
+
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape("\n\n"), -1)
+        ).alias("para"),
+    ).filter(F.length("para") > 0)
+    counts = (
+        paras.select("id", lang_id_expr(F.col("para")).alias("plang"))
+        .groupBy("id", "plang")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("c").desc(), F.col("plang"))
+    maj = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "id",
+            F.col("plang").alias("majority_lang"),
+            F.col("c").alias("majority_paras"),
+        )
+    )
+    tot = counts.groupBy("id").agg(F.sum("c").alias("n_paras"))
+    return tot.join(maj, "id").select(
+        "id",
+        "n_paras",
+        "majority_lang",
+        "majority_paras",
+        F.floor(
+            (F.col("n_paras") - F.col("majority_paras"))
+            * 1_000_000
+            / F.col("n_paras")
+        )
+        .cast("long")
+        .alias("minority_ppm"),
+    )

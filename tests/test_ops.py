@@ -2670,3 +2670,39 @@ class TestAnnRecall:
         assert all(0 <= r.recall_ppm <= 1_000_000 for r in part)
         by_q = {r.query_id: r.n_hits for r in part}
         assert all(by_q[r.query_id] <= r.n_hits for r in full)
+
+
+class TestParagraphLangProfile:
+    """Per-paragraph language mixture (ops/text_analysis.py
+    paragraph_lang_profile)."""
+
+    def test_mixture_counts_and_majority(self, spark):
+        from ocr_search_spark.ops.text_analysis import paragraph_lang_profile
+
+        rows = [
+            (1, "the quick fox of a kind\n\nскидка на товары и услуги"),
+            (2, "the a of and to\n\nthe second english paragraph a of"),
+            (3, "zzz qqq www"),          # no stopwords -> und
+            (4, ""),                      # empty text -> no row
+            (5, "на все товары\n\nи услуги\n\nthe one english a"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.id: r for r in paragraph_lang_profile(df).collect()}
+        assert set(out) == {1, 2, 3, 5}
+        r1 = out[1]
+        # 1 en + 1 ru: tie -> majority 'en' (code order), minority 50%
+        assert (r1.n_paras, r1.majority_lang, r1.majority_paras,
+                r1.minority_ppm) == (2, "en", 1, 500_000)
+        assert (out[2].majority_lang, out[2].minority_ppm) == ("en", 0)
+        assert out[3].majority_lang == "und"
+        r5 = out[5]
+        assert (r5.n_paras, r5.majority_lang, r5.minority_ppm) == (
+            3, "ru", 333_333)
+
+    def test_no_udf_plan(self, spark):
+        from ocr_search_spark.ops.text_analysis import paragraph_lang_profile
+
+        df = spark.createDataFrame([(1, "a\n\nb")], "doc_id long, text string")
+        plan = (paragraph_lang_profile(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
