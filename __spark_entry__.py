@@ -1139,6 +1139,16 @@ def q_para_lang_profile(spark, sf_dir):
     return paragraph_lang_profile(planted, "doc_id", "text")
 
 
+def q_bpe_pairs(spark, sf_dir):
+    """Top-50 BPE merge candidates: adjacent character pairs inside
+    words, weighted by word frequency, counted over the DISTINCT-WORD
+    table (the tokenizer-training workhorse statistic —
+    ops/text_analysis.py bpe_pair_stats)."""
+    from ocr_search_spark.ops.text_analysis import bpe_pair_stats
+
+    return bpe_pair_stats(_docs(spark, sf_dir), "text", top_k=50)
+
+
 def q_lang_id(spark, sf_dir):
     """Heuristic language id over stopword votes (en vs other)."""
     from ocr_search_spark.search.analysis import with_search_columns
@@ -1924,6 +1934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "lang_id": q_lang_id,
         "para_lang_profile": q_para_lang_profile,
+        "bpe_pairs": q_bpe_pairs,
         "quality_filter": q_quality_filter,
         "cosine_neardup_lsh": q_cosine_neardup_lsh,
         "cosine_near_dedup": q_cosine_near_dedup,
@@ -2457,6 +2468,25 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN len(list_intersect(list_distinct({_TOK}), ['the','a','of'])) > 0
                         THEN 'en' ELSE 'und' END AS lang_pred
             FROM documents
+        """,
+        "bpe_pairs": f"""
+            WITH words AS (
+              SELECT w, count(*)::BIGINT AS wc FROM (
+                SELECT unnest({_TOK}) AS w FROM documents
+              ) GROUP BY w
+            ), pairs AS (
+              SELECT substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b, wc
+              FROM words, LATERAL (
+                SELECT unnest(range(1, greatest(length(w), 1))) AS i
+              ) t
+            ), counts AS (
+              SELECT a, b, sum(wc)::BIGINT AS pair_count
+              FROM pairs GROUP BY a, b
+            )
+            SELECT a, b, pair_count, rnk FROM (
+              SELECT *, row_number() OVER (ORDER BY pair_count DESC, a, b) AS rnk
+              FROM counts
+            ) WHERE rnk <= 50
         """,
         "para_lang_profile": f"""
             WITH planted AS (

@@ -681,3 +681,62 @@ def paragraph_lang_profile(
         .cast("long")
         .alias("minority_ppm"),
     )
+
+
+def bpe_pair_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """The inner statistic of BPE tokenizer training: corpus frequency of
+    every ADJACENT SYMBOL PAIR inside words, weighted by word frequency —
+    the quantity a BPE trainer maximises at each merge step (Sennrich et
+    al. 2016). Returns the ``top_k`` pairs: (a, b, pair_count, rnk),
+    ranked by count desc then (a, b) — the rank-1 row IS the first merge
+    a BPE trainer would learn on this corpus.
+
+    Scale shape — the optimization real BPE trainers rely on, made
+    distributed: pair counting runs over the DISTINCT-WORD table
+    weighted by word counts, never over the token stream. Shuffle 1
+    aggregates word counts (map-side combinable, vocab-sized output);
+    the per-word character-pair explode then touches each distinct word
+    once (fan-out = word length, bounded); shuffle 2 aggregates
+    ``sum(word_count)`` per pair (combinable, |alphabet|² keys). A
+    100-TB corpus with a 10^8-word vocabulary costs two small shuffles
+    after one scan. Iterating merges re-runs this on a re-segmented
+    vocab table (driver loop, vocab-sized state) — this operator is the
+    per-iteration workhorse.
+
+    Single-character words contribute no pairs; token convention is the
+    shared ``tokens_expr`` (so counts line up with every other text
+    statistic in the repo).
+    """
+    words = (
+        df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    # adjacent char pairs of each distinct word; guard length-1 words
+    # (sequence(1, 0) would generate a DESCENDING range, not empty).
+    # SQL-expr form because F.substring takes only literal positions.
+    pair_arr = F.when(
+        F.length("w") > 1,
+        F.expr(
+            "transform(sequence(1, length(w) - 1), "
+            "i -> struct(substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b))"
+        ),
+    ).otherwise(
+        F.expr(
+            "CAST(array() AS array<struct<a:string, b:string>>)"
+        )
+    )
+    pairs = words.select("wc", F.explode(pair_arr).alias("p"))
+    counts = (
+        pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("wc").alias("pair_count"))
+    )
+    order = [F.col("pair_count").desc(), F.col("a"), F.col("b")]
+    top = counts.orderBy(*order).limit(int(top_k))
+    from pyspark.sql import Window
+
+    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))

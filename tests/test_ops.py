@@ -2706,3 +2706,40 @@ class TestParagraphLangProfile:
         plan = (paragraph_lang_profile(df)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+class TestBpePairStats:
+    """BPE merge-candidate pair counting (ops/text_analysis.py
+    bpe_pair_stats)."""
+
+    def test_counts_match_scalar_bpe_statistic(self, spark):
+        from collections import Counter
+
+        from ocr_search_spark.ops.text_analysis import bpe_pair_stats
+
+        rows = [(1, "low low lower lowest"), (2, "new newer newest low"),
+                (3, "a ab abc")]  # incl. 1-char word (no pairs)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r.a, r.b): r.pair_count
+               for r in bpe_pair_stats(df, top_k=1000).collect()}
+        # scalar model: word-frequency-weighted adjacent char pairs
+        words = Counter(w for _, t in rows for w in t.split())
+        expect = Counter()
+        for w, c in words.items():
+            for x, y in zip(w, w[1:]):
+                expect[(x, y)] += c
+        assert got == dict(expect)
+        # the first BPE merge on this corpus is ('l','o') or ('o','w'),
+        # tied at 5 occurrences each -> rank 1 is ('l','o') by (a,b) order
+        top = bpe_pair_stats(df, top_k=1).collect()[0]
+        assert (top.a, top.b, top.rnk) == ("l", "o", 1)
+
+    def test_vocab_not_stream_plan(self, spark):
+        from ocr_search_spark.ops.text_analysis import bpe_pair_stats
+
+        df = spark.createDataFrame([(1, "aa bb")], "doc_id long, text string")
+        plan = (bpe_pair_stats(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+        # top-k must be TakeOrderedAndProject, not a global sort
+        assert "TakeOrderedAndProject" in plan
