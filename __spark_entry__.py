@@ -1139,6 +1139,18 @@ def q_para_lang_profile(spark, sf_dir):
     return paragraph_lang_profile(planted, "doc_id", "text")
 
 
+def q_oversample(spark, sf_dir):
+    """Epoch-factor oversampling (the 'wikipedia ×3.5' mixing recipe):
+    en ×2.5, es ×1.2, rest ×1.0 — whole copies plus a deterministic
+    md5-bucket fractional top-up; bounded explode, no shuffle, no RNG
+    (ops/sampling.py oversample)."""
+    from ocr_search_spark.ops.sampling import oversample
+
+    return oversample(
+        _docs(spark, sf_dir), "lang", {"en": 2.5, "es": 1.2}, salt="epoch"
+    ).select("doc_id", "lang", "copy_idx")
+
+
 def q_bpe_pairs(spark, sf_dir):
     """Top-50 BPE merge candidates: adjacent character pairs inside
     words, weighted by word frequency, counted over the DISTINCT-WORD
@@ -1935,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "para_lang_profile": q_para_lang_profile,
         "bpe_pairs": q_bpe_pairs,
+        "oversample": q_oversample,
         "quality_filter": q_quality_filter,
         "cosine_neardup_lsh": q_cosine_neardup_lsh,
         "cosine_near_dedup": q_cosine_near_dedup,
@@ -2468,6 +2481,25 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN len(list_intersect(list_distinct({_TOK}), ['the','a','of'])) > 0
                         THEN 'en' ELSE 'und' END AS lang_pred
             FROM documents
+        """,
+        "oversample": """
+            WITH f AS (
+              SELECT doc_id, lang,
+                     CASE WHEN lang = 'en' THEN 2.5
+                          WHEN lang = 'es' THEN 1.2
+                          ELSE 1.0 END AS fac
+              FROM documents
+            ), n AS (
+              SELECT doc_id, lang,
+                     (floor(fac)::BIGINT
+                      + CASE WHEN ('0x' || substring(md5('epoch' || doc_id), 1, 8))::BIGINT
+                                  % 10000
+                             < floor((fac - floor(fac)) * 10000)::BIGINT
+                             THEN 1 ELSE 0 END) AS n_copies
+              FROM f
+            )
+            SELECT doc_id, lang, unnest(generate_series(0, n_copies - 1)) AS copy_idx
+            FROM n WHERE n_copies > 0
         """,
         "bpe_pairs": f"""
             WITH words AS (

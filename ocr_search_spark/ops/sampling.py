@@ -497,3 +497,59 @@ def pack_sequences(
             F.col("tokens"), (F.col("seq_idx") + 1) * L - F.col("__start")
         ).alias("end_tok"),
     )
+
+
+def oversample(
+    df: DataFrame,
+    group_col: str,
+    factors: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "epoch",
+) -> DataFrame:
+    """Deterministic oversampling by per-group epoch factors — the
+    mixing-recipe primitive behind "wikipedia ×3.5, web ×1.0" style
+    training mixes (each source repeated a fractional number of epochs).
+    Every row of group g is replicated ``floor(f_g)`` times, plus one
+    more copy when its hash bucket falls under ``frac(f_g)`` — so the
+    EXACT requested expectation is met deterministically (same ids →
+    same copies, every run, any partitioning; no RNG state). Groups
+    absent from ``factors`` default to 1.0. Factors must be > 0.
+
+    Output: the input columns plus ``copy_idx`` (0-based), so downstream
+    shuffles and shard packing see distinct rows per copy (feed
+    ``md5(id || copy_idx)`` as the packing key to spread copies across
+    shards).
+
+    Scale shape: a literal CASE over the factor map (factors are a
+    driver-side recipe, O(groups) and tiny) + one bounded explode —
+    fan-out ``ceil(f)`` per row, no shuffle, no join; composes with
+    pushed-down filters. The fractional top-up reuses
+    :func:`hash_bucket`, so the DuckDB oracle reproduces copy counts
+    bit-exactly.
+    """
+    if not factors:
+        raise ValueError("factors must name at least one group")
+    for g, f in factors.items():
+        if not f > 0:
+            raise ValueError(f"factor for {g!r} must be > 0, got {f}")
+    fcol = None
+    for g, f in factors.items():
+        cond = F.col(group_col) == g
+        fcol = F.when(cond, F.lit(float(f))) if fcol is None else fcol.when(
+            cond, F.lit(float(f))
+        )
+    fcol = fcol.otherwise(F.lit(1.0))
+    whole = F.floor(fcol).cast("long")
+    frac_thresh = ((fcol - F.floor(fcol)) * BUCKETS).cast("long")
+    extra = F.when(
+        hash_bucket(id_col, salt) < frac_thresh, F.lit(1)
+    ).otherwise(F.lit(0))
+    n_copies = (whole + extra).alias("__n")
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn(
+            "copy_idx", F.explode(F.sequence(F.lit(0), F.col("__n") - 1))
+        )
+        .drop("__n")
+    )

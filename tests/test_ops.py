@@ -2743,3 +2743,43 @@ class TestBpePairStats:
         assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
         # top-k must be TakeOrderedAndProject, not a global sort
         assert "TakeOrderedAndProject" in plan
+
+
+class TestOversample:
+    """Epoch-factor oversampling (ops/sampling.py oversample)."""
+
+    def test_copy_counts_and_expectation(self, spark):
+        from ocr_search_spark.ops.sampling import hash_bucket, oversample
+
+        rows = [(i, "wiki" if i % 2 == 0 else "web") for i in range(2000)]
+        df = spark.createDataFrame(rows, "doc_id long, grp string")
+        out = oversample(df, "grp", {"wiki": 3.5, "web": 1.0},
+                         id_col="doc_id", salt="s").collect()
+        per_doc: dict[int, list] = {}
+        for r in out:
+            per_doc.setdefault(r.doc_id, []).append(r.copy_idx)
+        # every web doc exactly once; wiki docs 3 or 4 times, copy_idx dense
+        for did, grp in rows:
+            copies = sorted(per_doc[did])
+            assert copies == list(range(len(copies)))
+            if grp == "web":
+                assert len(copies) == 1
+            else:
+                assert len(copies) in (3, 4)
+        n_wiki = sum(len(per_doc[i]) for i, g in rows if g == "wiki")
+        # fractional top-up hits ~50% of wiki docs (md5-uniform): expect
+        # 3.5 ± a few percent over 1000 docs
+        assert 3300 <= n_wiki <= 3700
+        # determinism: second run identical
+        again = oversample(df, "grp", {"wiki": 3.5, "web": 1.0},
+                           id_col="doc_id", salt="s").count()
+        assert again == len(out)
+
+    def test_validates_factors(self, spark):
+        from ocr_search_spark.ops.sampling import oversample
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, grp string")
+        with pytest.raises(ValueError):
+            oversample(df, "grp", {})
+        with pytest.raises(ValueError):
+            oversample(df, "grp", {"a": 0.0})
