@@ -2783,3 +2783,29 @@ class TestOversample:
             oversample(df, "grp", {})
         with pytest.raises(ValueError):
             oversample(df, "grp", {"a": 0.0})
+
+
+class TestPackSequencesScale:
+    """pack_sequences group-state bound — same discipline as the
+    pack_shards 1M-row probe."""
+
+    def test_group_state_bound_at_scale(self, spark):
+        from ocr_search_spark.ops.sampling import pack_sequences
+
+        df = spark.range(1_000_000).select(
+            F.format_string("doc_%07d", "id").alias("doc_id"),
+            F.lit(500).alias("n"),
+        )
+        out = pack_sequences(df, "doc_id", "n", seq_len=2048, n_groups=256)
+        stats = (
+            out.groupBy("shard_group")
+            .count()
+            .agg(F.max("count").alias("mx"), F.count("*").alias("groups"))
+            .collect()[0]
+        )
+        assert stats.groups == 256
+        # 500-token docs at seq_len 2048: ~25% of docs straddle a
+        # boundary, so rows/group ≈ 1.25 × docs/group; bound at 1.3× of
+        # that uniform expectation
+        mean = 1_000_000 * 1.25 / 256
+        assert stats.mx <= mean * 1.3
