@@ -171,6 +171,10 @@ def main() -> None:
         "semdedup",
         "dsir_select",
         "pack_sequences",
+        "para_lang_profile",
+        "bpe_pairs",
+        "oversample",
+        "ann_recall",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then
