@@ -1648,8 +1648,12 @@ def q_ann_recall(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = ivf_centroids_from_sample(emb, k=16)
+    # join strategy: bit-identical to the literal path, but the plan is
+    # k-independent — measured 0.8 s vs 5.0 s at sf0.1 (the literal
+    # path's 16x64-literal compile dominates at audit scale)
     return ann_recall(
-        emb, emb.filter(F.col("vec_id") < 5), cents, k=10, n_probe=4
+        emb, emb.filter(F.col("vec_id") < 5), cents, k=10, n_probe=4,
+        method="join",
     )
 
 

@@ -930,6 +930,7 @@ def ann_recall(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
     """Recall@k of IVF probe search measured against exact brute force —
     the standing quality diagnostic every ANN deployment needs before
@@ -946,7 +947,7 @@ def ann_recall(
     """
     approx = ivf_search(
         corpus, queries, centroids, k=k, n_probe=n_probe,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, method=method,
     ).select("query_id", "neighbor_id")
     exact = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
     hits = (
