@@ -1266,7 +1266,9 @@ def q_semdedup(spark, sf_dir):
     # oracle operating point
     k = max(8, emb.count() // 64)
     cents = ivf_centroids_from_sample(emb, k=k)
-    return semdedup(emb, cents, threshold=0.42).select("vec_id")
+    # join assignment strategy: bit-identical, k-independent plan —
+    # 5.7 s vs 9.8 s at sf0.1 (literal-expression compile dominated)
+    return semdedup(emb, cents, threshold=0.42, method="join").select("vec_id")
 
 
 def q_semdedup_cluster_sizes(spark, sf_dir):
@@ -1282,7 +1284,9 @@ def q_semdedup_cluster_sizes(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     k = max(8, emb.count() // 64)  # the q_semdedup k ∝ n rule
     cents = ivf_centroids_from_sample(emb, k=k)
-    pairs = semdedup_pairs(emb, cents, threshold=0.42).select("a_id", "b_id")
+    pairs = semdedup_pairs(
+        emb, cents, threshold=0.42, method="join"
+    ).select("a_id", "b_id")
     labels = connected_components_labels(pairs)
     return (
         labels.groupBy("label")

@@ -803,6 +803,7 @@ def semdedup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs, the SemDeDup candidate rule
     (Abbas et al. 2023, arXiv:2303.09540): assign every vector to its
@@ -824,7 +825,7 @@ def semdedup_pairs(
     — 3× less per-pair arithmetic than dot/(|a|·|b|), and the pair side
     of the shuffle carries unit vectors it would carry anyway.
     """
-    asg = ivf_assign(df, centroids, id_col, vec_col).select(
+    asg = ivf_assign(df, centroids, id_col, vec_col, method=method).select(
         F.col("id"),
         "centroid_id",
         F.col("cos").alias("ccos"),  # already rounded to 6 by ivf_assign
@@ -869,6 +870,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_iters: int = 20,
+    method: str = "auto",
 ) -> DataFrame:
     """SemDeDup semantic deduplication: k-means clusters → within-cluster
     cosine pairs → connected components → keep, per duplicate group, the
@@ -892,7 +894,9 @@ def semdedup(
     """
     from .dedup import connected_components_labels
 
-    pairs = semdedup_pairs(df, centroids, threshold, id_col, vec_col).persist()
+    pairs = semdedup_pairs(
+        df, centroids, threshold, id_col, vec_col, method=method
+    ).persist()
     labels = connected_components_labels(
         pairs.select("a_id", "b_id"), max_iters=max_iters
     )
