@@ -143,12 +143,11 @@ def dsir_weight_table(
             ).alias("lambda_hb"),
         )
     )
-    tt = target.select(F.explode(_grams_expr(text_col)).alias("g")).agg(
-        F.count("*").alias("tt")
-    )
-    tr = raw.select(F.explode(_grams_expr(text_col)).alias("g")).agg(
-        F.count("*").alias("tr")
-    )
+    # totals are the SUMS of the bucket counts — no extra corpus pass
+    # (an explode-and-count of each corpus again would double the fit
+    # cost for a value the counts tables already contain)
+    tt = ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+    tr = cr.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("tr"))
     totals = (
         tt.crossJoin(tr)
         .select(
