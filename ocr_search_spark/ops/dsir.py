@@ -172,7 +172,12 @@ def dsir_weights(
     """Per-document DSIR importance score over the raw pool:
     (id_col, n_grams, w_hb) where ``w_hb`` is the half-bit log importance
     weight ``sum_b c_b*lambda_b + n_grams*delta``. Documents with no
-    grams score 0 with n_grams 0 (no evidence either way)."""
+    grams score 0 with n_grams 0 — the neutral log-ratio, which RANKS
+    ABOVE documents with negative evidence (more raw-like than
+    target-like). That is the mathematically honest DSIR ordering, but
+    if empty/junk documents shouldn't win selection slots, gate them out
+    upstream (the ``selected_corpus`` composition runs quality gates
+    first for exactly this reason)."""
     weights, totals = dsir_weight_table(target, raw, text_col, n_buckets)
     grams = raw.select(
         F.col(id_col), F.explode(_grams_expr(text_col)).alias("g")

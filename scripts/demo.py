@@ -258,6 +258,18 @@ def main() -> None:
     hits = ivf_pq_topk(vecs, vecs.limit(2), cents, cb, k=3, n_probe=3)
     hits.show(6)
 
+    print("== selection: SemDeDup over the fingerprint vectors + DSIR top-10")
+    from ocr_search_spark.ops.dsir import dsir_select
+    from ocr_search_spark.ops.similarity import semdedup
+
+    kept_vecs = semdedup(vecs, cents, threshold=0.9, method="join")
+    print(f"semdedup survivors: {kept_vecs.count()} / {vecs.count()}")
+    target = content.filter(F.col("doc_id").substr(-1, 1) < "3")
+    picked = dsir_select(content, target, n=10, id_col="doc_id",
+                         text_col="content")
+    print("DSIR top-3 (importance-weighted toward the target slice):")
+    picked.show(3)
+
     print("== re-ingest: checkpoint ledger skips committed groups")
     print(store.ingest(docs, run_group="demo"))
 
