@@ -1151,6 +1151,15 @@ def q_oversample(spark, sf_dir):
     ).select("doc_id", "lang", "copy_idx")
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc shingle novelty: fraction of a doc's distinct 3-token
+    shingles that appear in no other document — the remix-vs-novel
+    curation signal (ops/text_analysis.py ngram_novelty)."""
+    from ocr_search_spark.ops.text_analysis import ngram_novelty
+
+    return ngram_novelty(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def q_bpe_pairs(spark, sf_dir):
     """Top-50 BPE merge candidates: adjacent character pairs inside
     words, weighted by word frequency, counted over the DISTINCT-WORD
@@ -1955,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "para_lang_profile": q_para_lang_profile,
         "bpe_pairs": q_bpe_pairs,
+        "ngram_novelty": q_ngram_novelty,
         "oversample": q_oversample,
         "quality_filter": q_quality_filter,
         "cosine_neardup_lsh": q_cosine_neardup_lsh,
@@ -2508,6 +2518,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, unnest(generate_series(0, n_copies - 1)) AS copy_idx
             FROM n WHERE n_copies > 0
+        """,
+        "ngram_novelty": f"""
+            WITH sh AS (
+              SELECT doc_id, {_SHINGLES3} AS shingles FROM documents
+            ), ex AS (
+              SELECT doc_id, md5(unnest(shingles)) AS s_md5 FROM sh
+            ), dfreq AS (
+              SELECT s_md5, count(DISTINCT doc_id) AS df FROM ex GROUP BY s_md5
+            ), per_doc AS (
+              SELECT e.doc_id,
+                     count(*)::BIGINT AS n_shingles,
+                     sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel
+              FROM ex e JOIN dfreq d ON d.s_md5 = e.s_md5
+              GROUP BY e.doc_id
+            )
+            SELECT d.doc_id AS id,
+                   coalesce(p.n_shingles, 0)::BIGINT AS n_shingles,
+                   coalesce(p.n_novel, 0)::BIGINT AS n_novel,
+                   CASE WHEN coalesce(p.n_shingles, 0) > 0
+                        THEN floor(p.n_novel * 1000000 / p.n_shingles)::BIGINT
+                        ELSE NULL END AS novelty_ppm
+            FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
         """,
         "bpe_pairs": f"""
             WITH words AS (

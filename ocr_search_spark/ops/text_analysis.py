@@ -740,3 +740,55 @@ def bpe_pair_stats(
     from pyspark.sql import Window
 
     return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    k-token shingles that appear in NO other document — the curation
+    signal that separates genuinely novel text from remixes of corpus
+    boilerplate (and, inverted, flags memorization-prone duplicates that
+    per-doc dedup missed). Returns (id, n_shingles, n_novel,
+    novelty_ppm) with floored integer ppm; documents with fewer than k
+    tokens report 0 shingles and NULL novelty (nothing to judge).
+
+    Scale shape: shingle explode → document-frequency count (map-side
+    combinable, keyed by shingle md5 — the distinct-shingle table, same
+    volume as every LSH/minhash pass in ops/dedup.py) → join back on the
+    shingle key → per-doc counts (one shuffle keyed by id). No UDF, no
+    all-pairs anything; the df table is the reusable asset (the same
+    table drives the C4/Dolma boilerplate passes).
+    """
+    from .dedup import _with_shingles
+
+    sh = _with_shingles(df, id_col, text_col, k)
+    exploded = sh.select("id", F.explode("sh").alias("s")).select(
+        "id", F.md5(F.col("s")).alias("s_md5")
+    )
+    dfreq = exploded.groupBy("s_md5").agg(
+        F.count_distinct("id").alias("__df")
+    )
+    per_doc = (
+        exploded.join(dfreq, "s_md5")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(per_doc, "id", "left").select(
+        "id",
+        F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+        F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+        F.when(
+            F.coalesce("n_shingles", F.lit(0)) > 0,
+            F.floor(
+                F.col("n_novel") * 1_000_000 / F.col("n_shingles")
+            ).cast("long"),
+        ).alias("novelty_ppm"),
+    )

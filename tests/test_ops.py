@@ -2809,3 +2809,30 @@ class TestPackSequencesScale:
         # that uniform expectation
         mean = 1_000_000 * 1.25 / 256
         assert stats.mx <= mean * 1.3
+
+
+class TestNgramNovelty:
+    """Shingle novelty signal (ops/text_analysis.py ngram_novelty)."""
+
+    def test_novel_vs_remixed_docs(self, spark):
+        from ocr_search_spark.ops.text_analysis import ngram_novelty
+
+        rows = [
+            (1, "alpha beta gamma delta epsilon"),   # fully novel
+            (2, "alpha beta gamma delta epsilon"),   # exact dup of 1
+            (3, "one two three four"),               # novel
+            (4, "one two three nine ten eleven"),    # shares 'one two three'
+            (5, "xy"),                               # < 3 tokens: no shingles
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.id: r for r in ngram_novelty(df).collect()}
+        assert set(out) == {1, 2, 3, 4, 5}
+        # dup pair: every shingle shared -> novelty 0
+        assert out[1].novelty_ppm == 0 and out[2].novelty_ppm == 0
+        # doc 3: 2 shingles, 'one two three' shared with doc 4 -> 1 novel
+        assert (out[3].n_shingles, out[3].n_novel, out[3].novelty_ppm) == (
+            2, 1, 500_000)
+        # doc 4: 4 shingles, 3 novel
+        assert (out[4].n_shingles, out[4].n_novel, out[4].novelty_ppm) == (
+            4, 3, 750_000)
+        assert (out[5].n_shingles, out[5].novelty_ppm) == (0, None)
