@@ -1151,6 +1151,41 @@ def q_oversample(spark, sf_dir):
     ).select("doc_id", "lang", "copy_idx")
 
 
+def q_split_leakage(spark, sf_dir):
+    """Eval-hygiene diagnostic: the matrix of verified near-dup pairs by
+    (split, split) after the train/val/test hash split — off-diagonal
+    rows are TEST-SET LEAKAGE the split inherited from uncaught near-dups
+    (the check run before freezing any benchmark). Composes
+    verified_near_dup_pairs with hash_split; pair key is canonicalized
+    (least, greatest) so the matrix is order-free."""
+    from ocr_search_spark.ops.dedup import verified_near_dup_pairs
+    from ocr_search_spark.ops.sampling import hash_split
+
+    docs = _docs(spark, sf_dir)
+    pairs = verified_near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.3, n_hashes=8, band_size=2
+    ).select("a_id", "b_id")
+    split = hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+    j = pairs.join(
+        split.select(F.col("doc_id").alias("a_id"), F.col("split").alias("sa")),
+        "a_id",
+    ).join(
+        split.select(F.col("doc_id").alias("b_id"), F.col("split").alias("sb")),
+        "b_id",
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("split_1"),
+            F.greatest("sa", "sb").alias("split_2"),
+        )
+        .groupBy("split_1", "split_2")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("split_1", "split_2")
+    )
+
+
 def q_ngram_novelty(spark, sf_dir):
     """Per-doc shingle novelty: fraction of a doc's distinct 3-token
     shingles that appear in no other document — the remix-vs-novel
@@ -1965,6 +2000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "para_lang_profile": q_para_lang_profile,
         "bpe_pairs": q_bpe_pairs,
         "ngram_novelty": q_ngram_novelty,
+        "split_leakage": q_split_leakage,
         "oversample": q_oversample,
         "quality_filter": q_quality_filter,
         "cosine_neardup_lsh": q_cosine_neardup_lsh,
@@ -2518,6 +2554,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, unnest(generate_series(0, n_copies - 1)) AS copy_idx
             FROM n WHERE n_copies > 0
+        """,
+        "split_leakage": f"""
+            WITH sh AS (
+              SELECT doc_id, {_SHINGLES3} AS shingles FROM documents
+            ), sig AS (
+              SELECT doc_id AS id, {_SIG8} FROM sh
+            ), bands AS (
+              {_bands8_sql("sig")}
+            ), cand AS (
+              SELECT DISTINCT a.id AS a_id, b.id AS b_id
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+            ), ver AS (
+              SELECT c.a_id, c.b_id
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.a_id
+              JOIN sh sb ON sb.doc_id = c.b_id
+              WHERE len(list_distinct(list_concat(sa.shingles, sb.shingles))) > 0
+                AND len(list_intersect(sa.shingles, sb.shingles))
+                    >= len(list_distinct(list_concat(sa.shingles, sb.shingles))) * 0.3
+            ), sp AS (
+              SELECT doc_id,
+                     CASE WHEN b < 8000 THEN 'train'
+                          WHEN b < 9000 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (
+                SELECT doc_id,
+                       ('0x' || substring(md5('split' || doc_id), 1, 8))::BIGINT
+                         % 10000 AS b
+                FROM documents
+              )
+            )
+            SELECT least(x.split, y.split) AS split_1,
+                   greatest(x.split, y.split) AS split_2,
+                   count(*)::BIGINT AS n_pairs
+            FROM ver v
+            JOIN sp x ON x.doc_id = v.a_id
+            JOIN sp y ON y.doc_id = v.b_id
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "ngram_novelty": f"""
             WITH sh AS (

@@ -2836,3 +2836,29 @@ class TestNgramNovelty:
         assert (out[4].n_shingles, out[4].n_novel, out[4].novelty_ppm) == (
             4, 3, 750_000)
         assert (out[5].n_shingles, out[5].novelty_ppm) == (0, None)
+
+
+class TestSplitLeakage:
+    """Cross-split near-dup leakage matrix (q_split_leakage composition)."""
+
+    def test_planted_cross_split_dup_detected(self, spark):
+        from ocr_search_spark.ops.dedup import verified_near_dup_pairs
+        from ocr_search_spark.ops.sampling import hash_split
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        # 40 distinct docs + one planted near-identical pair
+        rows = [(i, f"doc number {i} talks about topic {i} entirely") for i in range(40)]
+        rows += [(100, base), (101, base + " extra")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = verified_near_dup_pairs(
+            df, "doc_id", "text", threshold=0.3, n_hashes=8, band_size=2
+        ).select("a_id", "b_id")
+        split = hash_split(df, {"train": 0.5, "test": 0.5})
+        got = {(r.a_id, r.b_id) for r in pairs.collect()}
+        assert (100, 101) in got
+        sp = {r.doc_id: r.split for r in split.collect()}
+        j = [(min(sp[a], sp[b]), max(sp[a], sp[b])) for a, b in got]
+        # the composed matrix counts every pair exactly once
+        from collections import Counter
+
+        assert sum(Counter(j).values()) == len(got)
