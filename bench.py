@@ -175,6 +175,8 @@ def main() -> None:
         "bpe_pairs",
         "oversample",
         "ann_recall",
+        "ngram_novelty",
+        "split_leakage",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then
