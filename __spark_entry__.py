@@ -1186,6 +1186,19 @@ def q_split_leakage(spark, sf_dir):
     )
 
 
+def q_simhash_dedup(spark, sf_dir):
+    """SimHash near-dedup via the pigeonhole band join (Manku et al.
+    WWW'07): 4 bands over the 32-bit fingerprint find every pair within
+    hamming 3 with 100% recall (exact, unlike MinHash-LSH), Hamming
+    verify, min-id keeper (ops/dedup.py simhash_near_dedup)."""
+    from ocr_search_spark.ops.dedup import simhash_near_dedup
+
+    return simhash_near_dedup(
+        _docs(spark, sf_dir), "doc_id", "text",
+        bits=32, n_bands=4, max_hamming=3,
+    ).select("doc_id")
+
+
 def q_ngram_novelty(spark, sf_dir):
     """Per-doc shingle novelty: fraction of a doc's distinct 3-token
     shingles that appear in no other document — the remix-vs-novel
@@ -2000,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "para_lang_profile": q_para_lang_profile,
         "bpe_pairs": q_bpe_pairs,
         "ngram_novelty": q_ngram_novelty,
+        "simhash_dedup": q_simhash_dedup,
         "split_leakage": q_split_leakage,
         "oversample": q_oversample,
         "quality_filter": q_quality_filter,
@@ -2594,6 +2608,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN sp y ON y.doc_id = v.b_id
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        "simhash_dedup": f"""
+            WITH toked AS (
+              SELECT doc_id, list_distinct({_TOK}) AS toks FROM documents
+            ), hashed AS (
+              SELECT doc_id, len(toks) AS n,
+                     list_transform(toks,
+                       t -> ('0x' || substring(md5(t), 1, 8))::BIGINT) AS hs
+              FROM toked
+            ), sim AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN n > 0 THEN {_simhash_vote_sql()} ELSE 0 END AS BIGINT)
+                       AS simhash
+              FROM hashed
+            ), bands AS (
+              SELECT doc_id, simhash, b,
+                     (simhash >> (b * 8)) & 255 AS v
+              FROM sim, LATERAL (SELECT unnest([0, 1, 2, 3]) AS b) t
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                              a.simhash AS sa, b.simhash AS sb
+              FROM bands a JOIN bands b
+                ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id
+            ), losers AS (
+              SELECT DISTINCT b_id FROM cand
+              WHERE bit_count(xor(sa, sb)) <= 3
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT b_id FROM losers)
         """,
         "ngram_novelty": f"""
             WITH sh AS (

@@ -727,3 +727,99 @@ def simhash_expr(col, bits: int = 32):
         lambda t: F.conv(F.substring(F.md5(F.encode(t, "utf-8")), 1, 8), 16, 10).cast("long"),
     )
     return _simhash_of_hashes(hashed, F.size(toks), bits)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs via the pigeonhole band join — the
+    classic web-dedup design (Manku/Jain/Sarma, WWW'07): split the
+    ``bits``-bit fingerprint into ``n_bands`` equal bands; any pair
+    within ``max_hamming`` differing bits has at most ``max_hamming``
+    damaged bands, so with ``max_hamming < n_bands`` at least one band
+    matches EXACTLY and the equi-join on (band, band_value) finds the
+    pair with 100% RECALL — unlike MinHash-LSH this candidate rule is
+    exact, not probabilistic. Candidates are then verified with the
+    true Hamming distance (``bit_count(xor)``).
+
+    Returns (a_id, b_id, hamming) with a_id < b_id and
+    hamming <= max_hamming.
+
+    Scale shape: fingerprints are one 8-byte long per doc; the band
+    explode is exactly ``n_bands`` rows per doc; the join is a plain
+    shuffle equi join keyed on (band, value) with 2^(bits/n_bands)
+    buckets per band — size band width to the corpus so bucket
+    populations stay bounded (8-bit bands are fine at oracle scale;
+    64-bit fingerprints with 16-bit bands are the web-scale setting).
+    Verification is one integer xor per candidate.
+    """
+    if bits % n_bands:
+        raise ValueError(f"n_bands must divide bits ({bits} % {n_bands})")
+    if not 0 <= max_hamming < n_bands:
+        raise ValueError(
+            "the pigeonhole guarantee needs max_hamming < n_bands "
+            f"(got {max_hamming} >= {n_bands})"
+        )
+    w = bits // n_bands
+    mask = (1 << w) - 1
+    sigs = simhash_df(df, id_col, text_col, bits)
+    bands = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * w)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("v"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.v").alias("v"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.select(
+        "a_id", "b_id", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_near_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dedup composition: pigeonhole band candidates →
+    Hamming verify → pairwise min-id keeper → surviving rows of ``df``
+    (the simhash twin of :func:`near_dedup`)."""
+    pairs = simhash_near_dup_pairs(
+        df, id_col, text_col, bits, n_bands, max_hamming
+    )
+    losers = pairs.select(F.col("b_id").alias("__loser")).distinct()
+    return df.join(losers, F.col(id_col) == F.col("__loser"), "left_anti")

@@ -2862,3 +2862,58 @@ class TestSplitLeakage:
         from collections import Counter
 
         assert sum(Counter(j).values()) == len(got)
+
+
+class TestSimhashNearDedup:
+    """Pigeonhole-band simhash dedup (ops/dedup.py simhash_near_dedup)."""
+
+    def test_near_identical_pair_found_exactly(self, spark):
+        from ocr_search_spark.ops.dedup import (
+            simhash_df,
+            simhash_near_dup_pairs,
+        )
+
+        words = [f"word{i}" for i in range(40)]
+        rows = [
+            (1, " ".join(words)),
+            (2, " ".join(words[:-1] + ["changed"])),  # one token swapped
+            (3, "totally different vocabulary about gardening and soil"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sig = {r.id: r.simhash for r in simhash_df(df, "doc_id", "text").collect()}
+        ham12 = bin(sig[1] ^ sig[2]).count("1")
+        pairs = {
+            (r.a_id, r.b_id): r.hamming
+            for r in simhash_near_dup_pairs(
+                df, "doc_id", "text", bits=32, n_bands=4, max_hamming=3
+            ).collect()
+        }
+        if ham12 <= 3:
+            # pigeonhole guarantee: the pair MUST be found (100% recall)
+            assert pairs[(1, 2)] == ham12
+        else:
+            assert (1, 2) not in pairs
+        assert not any(3 in p for p in pairs)
+
+    def test_exact_dup_always_recalled_and_dropped(self, spark):
+        from ocr_search_spark.ops.dedup import simhash_near_dedup
+
+        rows = [(i, f"unique doc {i} about topic{i} only") for i in range(10)]
+        rows += [(50, "alpha beta gamma delta"), (51, "alpha beta gamma delta")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kept = {
+            r.doc_id
+            for r in simhash_near_dedup(df, "doc_id", "text").collect()
+        }
+        assert 50 in kept and 51 not in kept  # hamming 0, min-id keeper
+
+    def test_validates_params(self, spark):
+        from ocr_search_spark.ops.dedup import simhash_near_dup_pairs
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="divide"):
+            simhash_near_dup_pairs(df, "doc_id", "text", bits=32, n_bands=5)
+        with pytest.raises(ValueError, match="pigeonhole"):
+            simhash_near_dup_pairs(
+                df, "doc_id", "text", n_bands=4, max_hamming=4
+            )
