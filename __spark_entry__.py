@@ -1896,6 +1896,44 @@ def q_range_join_stream_twin(spark, sf_dir):
     )
 
 
+def q_semantic_decontaminate(spark, sf_dir):
+    """Embedding-space benchmark decontamination (the semantic complement
+    of `decontaminate`'s n-gram overlap): an 8-vector 'benchmark' set is
+    drawn deterministically (smallest md5(vec_id) — the SQL-reproducible
+    sampling trick), and every remaining vector whose cosine to ANY of
+    them reaches 0.27 is dropped. One BroadcastNestedLoopJoin anti pass
+    over the pool — no shuffle. Threshold sits at the p90 of the synthetic
+    embeddings' max-cosine-to-eval distribution so the gate genuinely
+    fires (~10% dropped at sf0.01)."""
+    from ocr_search_spark.ops.similarity import semantic_decontaminate
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ev = emb.orderBy(
+        F.md5(F.encode(F.col("vec_id").cast("string"), "utf-8")), "vec_id"
+    ).limit(8)
+    pool = emb.join(F.broadcast(ev.select("vec_id")), "vec_id", "left_anti")
+    return semantic_decontaminate(pool, ev, threshold=0.27)
+
+
+def q_data_card(spark, sf_dir):
+    """Corpus data card: docs / tokens / chars by language × split with
+    every subtotal and the grand total — CUBE in one pass (one shuffle of
+    map-side-combined cells, not 4 separate jobs). Subtotal rows carry
+    NULL dims, the ANSI convention both engines share."""
+    from ocr_search_spark.ops.sampling import hash_split
+    from ocr_search_spark.ops.text_analysis import corpus_data_card
+    from ocr_search_spark.search.analysis import tokens_expr
+
+    d = hash_split(
+        _docs(spark, sf_dir), {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).withColumn("toks_n", F.size(tokens_expr("text")))
+    return corpus_data_card(
+        d,
+        ["lang", "split"],
+        {"tokens": F.sum("toks_n"), "chars": F.sum("n_chars")},
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so every entry is certified within the driver's 50-entry
     CORRECTNESS window at least once across rounds (the sweep reports the
@@ -2037,6 +2075,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_near_dedup": q_media_near_dedup,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
+        # --- NEW late round 5 (never driver-certified; r6 window queue) ---
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "data_card": q_data_card,
     }
 
 
@@ -3616,6 +3657,48 @@ def oracle_sql() -> dict[str, str]:
         "compression_signals": f"""
             SELECT doc_id, n_bytes, n_zlib
             FROM read_parquet('{_golden_zlib_parquet()}')
+        """,
+        "semantic_decontaminate": """
+            WITH v AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+            ev AS (
+              SELECT id, e FROM v ORDER BY md5(id::VARCHAR), id LIMIT 8
+            ),
+            pool AS (
+              SELECT * FROM v WHERE id NOT IN (SELECT id FROM ev)
+            )
+            , contam AS (
+              SELECT DISTINCT p.id
+              FROM pool p, ev
+              WHERE round(
+                  list_sum(list_transform(range(1, 65),
+                    i -> p.e[i]::DOUBLE * ev.e[i]::DOUBLE))
+                  / (sqrt(list_sum(list_transform(range(1, 65),
+                       i -> p.e[i]::DOUBLE * p.e[i]::DOUBLE)))
+                   * sqrt(list_sum(list_transform(range(1, 65),
+                       i -> ev.e[i]::DOUBLE * ev.e[i]::DOUBLE)))), 6)
+                >= 0.27
+            )
+            SELECT id AS vec_id FROM pool
+            WHERE id NOT IN (SELECT id FROM contam)
+        """,
+        "data_card": f"""
+            WITH s AS (
+              SELECT lang,
+                     CASE WHEN b < 8000 THEN 'train'
+                          WHEN b < 9000 THEN 'val'
+                          ELSE 'test' END AS split,
+                     len({_TOK}) AS toks_n, n_chars
+              FROM (
+                SELECT *,
+                       ('0x' || substring(md5('split' || doc_id), 1, 8))::BIGINT
+                         % 10000 AS b
+                FROM documents
+              )
+            )
+            SELECT lang, split, count(*) AS docs,
+                   sum(toks_n)::BIGINT AS tokens,
+                   sum(n_chars)::BIGINT AS chars
+            FROM s GROUP BY CUBE (lang, split)
         """,
     }
 

@@ -177,6 +177,7 @@ def main() -> None:
         "ann_recall",
         "ngram_novelty",
         "split_leakage",
+        "simhash_dedup",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

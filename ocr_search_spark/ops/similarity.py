@@ -368,6 +368,41 @@ def cosine_neardup_pairs_exact(
     )
 
 
+def semantic_decontaminate(
+    pool: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: drop every pool vector
+    whose cosine to ANY eval-set vector reaches ``threshold``.
+
+    The semantic complement of :func:`ocr_search_spark.ops.dedup.decontaminate`
+    (surface n-gram overlap): paraphrased or lightly-reworded test questions
+    that share no 5-gram with the benchmark still land near it in embedding
+    space (the Phi-style decontamination pass).
+
+    Scale path: an eval set is tiny (10³–10⁵ rows) next to a 100 TB pool, so
+    it is broadcast and the whole operator is ONE pass over the pool — a
+    BroadcastNestedLoopJoin LEFT ANTI on the cosine predicate. The pool is
+    never shuffled, there is no aggregation state, and cost is
+    O(N_pool × K_eval) JVM-side arithmetic that scales linearly with
+    executors. Cosine is rounded to 6 dp before the comparison (same
+    convention as :func:`cosine_neardup_pairs_exact`) so the threshold
+    decision is engine-exact.
+
+    Returns the SURVIVING pool rows, ``id_col`` only.
+    """
+    p = pool.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    e = eval_df.select(F.col(vec_col).alias("ev"))
+    cos = _dot(F.col("v"), F.col("ev")) / (_norm(F.col("v")) * _norm(F.col("ev")))
+    return (
+        p.join(F.broadcast(e), F.round(cos, 6) >= threshold, "left_anti")
+        .select(F.col("id").alias(id_col))
+    )
+
+
 def cosine_neardup_pairs_lsh(
     df: DataFrame,
     dim: int,

@@ -617,6 +617,32 @@ def grouped_percentiles(
     return out.select(*cols)
 
 
+def corpus_data_card(
+    df: DataFrame,
+    dims: list[str],
+    measures: dict[str, Column],
+) -> DataFrame:
+    """Corpus data card: measure totals over CUBE(dims) — every dimension
+    combination plus all subtotals and the grand total, in ONE pass.
+
+    The release-report table of a training-data pipeline (docs / tokens /
+    bytes by language × split × source ...). CUBE expands each input row
+    into its 2^|dims| grouping-set keys during the partial (map-side)
+    aggregate, so the job is a single shuffle of pre-aggregated cells —
+    NOT one job per breakdown; at 100 TB that turns 2^d table scans into
+    one. Subtotal rows carry NULL in the rolled-up dimension (the same
+    convention DuckDB/ANSI ``GROUP BY CUBE`` uses, so oracles match);
+    dimension columns must therefore be non-null in ``df``.
+
+    ``measures`` maps output column name → aggregate Column; a ``docs``
+    row count is always included first.
+    """
+    aggs = [F.count("*").alias("docs")] + [
+        expr.alias(name) for name, expr in measures.items()
+    ]
+    return df.cube(*dims).agg(*aggs)
+
+
 def paragraph_lang_profile(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2917,3 +2917,110 @@ class TestSimhashNearDedup:
             simhash_near_dup_pairs(
                 df, "doc_id", "text", n_bands=4, max_hamming=4
             )
+
+
+class TestSemanticDecontaminate:
+    """Embedding-space decontamination (ops/similarity.py)."""
+
+    def test_drops_near_eval_keeps_far(self, spark):
+        from ocr_search_spark.ops.similarity import semantic_decontaminate
+
+        ev = spark.createDataFrame(
+            [(100, [1.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        pool = spark.createDataFrame(
+            [
+                (1, [0.99, 0.01, 0.0]),  # ~parallel to eval -> contaminated
+                (2, [0.0, 1.0, 0.0]),    # orthogonal -> survives
+                (3, [-1.0, 0.0, 0.0]),   # anti-parallel (cos -1) -> survives
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        kept = {
+            r.vec_id
+            for r in semantic_decontaminate(pool, ev, threshold=0.9).collect()
+        }
+        assert kept == {2, 3}
+
+    def test_any_eval_vector_contaminates(self, spark):
+        from ocr_search_spark.ops.similarity import semantic_decontaminate
+
+        ev = spark.createDataFrame(
+            [(100, [1.0, 0.0]), (101, [0.0, 1.0])],
+            "vec_id long, embedding array<float>",
+        )
+        pool = spark.createDataFrame(
+            [(1, [0.99, 0.01]), (2, [0.01, 0.99]), (3, [-0.7, -0.7])],
+            "vec_id long, embedding array<float>",
+        )
+        kept = {
+            r.vec_id
+            for r in semantic_decontaminate(pool, ev, threshold=0.9).collect()
+        }
+        assert kept == {3}  # 1 hits eval#100, 2 hits eval#101
+
+    def test_plan_is_broadcast_anti_no_pool_shuffle(self, spark):
+        from ocr_search_spark.ops.similarity import semantic_decontaminate
+
+        ev = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        pool = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(1, 6)],
+            "vec_id long, embedding array<float>",
+        )
+        plan = (
+            semantic_decontaminate(pool, ev, threshold=0.99)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # one broadcast nested-loop anti pass; the pool side is never shuffled
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "LeftAnti" in plan
+        assert "Exchange hashpartitioning" not in plan
+
+
+class TestCorpusDataCard:
+    """CUBE data card (ops/text_analysis.py corpus_data_card)."""
+
+    def test_cells_subtotals_and_grand_total(self, spark):
+        from pyspark.sql import functions as F
+
+        from ocr_search_spark.ops.text_analysis import corpus_data_card
+
+        rows = [
+            ("en", "train", 10),
+            ("en", "train", 20),
+            ("en", "val", 5),
+            ("ru", "train", 7),
+        ]
+        df = spark.createDataFrame(rows, "lang string, split string, n long")
+        out = corpus_data_card(df, ["lang", "split"], {"n": F.sum("n")})
+        got = {(r.lang, r.split): (r.docs, r.n) for r in out.collect()}
+        # 2^2 grouping sets: cells, each 1-dim subtotal, grand total
+        assert got[("en", "train")] == (2, 30)
+        assert got[("en", "val")] == (1, 5)
+        assert got[("ru", "train")] == (1, 7)
+        assert got[("en", None)] == (3, 35)
+        assert got[(None, "train")] == (3, 37)
+        assert got[(None, None)] == (4, 42)
+        assert len(got) == 3 + 2 + 2 + 1
+
+    def test_single_job_single_shuffle(self, spark):
+        from pyspark.sql import functions as F
+
+        from ocr_search_spark.ops.text_analysis import corpus_data_card
+
+        df = spark.createDataFrame(
+            [("en", "train", 1)], "lang string, split string, n long"
+        )
+        plan = (
+            corpus_data_card(df, ["lang", "split"], {"n": F.sum("n")})
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # expand + partial aggregate before ONE exchange — not a job per cut
+        assert plan.count("Exchange") == 1
+        assert "Expand" in plan
