@@ -1934,6 +1934,39 @@ def q_data_card(spark, sf_dir):
     )
 
 
+def q_nb_train_weights(spark, sf_dir):
+    """Naive Bayes quality/language classifier TRAINING (ops/classify.py
+    nb_train — the trainable half of the fastText-shaped filter): seed
+    label lang='en' vs rest, hashed unigram+bigram features, add-one-
+    smoothed log-likelihood-ratio weights on the integer half-bit
+    lattice scaled by NB_HB_FP. Output: the 100 strongest pro-English
+    model weights (weight_fp desc, bucket asc) — the model artifact
+    linear_scores serves."""
+    from ocr_search_spark.ops.classify import nb_train
+
+    w = nb_train(_docs(spark, sf_dir), "lang", "en", n_buckets=1 << 18)
+    order = [F.col("weight_fp").desc(), F.col("bucket").asc()]
+    top = w.orderBy(*order).limit(100)
+    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
+
+
+def q_nb_select(spark, sf_dir):
+    """Train-then-serve composition: nb_train fits the lang='en' NB model
+    on the corpus, linear_scores broadcast-joins the weight table back
+    onto the same hashed feature stream, and the top 100 documents by
+    integer logit are selected (logit_fp desc, id asc) — the CCNet /
+    LLaMA seed-classifier data-selection loop end-to-end in two
+    aggregation passes."""
+    from ocr_search_spark.ops.classify import linear_scores, nb_train
+
+    docs = _docs(spark, sf_dir)
+    w = nb_train(docs, "lang", "en", n_buckets=1 << 18)
+    scored = linear_scores(docs, "doc_id", "text", w, n_buckets=1 << 18)
+    order = [F.col("logit_fp").desc(), F.col("id").asc()]
+    top = scored.orderBy(*order).limit(100)
+    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so every entry is certified within the driver's 50-entry
     CORRECTNESS window at least once across rounds (the sweep reports the
@@ -2078,6 +2111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW late round 5 (never driver-certified; r6 window queue) ---
         "semantic_decontaminate": q_semantic_decontaminate,
         "data_card": q_data_card,
+        "nb_train_weights": q_nb_train_weights,
+        "nb_select": q_nb_select,
     }
 
 
@@ -3681,6 +3716,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS vec_id FROM pool
             WHERE id NOT IN (SELECT id FROM contam)
         """,
+        "nb_train_weights": f"""
+            WITH {_nb_weights_sql()}
+            SELECT bucket, weight_fp, rnk FROM (
+              SELECT bk AS bucket, weight_fp,
+                     row_number() OVER (ORDER BY weight_fp DESC, bk) AS rnk
+              FROM w
+            ) WHERE rnk <= 100
+        """,
+        "nb_select": f"""
+            WITH {_nb_weights_sql()},
+            s AS (
+              SELECT b.doc_id, sum(w.weight_fp)::BIGINT AS logit_fp
+              FROM b JOIN w ON w.bk = b.bk GROUP BY b.doc_id
+            ), scored AS (
+              SELECT d.doc_id AS id, coalesce(s.logit_fp, 0) AS logit_fp
+              FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+            )
+            SELECT id, logit_fp, rnk FROM (
+              SELECT *,
+                     row_number() OVER (ORDER BY logit_fp DESC, id) AS rnk
+              FROM scored
+            ) WHERE rnk <= 100
+        """,
         "data_card": f"""
             WITH s AS (
               SELECT lang,
@@ -4486,6 +4544,50 @@ def _cosine_near_dedup_cc_oracle_sql(
         SELECT vec_id FROM embeddings
         WHERE vec_id NOT IN (SELECT id FROM lbl WHERE label < id)
     """
+
+
+def _nb_weights_sql(n_buckets: int = 1 << 18) -> str:
+    """Twin of ops.classify.nb_train on documents with pos = lang='en':
+    a WITH-chain (no WITH keyword) ending in ``w(bk, weight_fp)`` —
+    hashed unigram+'_'-bigram buckets (token_bucket_expr convention,
+    unsalted md5), per-bucket class counts, add-one-smoothed half-bit
+    log-likelihood-ratio scaled by NB_HB_FP=346574."""
+    hb = "length(bin((({x}) * ({x}))::BIGINT)) - 1"
+    w = (
+        "346574 * (("
+        + hb.format(x="cp + 1")
+        + " - ("
+        + hb.format(x=f"tp + {n_buckets}")
+        + ")) - ("
+        + hb.format(x="cn + 1")
+        + " - ("
+        + hb.format(x=f"tn + {n_buckets}")
+        + ")))"
+    )
+    return f"""t AS (
+          SELECT doc_id, lang, {_TOK} AS toks FROM documents
+        ), f AS (
+          SELECT doc_id, lang,
+                 unnest(list_concat(toks,
+                   list_transform(range(1, greatest(len(toks), 1)),
+                     i -> toks[i] || '_' || toks[i + 1]))) AS feat
+          FROM t
+        ), b AS (
+          SELECT doc_id, lang,
+                 ('0x' || substring(md5(feat), 1, 8))::BIGINT
+                   % {n_buckets} AS bk
+          FROM f
+        ), per AS (
+          SELECT bk,
+                 sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS cp,
+                 sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::BIGINT AS cn
+          FROM b GROUP BY bk
+        ), tot AS (
+          SELECT sum(cp)::BIGINT AS tp, sum(cn)::BIGINT AS tn FROM per
+        ), w AS (
+          SELECT bk, ({w})::BIGINT AS weight_fp
+          FROM per CROSS JOIN tot
+        )"""
 
 
 def _dsir_tail_sql(n_buckets: int = 1024, n: int = 50) -> str:

@@ -178,6 +178,9 @@ def main() -> None:
         "ngram_novelty",
         "split_leakage",
         "simhash_dedup",
+        "semantic_decontaminate",
+        "data_card",
+        "nb_select",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

@@ -17,8 +17,12 @@ path Spark-first:
   ``pq_adc_topk`` discipline). The float sigmoid is a presentation-layer
   convenience, never part of the decision columns.
 
-Training the weights is out of scope (an offline job); any
-(bucket, weight) table plugs in.
+:func:`nb_train` closes the loop: a multinomial Naive Bayes trainer over
+the SAME hashed feature map, emitting a (bucket, weight_fp) table that
+:func:`linear_scores` consumes directly — the seed-labelled quality /
+language classifier step of CCNet-style pipelines, trained in one
+aggregation pass. Any externally-trained (bucket, weight) table still
+plugs in unchanged.
 """
 
 from __future__ import annotations
@@ -30,6 +34,13 @@ from ..search.analysis import tokens_expr
 
 #: fixed-point scale: 1.0 == 1_000_000 units
 FP_ONE = 1_000_000
+
+#: FP units per HALF-BIT of log-likelihood: round(FP_ONE * ln(2) / 2).
+#: nb_train measures log probabilities on the integer half-bit lattice
+#: (the ops.dsir discipline — floor(2*log2(x)) is exact BIGINT math in
+#: any engine); one fixed integer constant converts the lattice to the
+#: natural-log fixed point linear_scores/sigmoid_score expect.
+NB_HB_FP = 346_574
 
 
 def token_bucket_expr(tok: Column, n_buckets: int) -> Column:
@@ -66,6 +77,75 @@ def hashed_features(
         .select("id", token_bucket_expr(F.col("__f"), n_buckets).alias("bucket"))
         .groupBy("id", "bucket")
         .agg(F.count("*").alias("cnt"))
+    )
+
+
+def nb_train(
+    df: DataFrame,
+    label_col: str,
+    pos_value: str,
+    text_col: str = "text",
+    n_buckets: int = 1 << 18,
+    bigrams: bool = True,
+) -> DataFrame:
+    """Train a binary multinomial Naive Bayes classifier over hashed
+    bag-of-features: (bucket, weight_fp), ready for :func:`linear_scores`.
+
+    The trainable half of the fastText-style quality/language filter:
+    rows where ``label_col == pos_value`` are the positive class (e.g. a
+    seed corpus of known-good text), everything else is negative. Each
+    bucket's weight is the add-one-smoothed log-likelihood ratio
+
+        ``w(b) = [log(c_pos(b)+1) - log(T_pos+B)]
+               - [log(c_neg(b)+1) - log(T_neg+B)]``
+
+    computed on the integer half-bit lattice (``floor(2*log2(x))`` via
+    ``length(bin(x*x))-1`` — exact BIGINT arithmetic, engine-identical;
+    the ops.dsir discipline) and scaled to fixed point by the single
+    integer constant :data:`NB_HB_FP`, so training is bit-reproducible
+    and the DuckDB oracle matches hash-exactly. Buckets unseen in
+    training are absent from the table and serve as EXACTLY 0 through
+    linear_scores' left join — the standard neutral-unseen-feature
+    serving convention (the smoothed model's tiny nonzero prior for an
+    unseen bucket is deliberately dropped; emitting all ``n_buckets``
+    rows to keep it would bloat the broadcast for ranking-irrelevant
+    mass). The class prior ``log P(pos)/P(neg)`` is likewise omitted —
+    it is a per-document constant, invisible to ranking and absorbed by
+    any threshold calibration; pass one via linear_scores' ``bias_fp``
+    if calibrated probabilities matter.
+
+    Scale shape: one explode + map-side-combinable groupBy(label,
+    bucket) (shuffle volume ≤ 2·n_buckets rows, NOT the token stream),
+    a bucket-keyed pivot of at most 2·n_buckets rows, totals as
+    broadcast single-row crossJoins — never ``.collect()``. Labels must
+    be non-null. Counts must stay below 2^31 (the half-bit guard raises
+    rather than overflowing — shard the fit per partition group at true
+    100 TB scale, as in ops.dsir)."""
+    from .dsir import _hb
+
+    counts = hashed_features(df, label_col, text_col, n_buckets, bigrams)
+    per_bucket = counts.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col("id") == pos_value, F.col("cnt")).otherwise(F.lit(0))
+        ).alias("cp"),
+        F.sum(
+            F.when(F.col("id") != pos_value, F.col("cnt")).otherwise(F.lit(0))
+        ).alias("cn"),
+    )
+    totals = per_bucket.agg(
+        F.coalesce(F.sum("cp"), F.lit(0)).alias("tp"),
+        F.coalesce(F.sum("cn"), F.lit(0)).alias("tn"),
+    )
+    b = F.lit(int(n_buckets))
+    return per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.lit(NB_HB_FP)
+            * (
+                (_hb(F.col("cp") + 1) - _hb(F.col("tp") + b))
+                - (_hb(F.col("cn") + 1) - _hb(F.col("tn") + b))
+            )
+        ).alias("weight_fp"),
     )
 
 

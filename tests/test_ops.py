@@ -1611,6 +1611,91 @@ class TestLinearClassifier:
         vals = [r.s for r in df.collect()]
         assert vals[0] < 0.5 and abs(vals[1] - 0.5) < 1e-12 and vals[2] > 0.5
 
+    _NB_CORPUS = [
+        (1, "pos", "quality quality text"),
+        (2, "pos", "quality text"),
+        (3, "neg", "spam spam text"),
+        (4, "neg", "spam text"),
+    ]
+
+    def test_nb_train_matches_scalar_model(self, spark):
+        """Every trained weight equals the pure-Python NB model exactly
+        (same md5 buckets, same half-bit lattice, same NB_HB_FP scale)."""
+        import hashlib
+
+        from ocr_search_spark.ops.classify import NB_HB_FP, nb_train
+
+        n_buckets = 1 << 18
+        df = spark.createDataFrame(
+            self._NB_CORPUS, "doc_id long, label string, text string"
+        )
+        got = {
+            r.bucket: r.weight_fp
+            for r in nb_train(
+                df, "label", "pos", n_buckets=n_buckets, bigrams=False
+            ).collect()
+        }
+
+        def bucket(tok):
+            return (
+                int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n_buckets
+            )
+
+        def hb(x):
+            return (x * x).bit_length() - 1
+
+        cp, cn = {}, {}
+        for _, label, text in self._NB_CORPUS:
+            for tok in text.split():
+                d = cp if label == "pos" else cn
+                d[bucket(tok)] = d.get(bucket(tok), 0) + 1
+        tp, tn = sum(cp.values()), sum(cn.values())
+        want = {
+            b: NB_HB_FP
+            * (
+                (hb(cp.get(b, 0) + 1) - hb(tp + n_buckets))
+                - (hb(cn.get(b, 0) + 1) - hb(tn + n_buckets))
+            )
+            for b in set(cp) | set(cn)
+        }
+        assert got == want
+        # sanity on the signs: pos-only token up, neg-only down, shared ~0
+        assert got[bucket("quality")] > 0 > got[bucket("spam")]
+        assert got[bucket("text")] == 0
+
+    def test_nb_train_serve_ranks_by_class(self, spark):
+        from ocr_search_spark.ops.classify import linear_scores, nb_train
+
+        train = spark.createDataFrame(
+            self._NB_CORPUS, "doc_id long, label string, text string"
+        )
+        w = nb_train(train, "label", "pos", bigrams=False)
+        new = spark.createDataFrame(
+            [(10, "quality quality"), (11, "text"), (12, "spam spam")],
+            "doc_id long, text string",
+        )
+        out = {
+            r.id: r.logit_fp
+            for r in linear_scores(
+                new, "doc_id", "text", w, bigrams=False
+            ).collect()
+        }
+        assert out[10] > out[11] > out[12]
+        assert out[11] == 0  # neutral shared token
+
+    def test_nb_train_serve_plan_jvm_only(self, spark):
+        from ocr_search_spark.ops.classify import linear_scores, nb_train
+
+        train = spark.createDataFrame(
+            self._NB_CORPUS, "doc_id long, label string, text string"
+        )
+        w = nb_train(train, "label", "pos")
+        scored = linear_scores(train, "doc_id", "text", w)
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        assert "PythonUDF" not in plan
+        # the model rides a broadcast join onto the feature stream
+        assert "BroadcastHashJoin" in plan
+
 
 class TestRegisteredDomain:
     CASES = [
