@@ -1967,6 +1967,43 @@ def q_nb_select(spark, sf_dir):
     return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
 
 
+def q_vocab_distinct_est(spark, sf_dir):
+    """Bounded-shuffle distinct-cardinality estimation (ops/sketch.py —
+    deterministic hash-threshold sampling, the engine-reproducible
+    alternative to HLL): per-language distinct-token estimates at
+    sample_bits=4 (a 1/16 sample of the distinct-value space; only the
+    sampled values ever shuffle), joined against the exact distinct
+    count so the estimate's accuracy is visible in the result."""
+    from ocr_search_spark.ops.sketch import distinct_estimate
+    from ocr_search_spark.search.analysis import tokens_expr
+
+    d = _docs(spark, sf_dir).select(
+        "lang", F.explode(tokens_expr("text")).alias("tok")
+    )
+    est = distinct_estimate(d, ["lang"], "tok", sample_bits=4)
+    exact = d.groupBy("lang").agg(F.countDistinct("tok").alias("n_exact"))
+    return est.join(exact, "lang").select(
+        "lang", "n_sampled", "n_est", "n_exact"
+    )
+
+
+def q_vocab_overlap(spark, sf_dir):
+    """Cross-split vocabulary overlap via the shared distinct-value
+    sample (ops/sketch.py sampled_jaccard): token-level Jaccard between
+    train/val/test vocabularies in exact per-mille integers. The
+    self-join runs on the sampled table, never the token stream — the
+    token-level complement of the document-level `split_leakage`
+    matrix."""
+    from ocr_search_spark.ops.sampling import hash_split
+    from ocr_search_spark.ops.sketch import sampled_jaccard
+    from ocr_search_spark.search.analysis import tokens_expr
+
+    d = hash_split(
+        _docs(spark, sf_dir), {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("split", F.explode(tokens_expr("text")).alias("tok"))
+    return sampled_jaccard(d, "split", "tok", sample_bits=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so every entry is certified within the driver's 50-entry
     CORRECTNESS window at least once across rounds (the sweep reports the
@@ -2113,6 +2150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_card": q_data_card,
         "nb_train_weights": q_nb_train_weights,
         "nb_select": q_nb_select,
+        "vocab_distinct_est": q_vocab_distinct_est,
+        "vocab_overlap": q_vocab_overlap,
     }
 
 
@@ -3738,6 +3777,60 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY logit_fp DESC, id) AS rnk
               FROM scored
             ) WHERE rnk <= 100
+        """,
+        "vocab_distinct_est": f"""
+            WITH toks AS (
+              SELECT lang, unnest({_TOK}) AS tok FROM documents
+            ), s AS (
+              SELECT DISTINCT lang,
+                     ('0x' || substring(md5(tok), 1, 8))::BIGINT AS h
+              FROM toks
+              WHERE ('0x' || substring(md5(tok), 1, 8))::BIGINT < 268435456
+            ), est AS (
+              SELECT lang, count(*) AS n_sampled,
+                     (count(*) * 16)::BIGINT AS n_est
+              FROM s GROUP BY lang
+            ), ex AS (
+              SELECT lang, count(DISTINCT tok) AS n_exact
+              FROM toks GROUP BY lang
+            )
+            SELECT est.lang, n_sampled, n_est, n_exact
+            FROM est JOIN ex ON ex.lang = est.lang
+        """,
+        "vocab_overlap": f"""
+            WITH base AS (
+              SELECT CASE WHEN b < 8000 THEN 'train'
+                          WHEN b < 9000 THEN 'val'
+                          ELSE 'test' END AS split,
+                     text
+              FROM (
+                SELECT *,
+                       ('0x' || substring(md5('split' || doc_id), 1, 8))::BIGINT
+                         % 10000 AS b
+                FROM documents
+              )
+            ), toks AS (
+              SELECT split, unnest({_TOK}) AS tok FROM base
+            ), s AS (
+              SELECT DISTINCT split,
+                     ('0x' || substring(md5(tok), 1, 8))::BIGINT AS h
+              FROM toks
+              WHERE ('0x' || substring(md5(tok), 1, 8))::BIGINT < 536870912
+            ), sz AS (
+              SELECT split, count(*) AS n FROM s GROUP BY split
+            ), inter AS (
+              SELECT a.split AS set_a, b.split AS set_b,
+                     count(*) AS n_inter
+              FROM s a JOIN s b ON a.h = b.h AND a.split < b.split
+              GROUP BY 1, 2
+            )
+            SELECT set_a, set_b, n_inter,
+                   (na.n + nb.n - n_inter)::BIGINT AS n_union,
+                   floor(1000.0 * n_inter / (na.n + nb.n - n_inter))::BIGINT
+                     AS jaccard_pm
+            FROM inter
+            JOIN sz na ON na.split = set_a
+            JOIN sz nb ON nb.split = set_b
         """,
         "data_card": f"""
             WITH s AS (

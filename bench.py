@@ -181,6 +181,8 @@ def main() -> None:
         "semantic_decontaminate",
         "data_card",
         "nb_select",
+        "vocab_distinct_est",
+        "vocab_overlap",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

@@ -1,0 +1,150 @@
+"""Deterministic cardinality sketches: bounded-shuffle distinct
+estimation and set-overlap estimation over massive key spaces.
+
+At 100 TB, exact ``COUNT(DISTINCT token)`` per group shuffles every
+distinct value; Spark's built-in ``approx_count_distinct`` (HLL++)
+bounds that state but its sketch is engine-specific — useless where the
+result must be reproducible bit-for-bit across engines (the repo-wide
+oracle discipline; no reference analogue — a first-class
+training-pipeline analytics operator like ops/dsir.py).
+
+This module uses the classic HASH-THRESHOLD (bottom-level Flajolet /
+"adaptive sampling", the fixed-level special case of KMV) sketch
+instead: keep a value iff its 32-bit md5 prefix falls below
+``2^(32-sample_bits)`` — a deterministic 1/2^b uniform sample of the
+DISTINCT value space (duplicates of one value hash identically, so the
+sample decision is per-VALUE, not per-row). Then
+
+    distinct_estimate = distinct_sampled * 2^sample_bits
+
+* exact integer arithmetic end to end — both engines compute the same
+  md5, the same threshold decision, the same counts;
+* the filter runs BEFORE the distinct shuffle, so shuffle volume is
+  n_distinct / 2^b rows — the operator's whole point at scale;
+* sketches are mergeable: the union of two groups' samples is the
+  sample of the union (same hash, same threshold), so partial
+  aggregates compose — and set overlap (Jaccard) computed ON the
+  samples estimates the true overlap, since a uniform sample of the
+  union hits intersection elements in proportion.
+
+Standard error is ~1/sqrt(distinct_sampled); pick ``sample_bits`` so
+the expected sample is 10^3–10^4 (relative error of a few percent)
+and the shuffle stays tiny at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: 32-bit hash space size
+_HASH_SPACE = 1 << 32
+
+
+def hash32_expr(col: Column) -> Column:
+    """First 32 bits of md5(value) as a BIGINT in [0, 2^32) — the
+    engine-portable uniform hash every sketch decision is made on
+    (the ops.sampling.hash_bucket md5 convention)."""
+    return F.conv(
+        F.substring(F.md5(F.encode(col.cast("string"), "utf-8")), 1, 8), 16, 10
+    ).cast("long")
+
+
+def distinct_sample(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    sample_bits: int,
+) -> DataFrame:
+    """The deterministic distinct-value sample: one row per (keys,
+    value) whose hash clears the threshold — ``(keys..., __h)`` where
+    ``__h`` is the value's 32-bit hash. The threshold filter runs
+    before the distinct, so only ~n_distinct/2^b rows ever shuffle."""
+    if not 0 <= sample_bits <= 31:
+        raise ValueError(f"sample_bits must be in [0, 31]: {sample_bits}")
+    cutoff = _HASH_SPACE >> sample_bits
+    return (
+        df.select(*keys, hash32_expr(F.col(value_col)).alias("__h"))
+        .filter(F.col("__h") < F.lit(cutoff))
+        .distinct()
+    )
+
+
+def distinct_estimate(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    sample_bits: int = 4,
+) -> DataFrame:
+    """Per-group distinct-cardinality estimate with bounded shuffle:
+    ``(keys..., n_sampled, n_est)`` where ``n_est = n_sampled *
+    2^sample_bits``. Exact integers, engine-reproducible; relative
+    error ~1/sqrt(n_sampled). ``sample_bits=0`` degrades gracefully to
+    the exact distinct count."""
+    return (
+        distinct_sample(df, keys, value_col, sample_bits)
+        .groupBy(*keys)
+        .agg(F.count("*").alias("n_sampled"))
+        .select(
+            *keys,
+            "n_sampled",
+            (F.col("n_sampled") * F.lit(1 << sample_bits)).alias("n_est"),
+        )
+    )
+
+
+def sampled_jaccard(
+    df: DataFrame,
+    set_col: str,
+    value_col: str,
+    sample_bits: int = 4,
+) -> DataFrame:
+    """Pairwise set-overlap estimate between every pair of sets, on the
+    shared distinct-value sample: ``(set_a, set_b, n_inter, n_union,
+    jaccard_pm)`` for set_a < set_b, with ``jaccard_pm`` the Jaccard
+    index in exact per-mille integer units (``1000*n_inter/n_union``,
+    floor division — no floats cross an engine boundary).
+
+    Because every set's sample is drawn by the SAME value hash and
+    threshold, an element of the intersection is either sampled in both
+    sets or in neither — so intersection/union counted on the samples
+    is an unbiased estimate of the true overlap. The self-join runs on
+    the sampled table (~n_distinct/2^b rows), never the corpus. Pairs
+    whose SAMPLED intersection is empty are omitted (inner join — an
+    estimated-zero overlap produces no row, it does not prove true
+    disjointness)."""
+    s = distinct_sample(df, [set_col], value_col, sample_bits)
+    a = s.select(F.col(set_col).alias("set_a"), "__h")
+    b = s.select(F.col(set_col).alias("set_b"), "__h")
+    inter = (
+        a.join(b, "__h")
+        .filter(F.col("set_a") < F.col("set_b"))
+        .groupBy("set_a", "set_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = s.groupBy(set_col).agg(F.count("*").alias("n"))
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col(set_col).alias("set_a"), F.col("n").alias("na"))),
+            "set_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col(set_col).alias("set_b"), F.col("n").alias("nb"))),
+            "set_b",
+        )
+        .select(
+            "set_a",
+            "set_b",
+            "n_inter",
+            (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"),
+            # floor of a correctly-rounded IEEE quotient of exact
+            # integers is engine-identical; a bare cast is NOT (Spark
+            # truncates, DuckDB rounds)
+            F.floor(
+                (F.lit(1000) * F.col("n_inter"))
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            )
+            .cast("long")
+            .alias("jaccard_pm"),
+        )
+    )

@@ -1697,6 +1697,88 @@ class TestLinearClassifier:
         assert "BroadcastHashJoin" in plan
 
 
+class TestDistinctSketch:
+    def test_zero_bits_is_exact(self, spark):
+        from ocr_search_spark.ops.sketch import distinct_estimate
+
+        df = spark.createDataFrame(
+            [("a", str(i % 7)) for i in range(50)]
+            + [("b", str(i % 3)) for i in range(9)],
+            "grp string, v string",
+        )
+        out = {
+            r.grp: (r.n_sampled, r.n_est)
+            for r in distinct_estimate(df, ["grp"], "v", 0).collect()
+        }
+        assert out == {"a": (7, 7), "b": (3, 3)}
+
+    def test_sample_matches_scalar_model(self, spark):
+        """The threshold decision and the estimate equal the pure-Python
+        md5 model exactly — duplicates never change the sample."""
+        import hashlib
+
+        from ocr_search_spark.ops.sketch import distinct_estimate
+
+        bits = 4
+        vals = [str(i) for i in range(1000)]
+        df = spark.createDataFrame(
+            [("g", v) for v in vals] + [("g", v) for v in vals[:100]],
+            "grp string, v string",
+        )
+        [row] = distinct_estimate(df, ["grp"], "v", bits).collect()
+
+        cutoff = (1 << 32) >> bits
+        want = sum(
+            1
+            for v in vals
+            if int(hashlib.md5(v.encode()).hexdigest()[:8], 16) < cutoff
+        )
+        assert (row.n_sampled, row.n_est) == (want, want << bits)
+        # ~1000/16 expected; determinism means an exact constant here
+        assert 30 <= row.n_sampled <= 100
+
+    def test_sampled_jaccard_identical_sets(self, spark):
+        from ocr_search_spark.ops.sketch import sampled_jaccard
+
+        rows = [(s, str(i)) for s in ("x", "y") for i in range(200)]
+        df = spark.createDataFrame(rows, "grp string, v string")
+        [r] = sampled_jaccard(df, "grp", "v", 2).collect()
+        assert (r.set_a, r.set_b) == ("x", "y")
+        assert r.n_inter == r.n_union and r.jaccard_pm == 1000
+
+    def test_sampled_jaccard_disjoint_sets_emit_nothing(self, spark):
+        from ocr_search_spark.ops.sketch import sampled_jaccard
+
+        rows = [("x", f"a{i}") for i in range(200)] + [
+            ("y", f"b{i}") for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "grp string, v string")
+        assert sampled_jaccard(df, "grp", "v", 2).count() == 0
+
+    def test_half_overlap_estimate_and_validation(self, spark):
+        import pytest
+
+        from ocr_search_spark.ops.sketch import (
+            distinct_sample,
+            sampled_jaccard,
+        )
+
+        common = [str(i) for i in range(300)]
+        rows = (
+            [("x", v) for v in common]
+            + [("x", f"ax{i}") for i in range(300)]
+            + [("y", v) for v in common]
+            + [("y", f"by{i}") for i in range(300)]
+        )
+        df = spark.createDataFrame(rows, "grp string, v string")
+        [r] = sampled_jaccard(df, "grp", "v", 2).collect()
+        # true jaccard 300/900 = 333 pm; the 1/4 sample estimate should
+        # land in a generous band around it (deterministic, not flaky)
+        assert 150 <= r.jaccard_pm <= 550
+        with pytest.raises(ValueError):
+            distinct_sample(df, ["grp"], "v", 32)
+
+
 class TestRegisteredDomain:
     CASES = [
         ("news.bbc.co.uk", "bbc.co.uk"),
