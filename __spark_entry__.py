@@ -2004,6 +2004,23 @@ def q_vocab_overlap(spark, sf_dir):
     return sampled_jaccard(d, "split", "tok", sample_bits=3)
 
 
+def q_shard_manifest(spark, sf_dir):
+    """Data-release manifest (ops/sampling.py shard_manifest): per-split
+    doc/token counts, id range, and an order-independent XOR content
+    checksum (60-bit per-doc digests, sign-bit-safe in both engines) —
+    the integrity sidecar a published corpus ships so two independently
+    produced copies compare by one 8-byte value per shard, no sorting."""
+    from ocr_search_spark.ops.sampling import hash_split, shard_manifest
+    from ocr_search_spark.search.analysis import tokens_expr
+
+    d = hash_split(
+        _docs(spark, sf_dir), {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).withColumn("toks_n", F.size(tokens_expr("text")))
+    return shard_manifest(
+        d, ["split"], "doc_id", "text", token_count_col="toks_n"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so every entry is certified within the driver's 50-entry
     CORRECTNESS window at least once across rounds (the sweep reports the
@@ -2152,6 +2169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_select": q_nb_select,
         "vocab_distinct_est": q_vocab_distinct_est,
         "vocab_overlap": q_vocab_overlap,
+        "shard_manifest": q_shard_manifest,
     }
 
 
@@ -3777,6 +3795,27 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY logit_fp DESC, id) AS rnk
               FROM scored
             ) WHERE rnk <= 100
+        """,
+        "shard_manifest": f"""
+            WITH s AS (
+              SELECT CASE WHEN b < 8000 THEN 'train'
+                          WHEN b < 9000 THEN 'val'
+                          ELSE 'test' END AS split,
+                     doc_id, text, len({_TOK}) AS toks_n
+              FROM (
+                SELECT *,
+                       ('0x' || substring(md5('split' || doc_id), 1, 8))::BIGINT
+                         % 10000 AS b
+                FROM documents
+              )
+            )
+            SELECT split, count(*) AS n_docs,
+                   sum(toks_n)::BIGINT AS n_tokens,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id,
+                   bit_xor(('0x' || substring(
+                       md5(doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT)
+                     AS content_xor
+            FROM s GROUP BY split
         """,
         "vocab_distinct_est": f"""
             WITH toks AS (

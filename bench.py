@@ -183,6 +183,7 @@ def main() -> None:
         "nb_select",
         "vocab_distinct_est",
         "vocab_overlap",
+        "shard_manifest",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

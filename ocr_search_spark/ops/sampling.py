@@ -553,3 +553,55 @@ def oversample(
         )
         .drop("__n")
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    shard_cols: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_count_col: str | None = None,
+) -> DataFrame:
+    """Data-release manifest: one row per shard with the integrity
+    metadata a published training corpus ships alongside its files —
+    ``(shard_cols..., n_docs, n_tokens?, min_id, max_id, content_xor)``.
+
+    ``content_xor`` is an ORDER-INDEPENDENT content checksum: the XOR
+    of each document's 60-bit digest (first 15 hex chars of
+    ``md5(id || ':' || text)`` — 15, not 16, so the BIGINT conversion
+    never touches the sign bit and both engines agree exactly). XOR is
+    associative/commutative, so the distributed aggregation is
+    bit-identical to any serial oracle regardless of partitioning or
+    row order — two independently-produced copies of a shard can be
+    compared by one 8-byte value without sorting either side. (A
+    swapped-id pair or any re-edit flips the digest; XOR's known
+    blindness to an even number of IDENTICAL (id, text) rows is
+    excluded by upstream exact dedup, and row-count drift is caught by
+    ``n_docs``.)
+
+    One map-side-combinable groupBy — the manifest never shuffles more
+    than ``n_shards`` rows."""
+    digest = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"), F.lit(":"), F.col(text_col)
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    aggs = [F.count("*").alias("n_docs")]
+    if token_count_col is not None:
+        aggs.append(
+            F.sum(F.col(token_count_col).cast("long")).alias("n_tokens")
+        )
+    aggs += [
+        F.min(id_col).alias("min_id"),
+        F.max(id_col).alias("max_id"),
+        F.bit_xor(digest).alias("content_xor"),
+    ]
+    return df.groupBy(*shard_cols).agg(*aggs)

@@ -1697,6 +1697,76 @@ class TestLinearClassifier:
         assert "BroadcastHashJoin" in plan
 
 
+class TestShardManifest:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "shard string, doc_id long, text string, toks long"
+        )
+
+    ROWS = [("s0", i, f"text number {i}", 3) for i in range(40)] + [
+        ("s1", 100 + i, f"other {i}", 2) for i in range(10)
+    ]
+
+    def test_matches_scalar_model_and_partition_invariance(self, spark):
+        import functools
+        import hashlib
+
+        from ocr_search_spark.ops.sampling import shard_manifest
+
+        df = self._df(spark, self.ROWS)
+        out = {
+            r.shard: (r.n_docs, r.n_tokens, r.min_id, r.max_id, r.content_xor)
+            for r in shard_manifest(
+                df, ["shard"], "doc_id", "text", "toks"
+            ).collect()
+        }
+
+        def digest(i, t):
+            return int(
+                hashlib.md5(f"{i}:{t}".encode()).hexdigest()[:15], 16
+            )
+
+        for shard in ("s0", "s1"):
+            rows = [r for r in self.ROWS if r[0] == shard]
+            want_xor = functools.reduce(
+                lambda a, b: a ^ b, (digest(r[1], r[2]) for r in rows)
+            )
+            assert out[shard] == (
+                len(rows),
+                sum(r[3] for r in rows),
+                min(r[1] for r in rows),
+                max(r[1] for r in rows),
+                want_xor,
+            )
+
+        # XOR is order/partitioning independent: any repartition agrees
+        re = {
+            r.shard: r.content_xor
+            for r in shard_manifest(
+                df.repartition(7, "text"), ["shard"], "doc_id", "text", "toks"
+            ).collect()
+        }
+        assert re == {s: v[4] for s, v in out.items()}
+
+    def test_single_edit_flips_checksum(self, spark):
+        from ocr_search_spark.ops.sampling import shard_manifest
+
+        a = self._df(spark, self.ROWS)
+        edited = [
+            (s, i, t + "!" if i == 7 else t, k) for s, i, t, k in self.ROWS
+        ]
+        b = self._df(spark, edited)
+        xa = {
+            r.shard: r.content_xor
+            for r in shard_manifest(a, ["shard"], "doc_id", "text").collect()
+        }
+        xb = {
+            r.shard: r.content_xor
+            for r in shard_manifest(b, ["shard"], "doc_id", "text").collect()
+        }
+        assert xa["s0"] != xb["s0"] and xa["s1"] == xb["s1"]
+
+
 class TestDistinctSketch:
     def test_zero_bits_is_exact(self, spark):
         from ocr_search_spark.ops.sketch import distinct_estimate
