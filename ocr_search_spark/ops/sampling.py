@@ -579,21 +579,27 @@ def shard_manifest(
     excluded by upstream exact dedup, and row-count drift is caught by
     ``n_docs``.)
 
+    Null ``id_col``/``text_col`` values are rejected at runtime
+    (``raise_error``): ``bit_xor`` silently SKIPS a null digest, so a
+    null row would fall out of the checksum while still counting in
+    ``n_docs`` — an integrity manifest must fail loudly instead (the
+    pack_shards null-guard discipline).
+
     One map-side-combinable groupBy — the manifest never shuffles more
     than ``n_shards`` rows."""
-    digest = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col(id_col).cast("string"), F.lit(":"), F.col(text_col)
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    raw = F.concat(
+        F.col(id_col).cast("string"), F.lit(":"), F.col(text_col)
+    )
+    raw = F.when(
+        raw.isNull(),
+        F.raise_error(
+            F.lit(
+                f"shard_manifest: null {id_col}/{text_col} — a null row "
+                "would silently vanish from content_xor"
+            )
+        ).cast("string"),
+    ).otherwise(raw)
+    digest = F.conv(F.substring(F.md5(raw), 1, 15), 16, 10).cast("long")
     aggs = [F.count("*").alias("n_docs")]
     if token_count_col is not None:
         aggs.append(

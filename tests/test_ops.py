@@ -1766,6 +1766,15 @@ class TestShardManifest:
         }
         assert xa["s0"] != xb["s0"] and xa["s1"] == xb["s1"]
 
+    def test_null_text_raises_not_silently_skips(self, spark):
+        import pytest
+
+        from ocr_search_spark.ops.sampling import shard_manifest
+
+        df = self._df(spark, self.ROWS[:3] + [("s0", 99, None, 1)])
+        with pytest.raises(Exception, match="shard_manifest: null"):
+            shard_manifest(df, ["shard"], "doc_id", "text").collect()
+
 
 class TestDistinctSketch:
     def test_zero_bits_is_exact(self, spark):
