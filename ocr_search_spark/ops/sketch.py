@@ -112,8 +112,16 @@ def sampled_jaccard(
     the sampled table (~n_distinct/2^b rows), never the corpus. Pairs
     whose SAMPLED intersection is empty are omitted (inner join — an
     estimated-zero overlap produces no row, it does not prove true
-    disjointness)."""
-    s = distinct_sample(df, [set_col], value_col, sample_bits)
+    disjointness).
+
+    The sampled table feeds FOUR plan branches (both self-join sides
+    and both size lookups), so it is ``localCheckpoint``-ed: without
+    lineage truncation each branch would re-run the upstream corpus
+    scan + explode — 4 full scans at 100 TB for a report whose working
+    set is n_distinct/2^b rows (the ops.dedup CC discipline; same
+    recompute-on-executor-loss caveat, trivial here because the
+    materialized sample is tiny)."""
+    s = distinct_sample(df, [set_col], value_col, sample_bits).localCheckpoint()
     a = s.select(F.col(set_col).alias("set_a"), "__h")
     b = s.select(F.col(set_col).alias("set_b"), "__h")
     inter = (
