@@ -1218,6 +1218,18 @@ def q_bpe_pairs(spark, sf_dir):
     return bpe_pair_stats(_docs(spark, sf_dir), "text", top_k=50)
 
 
+def q_bpe_train(spark, sf_dir):
+    """First 6 BPE merges actually TRAINED on the corpus (the ordered
+    merge table a tokenizer ships): per round, the globally most
+    frequent adjacent symbol pair, applied left-to-right non-overlapping
+    to the distinct-word vocabulary (ops/text_analysis.py bpe_train —
+    the driver loop over the bpe_pairs workhorse; one corpus scan, then
+    vocab-sized rounds)."""
+    from ocr_search_spark.ops.text_analysis import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), "text", n_merges=6)
+
+
 def q_lang_id(spark, sf_dir):
     """Heuristic language id over stopword votes (en vs other)."""
     from ocr_search_spark.search.analysis import with_search_columns
@@ -2170,6 +2182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_distinct_est": q_vocab_distinct_est,
         "vocab_overlap": q_vocab_overlap,
         "shard_manifest": q_shard_manifest,
+        "bpe_train": q_bpe_train,
     }
 
 
@@ -2213,6 +2226,57 @@ def _simhash_vote_sql(bits: int = 32) -> str:
         for b in range(bits)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    """Unrolled-iteration oracle for ``bpe_train`` (the domain_pagerank
+    CTE discipline): round k counts pairs over the re-segmented vocab
+    v{k}, picks the (cnt DESC, l, r) argmax b{k}, and applies it with a
+    string-accumulator list_reduce — the same left-to-right
+    non-overlapping fold the engine runs. An exhausted round leaves
+    b{k} empty, which empties every later stage — matching the
+    engine's early stop."""
+    parts = [
+        f"""
+            WITH v0 AS (
+              SELECT count(*)::BIGINT AS wc,
+                     list_transform(range(1, length(w) + 1), i -> w[i]) AS syms
+              FROM (SELECT unnest({_TOK}) AS w FROM documents)
+              GROUP BY w
+            )"""
+    ]
+    for k in range(n_merges):
+        parts.append(
+            f""", p{k} AS (
+              SELECT syms[i] AS l, syms[i + 1] AS r, sum(wc)::BIGINT AS cnt
+              FROM v{k}, LATERAL (
+                SELECT unnest(range(1, greatest(len(syms), 1))) AS i
+              ) t
+              GROUP BY 1, 2
+            ), b{k} AS (
+              SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+            ), v{k + 1} AS (
+              SELECT v.wc,
+                     str_split(list_reduce(v.syms, (acc, x) -> CASE
+                       WHEN x = b.r AND (acc = b.l
+                            OR right(acc, length(b.l) + 1) = ' ' || b.l)
+                       THEN left(acc, length(acc) - length(b.l)) || b.l || b.r
+                       ELSE acc || ' ' || x END), ' ') AS syms
+              FROM v{k} v, b{k} b
+            )"""
+        )
+    union = "\n              UNION ALL ".join(
+        f"SELECT {k + 1} AS step, l, r, l || r AS merged, "
+        f"cnt AS pair_count FROM b{k}"
+        for k in range(n_merges)
+    )
+    parts.append(
+        f"""
+            SELECT * FROM (
+              {union}
+            ) ORDER BY step"""
+    )
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3890,6 +3954,7 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_chars)::BIGINT AS chars
             FROM s GROUP BY CUBE (lang, split)
         """,
+        "bpe_train": _bpe_train_oracle(6),
     }
 
 

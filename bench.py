@@ -184,6 +184,7 @@ def main() -> None:
         "vocab_distinct_est",
         "vocab_overlap",
         "shard_manifest",
+        "bpe_train",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

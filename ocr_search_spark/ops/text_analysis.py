@@ -768,6 +768,122 @@ def bpe_pair_stats(
     return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
 
 
+#: adjacent symbol pairs of a space-joined segmentation — shared by the
+#: count and the plan test; guards the size-1 case (sequence(1, 0) would
+#: generate a DESCENDING range, not an empty one).
+_BPE_PAIRS_EXPR = (
+    "CASE WHEN size(__syms) > 1 THEN "
+    "transform(sequence(1, size(__syms) - 1), "
+    "i -> struct(element_at(__syms, i) AS l, element_at(__syms, i + 1) AS r)) "
+    "ELSE CAST(array() AS array<struct<l:string, r:string>>) END"
+)
+
+#: left-to-right non-overlapping application of one merge (l, r) to a
+#: space-joined segmentation: fold symbols into a string accumulator; when
+#: the accumulator's LAST symbol is l and the next symbol is r, replace
+#: the trailing l with the fused symbol. Overlap safety is structural —
+#: after a fusion the trailing symbol is l||r, which no longer equals l
+#: (BPE symbols ARE their strings, so textual equality is symbol
+#: identity). Pure built-ins: stays inside codegen, no UDF.
+_BPE_APPLY_EXPR = (
+    "aggregate(slice(__syms, 2, greatest(size(__syms) - 1, 0)), "
+    "element_at(__syms, 1), "
+    "(acc, x) -> CASE WHEN x = __r AND (acc = __l "
+    "OR right(acc, length(__l) + 1) = concat(' ', __l)) "
+    "THEN concat(left(acc, length(acc) - length(__l)), __l, __r) "
+    "ELSE concat(acc, ' ', x) END)"
+)
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Train the first ``n_merges`` BPE merges on a corpus (Sennrich et
+    al. 2016): returns (step, l, r, merged, pair_count) — the ordered
+    merge table a BPE tokenizer ships. Completes the driver loop that
+    :func:`bpe_pair_stats` (the single-round statistic) documents as the
+    per-iteration workhorse: each round takes the globally most frequent
+    adjacent symbol pair (ties broken (l, r) ascending — deterministic
+    across engines, binary collation both sides) and re-segments the
+    vocabulary with it. Initial symbols are single characters of the
+    shared ``tokens_expr`` word convention; no end-of-word marker.
+
+    Scale shape — the optimization real BPE trainers rely on, made
+    distributed: ONE corpus scan builds the distinct-word frequency
+    table (map-side combinable groupBy, vocab-sized: ~10^8 rows at
+    100 TB by Heaps' law); every merge round after that touches only
+    the vocab table. Per round: pair explode (fan-out = word length) →
+    map-side-combined groupBy(l, r) — one small shuffle over
+    |alphabet ∪ merges|²-bounded keys → orderBy().limit(1) (TakeOrdered,
+    no full sort) → broadcast 1-row crossJoin applies the merge as a
+    codegen'd string fold (no UDF, no Python). The vocab is
+    ``localCheckpoint``-ed every round — the ops.dedup CC discipline —
+    so round k's plan never re-derives rounds 0..k-1 (same
+    recompute-on-executor-loss caveat; trivial, the state is
+    vocab-sized). Stops early if no pair remains (fully fused corpus).
+    """
+    spark = df.sparkSession
+    out_schema = (
+        "step INT NOT NULL, l STRING, r STRING, merged STRING, "
+        "pair_count BIGINT"
+    )
+    words = (
+        df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    vocab = words.select(
+        "wc",
+        F.expr(
+            "array_join(transform(sequence(1, length(w)), "
+            "i -> substring(w, i, 1)), ' ')"
+        ).alias("s"),
+    ).localCheckpoint()
+    steps = []
+    for step in range(1, int(n_merges) + 1):
+        counts = (
+            vocab.select("wc", F.split("s", " ").alias("__syms"))
+            .select("wc", F.explode(F.expr(_BPE_PAIRS_EXPR)).alias("p"))
+            .groupBy(F.col("p.l").alias("__l"), F.col("p.r").alias("__r"))
+            .agg(F.sum("wc").alias("__cnt"))
+        )
+        best = (
+            counts.orderBy(F.col("__cnt").desc(), "__l", "__r")
+            .limit(1)
+            .localCheckpoint()
+        )
+        if best.isEmpty():
+            break
+        steps.append(
+            best.select(
+                F.lit(step).alias("step"),
+                F.col("__l").alias("l"),
+                F.col("__r").alias("r"),
+                F.concat("__l", "__r").alias("merged"),
+                F.col("__cnt").alias("pair_count"),
+            )
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(best))
+            .select(
+                "wc",
+                F.split("s", " ").alias("__syms"),
+                "__l",
+                "__r",
+            )
+            .select("wc", F.expr(_BPE_APPLY_EXPR).alias("s"))
+            .localCheckpoint()
+        )
+    if not steps:
+        return spark.createDataFrame([], out_schema)
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("step")
+
+
 def ngram_novelty(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2991,6 +2991,90 @@ class TestBpePairStats:
         assert "TakeOrderedAndProject" in plan
 
 
+class TestBpeTrain:
+    """Iterative BPE merge training (ops/text_analysis.py bpe_train) —
+    the driver loop bpe_pair_stats documents as its caller."""
+
+    @staticmethod
+    def _scalar_bpe(words, k):
+        """Reference trainer: word-frequency table, left-to-right
+        non-overlapping merges, ties (l, r) ascending."""
+        from collections import Counter
+
+        segs = {w: list(w) for w in words}
+        merges = []
+        for step in range(1, k + 1):
+            pc = Counter()
+            for w, c in words.items():
+                s = segs[w]
+                for x, y in zip(s, s[1:]):
+                    pc[(x, y)] += c
+            if not pc:
+                break
+            (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((step, l, r, l + r, cnt))
+            for w, s in segs.items():
+                out = []
+                for sym in s:
+                    if out and out[-1] == l and sym == r:
+                        out[-1] = l + r
+                    else:
+                        out.append(sym)
+                segs[w] = out
+        return merges
+
+    def test_merges_match_scalar_trainer(self, spark):
+        from collections import Counter
+
+        from ocr_search_spark.ops.text_analysis import bpe_train
+
+        rows = [(1, "low low lower lowest"), (2, "new newer newest low"),
+                (3, "a ab abc wider")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = [(r.step, r.l, r.r, r.merged, r.pair_count)
+               for r in bpe_train(df, n_merges=6).collect()]
+        words = Counter(w for _, t in rows for w in t.split())
+        assert got == self._scalar_bpe(words, 6)
+
+    def test_nonoverlap_and_fused_symbol_reuse(self, spark):
+        from ocr_search_spark.ops.text_analysis import bpe_train
+
+        # 'aaaa' x3: round 1 merges (a,a) with count 9 (3 adjacent pairs
+        # x3 words); non-overlap resegments to [aa, aa], so round 2
+        # merges the FUSED symbol pair (aa,aa) with count 3.
+        df = spark.createDataFrame(
+            [(i, "aaaa") for i in range(3)], "doc_id long, text string"
+        )
+        got = [(r.step, r.l, r.r, r.merged, r.pair_count)
+               for r in bpe_train(df, n_merges=5).collect()]
+        assert got == [(1, "a", "a", "aa", 9), (2, "aa", "aa", "aaaa", 3)]
+
+    def test_early_stop_and_empty(self, spark):
+        from ocr_search_spark.ops.text_analysis import bpe_train
+
+        # single-char words only: no pairs, zero merges, stable schema
+        df = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string"
+        )
+        out = bpe_train(df, n_merges=4)
+        assert out.collect() == []
+        assert out.columns == ["step", "l", "r", "merged", "pair_count"]
+
+    def test_codegen_apply_no_udf(self, spark):
+        from pyspark.sql import functions as F
+
+        from ocr_search_spark.ops.text_analysis import _BPE_APPLY_EXPR
+
+        df = spark.createDataFrame(
+            [(["l", "o", "w"], "l", "o")],
+            "__syms array<string>, __l string, __r string",
+        )
+        applied = df.select(F.expr(_BPE_APPLY_EXPR).alias("s"))
+        assert applied.collect()[0].s == "lo w"
+        plan = applied._jdf.queryExecution().executedPlan().toString()
+        assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
 class TestOversample:
     """Epoch-factor oversampling (ops/sampling.py oversample)."""
 
