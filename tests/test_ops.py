@@ -3074,6 +3074,30 @@ class TestBpeTrain:
         plan = applied._jdf.queryExecution().executedPlan().toString()
         assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
 
+    def test_round_argmax_is_take_ordered(self, spark):
+        """The per-round argmax must be TakeOrderedAndProject (top-1 via
+        partial per-partition heaps), never a global sort exchange."""
+        from pyspark.sql import functions as F
+
+        from ocr_search_spark.ops.text_analysis import _BPE_PAIRS_EXPR
+
+        vocab = spark.createDataFrame(
+            [(3, "l o w"), (2, "n e w")], "wc long, s string"
+        )
+        best = (
+            vocab.select("wc", F.split("s", " ").alias("__syms"))
+            .select("wc", F.explode(F.expr(_BPE_PAIRS_EXPR)).alias("p"))
+            .groupBy(F.col("p.l").alias("__l"), F.col("p.r").alias("__r"))
+            .agg(F.sum("wc").alias("__cnt"))
+            .orderBy(F.col("__cnt").desc(), "__l", "__r")
+            .limit(1)
+        )
+        plan = best._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "PythonUDF" not in plan
+        # one exchange: the map-side-combined pair-count groupBy
+        assert plan.count("Exchange") == 1
+
 
 class TestOversample:
     """Epoch-factor oversampling (ops/sampling.py oversample)."""
