@@ -1230,6 +1230,17 @@ def q_bpe_train(spark, sf_dir):
     return bpe_train(_docs(spark, sf_dir), "text", n_merges=6)
 
 
+def q_bpe_vocab_stats(spark, sf_dir):
+    """Vocabulary-utilization report of the trained segmentation: after
+    6 BPE merge rounds, the top-30 symbols by corpus occurrence — which
+    learned symbols carry corpus mass vs residual single characters
+    (ops/text_analysis.py bpe_vocab_stats; the tokenizer-eval statistic
+    over the trainer's own final vocab state)."""
+    from ocr_search_spark.ops.text_analysis import bpe_vocab_stats
+
+    return bpe_vocab_stats(_docs(spark, sf_dir), "text", n_merges=6, top_k=30)
+
+
 def q_lang_id(spark, sf_dir):
     """Heuristic language id over stopword votes (en vs other)."""
     from ocr_search_spark.search.analysis import with_search_columns
@@ -2183,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_overlap": q_vocab_overlap,
         "shard_manifest": q_shard_manifest,
         "bpe_train": q_bpe_train,
+        "bpe_vocab_stats": q_bpe_vocab_stats,
     }
 
 
@@ -2228,10 +2240,10 @@ def _simhash_vote_sql(bits: int = 32) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _bpe_train_oracle(n_merges: int) -> str:
-    """Unrolled-iteration oracle for ``bpe_train`` (the domain_pagerank
-    CTE discipline): round k counts pairs over the re-segmented vocab
-    v{k}, picks the (cnt DESC, l, r) argmax b{k}, and applies it with a
+def _bpe_rounds_cte(n_merges: int) -> str:
+    """Shared unrolled BPE-round CTE chain (the domain_pagerank
+    discipline): round k counts pairs over the re-segmented vocab v{k},
+    picks the (cnt DESC, l, r) argmax b{k}, and applies it with a
     string-accumulator list_reduce — the same left-to-right
     non-overlapping fold the engine runs. An exhausted round leaves
     b{k} empty, which empties every later stage — matching the
@@ -2265,18 +2277,39 @@ def _bpe_train_oracle(n_merges: int) -> str:
               FROM v{k} v, b{k} b
             )"""
         )
+    return "".join(parts)
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
     union = "\n              UNION ALL ".join(
         f"SELECT {k + 1} AS step, l, r, l || r AS merged, "
         f"cnt AS pair_count FROM b{k}"
         for k in range(n_merges)
     )
-    parts.append(
-        f"""
+    return (
+        _bpe_rounds_cte(n_merges)
+        + f"""
             SELECT * FROM (
               {union}
             ) ORDER BY step"""
     )
-    return "".join(parts)
+
+
+def _bpe_vocab_stats_oracle(n_merges: int, top_k: int) -> str:
+    return (
+        _bpe_rounds_cte(n_merges)
+        + f"""
+            SELECT symbol, sym_count, rnk FROM (
+              SELECT symbol, sym_count,
+                     row_number() OVER (ORDER BY sym_count DESC, symbol)
+                       AS rnk
+              FROM (
+                SELECT u AS symbol, sum(wc)::BIGINT AS sym_count
+                FROM (SELECT wc, unnest(syms) AS u FROM v{n_merges})
+                GROUP BY u
+              )
+            ) WHERE rnk <= {top_k}"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3955,6 +3988,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY CUBE (lang, split)
         """,
         "bpe_train": _bpe_train_oracle(6),
+        "bpe_vocab_stats": _bpe_vocab_stats_oracle(6, 30),
     }
 
 

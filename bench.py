@@ -185,6 +185,7 @@ def main() -> None:
         "vocab_overlap",
         "shard_manifest",
         "bpe_train",
+        "bpe_vocab_stats",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

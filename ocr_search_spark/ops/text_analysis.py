@@ -829,6 +829,21 @@ def bpe_train(
         "step INT NOT NULL, l STRING, r STRING, merged STRING, "
         "pair_count BIGINT"
     )
+    _, steps = _bpe_loop(df, text_col, n_merges)
+    if not steps:
+        return spark.createDataFrame([], out_schema)
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("step")
+
+
+def _bpe_loop(
+    df: DataFrame, text_col: str, n_merges: int
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The shared BPE driver loop: returns the final re-segmented vocab
+    (wc, s) and the per-step 1-row merge DataFrames (both
+    localCheckpoint-ed — materialized, lineage-free)."""
     words = (
         df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
         .groupBy("w")
@@ -841,7 +856,7 @@ def bpe_train(
             "i -> substring(w, i, 1)), ' ')"
         ).alias("s"),
     ).localCheckpoint()
-    steps = []
+    steps: list[DataFrame] = []
     for step in range(1, int(n_merges) + 1):
         counts = (
             vocab.select("wc", F.split("s", " ").alias("__syms"))
@@ -876,12 +891,41 @@ def bpe_train(
             .select("wc", F.expr(_BPE_APPLY_EXPR).alias("s"))
             .localCheckpoint()
         )
-    if not steps:
-        return spark.createDataFrame([], out_schema)
-    out = steps[0]
-    for s in steps[1:]:
-        out = out.unionByName(s)
-    return out.orderBy("step")
+    return vocab, steps
+
+
+def bpe_vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    top_k: int = 50,
+) -> DataFrame:
+    """Vocabulary-utilization report of the TRAINED segmentation: after
+    ``n_merges`` BPE rounds (same loop as :func:`bpe_train`), the
+    ``top_k`` symbols by corpus occurrence — (symbol, sym_count, rnk),
+    ranked count desc then symbol. This is the tokenizer-eval statistic
+    that decides whether another 10k merges are worth training: which
+    learned symbols actually carry corpus mass, and how much of the
+    stream is still single characters. Computed over the exact vocab
+    state the training loop produced (not a re-encode — so the numbers
+    are the trainer's own, with no encode-order ambiguity).
+
+    Scale shape: everything :func:`bpe_train` costs, plus ONE more
+    vocab-sized pass — explode the final segmentation (fan-out = symbols
+    per word, shrinking as merges land) into a map-side-combined
+    groupBy(symbol) and a TakeOrdered top-k. No UDF anywhere.
+    """
+    vocab, _ = _bpe_loop(df, text_col, n_merges)
+    counts = (
+        vocab.select("wc", F.explode(F.split("s", " ")).alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("wc").alias("sym_count"))
+    )
+    order = [F.col("sym_count").desc(), F.col("symbol")]
+    top = counts.orderBy(*order).limit(int(top_k))
+    from pyspark.sql import Window
+
+    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
 
 
 def ngram_novelty(

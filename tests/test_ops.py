@@ -3074,6 +3074,38 @@ class TestBpeTrain:
         plan = applied._jdf.queryExecution().executedPlan().toString()
         assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
 
+    def test_vocab_stats_match_scalar_segmentation(self, spark):
+        from collections import Counter
+
+        from ocr_search_spark.ops.text_analysis import bpe_vocab_stats
+
+        rows = [(1, "low low lower lowest"), (2, "new newer newest low")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = [(r.symbol, r.sym_count, r.rnk)
+               for r in bpe_vocab_stats(df, n_merges=3, top_k=100).collect()]
+        # scalar: run the reference trainer, then count symbols of the
+        # final segmentation weighted by word frequency
+        words = Counter(w for _, t in rows for w in t.split())
+        segs = {w: list(w) for w in words}
+        for _, l, r, _, _ in self._scalar_bpe(words, 3):
+            for w, s in segs.items():
+                out = []
+                for sym in s:
+                    if out and out[-1] == l and sym == r:
+                        out[-1] = l + r
+                    else:
+                        out.append(sym)
+                segs[w] = out
+        sym_counts = Counter()
+        for w, c in words.items():
+            for sym in segs[w]:
+                sym_counts[sym] += c
+        expect = sorted(
+            ((s, c) for s, c in sym_counts.items()),
+            key=lambda sc: (-sc[1], sc[0]),
+        )
+        assert got == [(s, c, i + 1) for i, (s, c) in enumerate(expect)]
+
     def test_round_argmax_is_take_ordered(self, spark):
         """The per-round argmax must be TakeOrderedAndProject (top-1 via
         partial per-partition heaps), never a global sort exchange."""
