@@ -270,6 +270,12 @@ def main() -> None:
     print("DSIR top-3 (importance-weighted toward the target slice):")
     picked.show(3)
 
+    print("== tokenizer induction: first 4 BPE merges + trained-vocab mass (r5)")
+    from ocr_search_spark.ops.text_analysis import bpe_train, bpe_vocab_stats
+
+    bpe_train(content, "content", n_merges=4).show(4, truncate=False)
+    bpe_vocab_stats(content, "content", n_merges=4, top_k=3).show(3)
+
     print("== re-ingest: checkpoint ledger skips committed groups")
     print(store.ingest(docs, run_group="demo"))
 
