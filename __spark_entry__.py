@@ -1241,6 +1241,17 @@ def q_bpe_vocab_stats(spark, sf_dir):
     return bpe_vocab_stats(_docs(spark, sf_dir), "text", n_merges=6, top_k=30)
 
 
+def q_bpe_encode(spark, sf_dir):
+    """The trained merge table APPLIED: the full corpus token stream
+    re-encoded into vocab-convention token ids after 6 BPE merge rounds
+    — one row per emitted symbol with word/symbol positions
+    (ops/text_analysis.py bpe_encode; train → encode → ship, the
+    missing apply side of the tokenizer lifecycle)."""
+    from ocr_search_spark.ops.text_analysis import bpe_encode
+
+    return bpe_encode(_docs(spark, sf_dir), "doc_id", "text", n_merges=6)
+
+
 def q_lang_id(spark, sf_dir):
     """Heuristic language id over stopword votes (en vs other)."""
     from ocr_search_spark.search.analysis import with_search_columns
@@ -2195,6 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "bpe_train": q_bpe_train,
         "bpe_vocab_stats": q_bpe_vocab_stats,
+        "bpe_encode": q_bpe_encode,
     }
 
 
@@ -2309,6 +2321,46 @@ def _bpe_vocab_stats_oracle(n_merges: int, top_k: int) -> str:
                 GROUP BY u
               )
             ) WHERE rnk <= {top_k}"""
+    )
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    merge_union = "\n                UNION ALL ".join(
+        f"SELECT {k + 1} AS step, l || r AS symbol FROM b{k}"
+        for k in range(n_merges)
+    )
+    return (
+        _bpe_rounds_cte(n_merges)
+        + f""", seg AS (
+              SELECT array_to_string(syms, '') AS w, syms FROM v{n_merges}
+            ), alpha AS (
+              SELECT symbol,
+                     (row_number() OVER (ORDER BY symbol) - 1)::INT AS token_id
+              FROM (
+                SELECT DISTINCT unnest(list_transform(
+                  range(1, length(w) + 1), i -> w[i])) AS symbol
+                FROM seg
+              )
+            ), id_map AS (
+              SELECT symbol, min(token_id)::INT AS token_id FROM (
+                SELECT symbol, token_id FROM alpha
+                UNION ALL
+                SELECT symbol,
+                       ((SELECT count(*) FROM alpha) + step - 1)::INT AS token_id
+                FROM ({merge_union})
+              ) GROUP BY symbol
+            ), toks AS (
+              SELECT doc_id AS id, (i - 1)::INT AS pos, tok[i] AS w
+              FROM (SELECT doc_id, {_TOK} AS tok FROM documents) d,
+                   LATERAL (SELECT unnest(range(1, len(tok) + 1)) AS i) t
+            ), enc AS (
+              SELECT toks.id, toks.pos, (j - 1)::INT AS sym_pos,
+                     seg.syms[j] AS symbol
+              FROM toks JOIN seg USING (w),
+                   LATERAL (SELECT unnest(range(1, len(seg.syms) + 1)) AS j) u
+            )
+            SELECT e.id, e.pos, e.sym_pos, m.token_id, e.symbol
+            FROM enc e JOIN id_map m USING (symbol)"""
     )
 
 
@@ -3989,6 +4041,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_train": _bpe_train_oracle(6),
         "bpe_vocab_stats": _bpe_vocab_stats_oracle(6, 30),
+        "bpe_encode": _bpe_encode_oracle(6),
     }
 
 

@@ -978,3 +978,80 @@ def ngram_novelty(
             ).cast("long"),
         ).alias("novelty_ppm"),
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Encode the corpus with a freshly trained BPE merge table — the
+    apply side that completes the :func:`bpe_train` lifecycle (train →
+    encode → ship token ids). Returns one row per emitted symbol:
+    (id, pos, sym_pos, token_id, symbol), where ``pos`` is the word's
+    0-based position in the document token stream and ``sym_pos`` the
+    symbol's 0-based position inside the word. ``token_id`` follows the
+    shipped-tokenizer vocab convention: initial characters (sorted,
+    binary collation) take ids 0..A-1, merge k takes A+k-1; if a later
+    merge reproduces an existing symbol string the FIRST id wins
+    (min-id dedup, the vocab-file rule). Word convention is the shared
+    ``tokens_expr``; unseen words cannot occur because the merge table
+    is trained on the same corpus.
+
+    Scale shape: training costs exactly :func:`bpe_train`; the encode
+    adds (1) a vocab-sized word→segmentation map derived from the
+    trained vocab state itself (strip the segmentation's spaces back
+    into the word key — zero extra corpus passes, and NO re-running of
+    the merge fold at encode time), (2) ONE corpus tokenize/posexplode
+    pass equi-joined to that map on the word key — AQE broadcasts it
+    whenever the vocab fits (always at bench scale; a 10^8-word vocab
+    at 100 TB is a few GB, where the shuffle-hash join on the word key
+    is the honest cost of distributed tokenization), and (3) a
+    broadcast |alphabet|+K-row symbol→id map. No UDF anywhere; per-word
+    work after the join is one split + posexplode.
+    """
+    vocab, steps = _bpe_loop(df, text_col, n_merges)
+    seg = vocab.select(
+        F.regexp_replace(F.col("s"), " ", "").alias("w"),
+        F.split("s", " ").alias("__syms"),
+    )
+    # alphabet from the vocab's own word strings (vocab-sized pass, not a
+    # corpus pass); ids are dense ranks in sorted order — the tiny global
+    # window is |alphabet|-sized, never corpus-sized
+    from pyspark.sql import Window
+
+    alpha = (
+        seg.select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+            ).alias("symbol")
+        )
+        .distinct()
+        .withColumn(
+            "token_id",
+            (F.row_number().over(Window.orderBy("symbol")) - 1).cast("int"),
+        )
+    )
+    id_map = alpha
+    if steps:
+        merges = steps[0]
+        for s in steps[1:]:
+            merges = merges.unionByName(s)
+        n_alpha = alpha.agg(F.count("*").alias("__na"))
+        merge_ids = merges.crossJoin(F.broadcast(n_alpha)).select(
+            F.col("merged").alias("symbol"),
+            (F.col("__na") + F.col("step") - 1).cast("int").alias("token_id"),
+        )
+        id_map = alpha.unionByName(merge_ids)
+    id_map = id_map.groupBy("symbol").agg(F.min("token_id").alias("token_id"))
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        tokens_expr(F.col(text_col)).alias("__toks"),
+    ).selectExpr("id", "posexplode(__toks) AS (pos, w)")
+    return (
+        toks.join(seg, "w")
+        .selectExpr("id", "pos", "posexplode(__syms) AS (sym_pos, symbol)")
+        .join(F.broadcast(id_map), "symbol")
+        .select("id", "pos", "sym_pos", "token_id", "symbol")
+    )

@@ -24,7 +24,7 @@ _DOC = st.lists(_WORD, min_size=0, max_size=8).map(" ".join)
 _CORPUS = st.lists(_DOC, min_size=1, max_size=6)
 
 
-def _scalar_bpe(words: Counter, k: int):
+def _scalar_bpe(words: Counter, k: int, with_segs: bool = False):
     segs = {w: list(w) for w in words}
     merges = []
     for step in range(1, k + 1):
@@ -45,6 +45,8 @@ def _scalar_bpe(words: Counter, k: int):
                 else:
                     out.append(sym)
             segs[w] = out
+    if with_segs:
+        return merges, segs
     return merges
 
 
@@ -64,3 +66,37 @@ def test_bpe_train_matches_scalar_trainer(spark, docs, k):
         w for t in docs for w in re.findall(r"[a-zа-яё0-9_]+", t.lower())
     )
     assert got == _scalar_bpe(words, k)
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs=_CORPUS, k=st.integers(min_value=1, max_value=4))
+def test_bpe_encode_matches_scalar_encoder(spark, docs, k):
+    """The encoded symbol stream (ops/text_analysis.py bpe_encode) must
+    exactly equal a scalar encoder driven by the scalar trainer's final
+    segmentations — positions, symbols, AND the vocab-convention token
+    ids (alphabet sorted, merges at A+step-1, min-id dedup)."""
+    from ocr_search_spark.ops.text_analysis import bpe_encode
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.id, r.pos, r.sym_pos, r.token_id, r.symbol)
+        for r in bpe_encode(df, n_merges=k).collect()
+    )
+    toks = {
+        i: re.findall(r"[a-zа-яё0-9_]+", t.lower()) for i, t in enumerate(docs)
+    }
+    words = Counter(w for ws in toks.values() for w in ws)
+    merges, segs = _scalar_bpe(words, k, with_segs=True)
+    alpha = sorted({c for w in words for c in w})
+    ids = {c: i for i, c in enumerate(alpha)}
+    for step, _l, _r, merged, _cnt in merges:
+        ids.setdefault(merged, len(alpha) + step - 1)
+    want = sorted(
+        (i, pos, sym_pos, ids[sym], sym)
+        for i, ws in toks.items()
+        for pos, w in enumerate(ws)
+        for sym_pos, sym in enumerate(segs[w])
+    )
+    assert got == want
