@@ -3131,6 +3131,77 @@ class TestBpeTrain:
         assert plan.count("Exchange") == 1
 
 
+class TestBpeEncode:
+    """Trained-merge-table application (ops/text_analysis.py bpe_encode):
+    token-id vocab convention and full-stream reconstruction."""
+
+    def test_encoded_stream_and_vocab_ids(self, spark):
+        from ocr_search_spark.ops.text_analysis import bpe_encode
+
+        # 'aaaa' trains merges aa (step 1) then aaaa (step 2); alphabet
+        # {a, b} -> ids a=0, b=1; merges aa=2, aaaa=3. 'aaaab' encodes
+        # as [aaaa, b], 'aa' as [aa], 'b' as [b].
+        df = spark.createDataFrame(
+            [(1, "aaaa aaaa aaaa aaaab"), (2, "aa b")],
+            "doc_id long, text string",
+        )
+        got = sorted(
+            (r.id, r.pos, r.sym_pos, r.token_id, r.symbol)
+            for r in bpe_encode(df, n_merges=2).collect()
+        )
+        assert got == [
+            (1, 0, 0, 3, "aaaa"),
+            (1, 1, 0, 3, "aaaa"),
+            (1, 2, 0, 3, "aaaa"),
+            (1, 3, 0, 3, "aaaa"),
+            (1, 3, 1, 1, "b"),
+            (2, 0, 0, 2, "aa"),
+            (2, 1, 0, 1, "b"),
+        ]
+
+    def test_zero_merges_is_char_stream(self, spark):
+        from ocr_search_spark.ops.text_analysis import bpe_encode
+
+        df = spark.createDataFrame([(7, "ab ba")], "doc_id long, text string")
+        got = sorted(
+            (r.id, r.pos, r.sym_pos, r.token_id, r.symbol)
+            for r in bpe_encode(df, n_merges=0).collect()
+        )
+        assert got == [
+            (7, 0, 0, 0, "a"),
+            (7, 0, 1, 1, "b"),
+            (7, 1, 0, 1, "b"),
+            (7, 1, 1, 0, "a"),
+        ]
+
+    def test_concat_of_symbols_rebuilds_every_word(self, spark):
+        from pyspark.sql import functions as F
+
+        from ocr_search_spark.ops.text_analysis import bpe_encode
+        from ocr_search_spark.search.analysis import tokens_expr
+
+        df = spark.createDataFrame(
+            [(1, "low lower lowest"), (2, "new newest wide")],
+            "doc_id long, text string",
+        )
+        rebuilt = (
+            bpe_encode(df, n_merges=3)
+            .groupBy("id", "pos")
+            .agg(
+                F.concat_ws(
+                    "", F.array_sort(F.collect_list(F.struct("sym_pos", "symbol")))
+                    .getField("symbol")
+                ).alias("w")
+            )
+        )
+        orig = df.select(
+            F.col("doc_id").alias("id"),
+            F.posexplode(tokens_expr(F.col("text"))).alias("pos", "w"),
+        )
+        assert rebuilt.exceptAll(orig).count() == 0
+        assert orig.exceptAll(rebuilt).count() == 0
+
+
 class TestOversample:
     """Epoch-factor oversampling (ops/sampling.py oversample)."""
 
