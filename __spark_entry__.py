@@ -1252,6 +1252,19 @@ def q_bpe_encode(spark, sf_dir):
     return bpe_encode(_docs(spark, sf_dir), "doc_id", "text", n_merges=6)
 
 
+def q_tfidf_related(spark, sf_dir):
+    """Per-document top-3 related documents ("more like this"): sparse
+    tf-idf inner product over a df-pruned posting-list self-join, with
+    the ranking path in exact BIGINT half-bit arithmetic so the top-k
+    set is engine-reproducible; cosine reported round-6
+    (search/ranking.py tfidf_related_topk)."""
+    from ocr_search_spark.search.ranking import tfidf_related_topk
+
+    return tfidf_related_topk(
+        _docs(spark, sf_dir), k=3, max_df_frac=0.25
+    )
+
+
 def q_lang_id(spark, sf_dir):
     """Heuristic language id over stopword votes (en vs other)."""
     from ocr_search_spark.search.analysis import with_search_columns
@@ -2207,6 +2220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_vocab_stats": q_bpe_vocab_stats,
         "bpe_encode": q_bpe_encode,
+        "tfidf_related": q_tfidf_related,
     }
 
 
@@ -4042,6 +4056,47 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_train_oracle(6),
         "bpe_vocab_stats": _bpe_vocab_stats_oracle(6, 30),
         "bpe_encode": _bpe_encode_oracle(6),
+        "tfidf_related": f"""
+            WITH tok AS (
+              SELECT doc_id AS id, unnest({_TOK}) AS term FROM documents
+            ), tf AS (
+              SELECT id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+            ), dfq AS (
+              SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+            ), nn AS (
+              SELECT count(*)::BIGINT AS n FROM documents
+            ), wp AS (
+              -- 1+hb(tf) = length(bin(tf*tf)); hb(n)-hb(df) collapses to
+              -- a length difference (the ops.dsir half-bit identity)
+              SELECT id, term, w FROM (
+                SELECT id, term,
+                       (length(bin((tf * tf)::BIGINT))
+                        * (length(bin((n * n)::BIGINT))
+                           - length(bin((df * df)::BIGINT))))::BIGINT AS w
+                FROM tf JOIN dfq USING (term), nn
+                WHERE df <= floor(0.25 * n)
+              ) WHERE w > 0
+            ), nrm AS (
+              SELECT id, sum(w * w)::BIGINT AS n2 FROM wp GROUP BY id
+            ), dots AS (
+              SELECT a.id AS a, b.id AS b, sum(a.w * b.w)::BIGINT AS dot
+              FROM wp a JOIN wp b ON a.term = b.term AND a.id < b.id
+              GROUP BY 1, 2
+            ), sym AS (
+              SELECT a, b, dot FROM dots
+              UNION ALL SELECT b AS a, a AS b, dot FROM dots
+            ), ranked AS (
+              SELECT s.a, s.b, s.dot,
+                     round(s.dot / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE), 6)
+                       AS sim,
+                     row_number() OVER (PARTITION BY s.a
+                                        ORDER BY s.dot DESC, s.b) AS rnk
+              FROM sym s
+              JOIN nrm na ON na.id = s.a
+              JOIN nrm nb ON nb.id = s.b
+            )
+            SELECT a, b, dot, sim, rnk FROM ranked WHERE rnk <= 3
+        """,
     }
 
 

@@ -186,6 +186,8 @@ def main() -> None:
         "shard_manifest",
         "bpe_train",
         "bpe_vocab_stats",
+        "bpe_encode",
+        "tfidf_related",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

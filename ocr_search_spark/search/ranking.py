@@ -18,6 +18,10 @@ column plans (no Python UDFs, no per-row work):
   term, scored ``n_terms / cover_len`` (1.0 = all terms adjacent). Only
   matched positions are exploded (|terms| × hits rows, not |tokens|), then
   one shuffle by doc_id for the analytic windows.
+* :func:`tfidf_related_topk` — "more like this": per-document top-k related
+  documents by sparse tf-idf inner product over a df-pruned posting-list
+  self-join, with the ranking path kept in exact BIGINT half-bit arithmetic
+  (the ops.dsir lattice) so the top-k set is engine-reproducible.
 
 Plan-shape note (see analysis.trigrams_of_lc): every higher-order function
 here operates on a token array materialized by a prior projection, never on
@@ -197,3 +201,107 @@ def cover_density_rank(
     if round_to is not None:
         rank = F.round(rank, round_to)
     return best.select(F.col(id_col), F.col("min_cover"), rank.alias("rank_cd"))
+
+
+def tfidf_related_topk(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    max_df_frac: float = 0.25,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Related-documents retrieval ("more like this"): for every document,
+    the top-``k`` other documents by sparse tf-idf inner product over the
+    shared token convention. Returns (a, b, dot, sim, rnk): ``dot`` is the
+    EXACT integer inner product, ``rnk`` ranks by (dot DESC, b ASC), and
+    ``sim`` is the cosine of the same vectors (round-``round_to`` double,
+    reporting only — the RANKING path is pure BIGINT arithmetic, so the
+    top-k set is bit-reproducible in any engine; a double-scored rank
+    could flip near-ties in the last ulp).
+
+    Weights live on the integer half-bit lattice (the ops.dsir / nb_train
+    discipline): w(t, d) = (1 + hb(tf)) * (hb(N) - hb(df)) with
+    hb(x) = floor(2*log2(x)) — sublinear tf scaling and RSJ-flavored idf,
+    both measured in exact half-bits. Stop terms are pruned at
+    ``max_df_frac`` (df > frac*N contributes near-zero idf but dominates
+    posting-join fanout); norms — and therefore ``sim`` — are over the
+    surviving (pruned) vector space.
+
+    Scale shape: tokenize/explode → per-(doc, term) tf (one map-side
+    combinable shuffle) → vocab-sized df table joined back on term (AQE
+    broadcasts it when it fits) → the classic posting-list self-join on
+    term with a < b (the fanout is sum(df²) over surviving terms — the
+    quantity max_df_frac bounds; at 100 TB the DIMSUM refinement samples
+    each posting list at O(sqrt) rate, same join shape) → one
+    groupBy(a, b) partial-aggregated dot → symmetrize → norms join →
+    per-a window top-k. No UDF, no driver state.
+    """
+    if not 0.0 < max_df_frac <= 1.0:
+        raise ValueError(f"max_df_frac must be in (0, 1], got {max_df_frac}")
+    from ..ops.dsir import _hb
+
+    tf = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens_expr(F.col(text_col))).alias("term"),
+        )
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("__tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("__df"))
+    n = docs.select(F.count("*").alias("__n"))
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("__df") <= F.floor(F.lit(float(max_df_frac)) * F.col("__n")))
+        .select(
+            "id",
+            "term",
+            (
+                (F.lit(1) + _hb(F.col("__tf")))
+                * (_hb(F.col("__n")) - _hb(F.col("__df")))
+            ).alias("__w"),
+        )
+        .filter(F.col("__w") > 0)
+        # materialize the pruned postings once (the ops.similarity semdedup
+        # discipline): the self-join and the norms would otherwise each
+        # re-derive the full tokenize/tf/df lineage
+        .localCheckpoint()
+    )
+    norms = w.groupBy("id").agg(F.sum(F.col("__w") * F.col("__w")).alias("__n2"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .agg(F.sum(F.col("a.__w") * F.col("b.__w")).alias("dot"))
+    )
+    sym = dots.unionByName(
+        dots.select(F.col("b").alias("a"), F.col("a").alias("b"), "dot")
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    scored = (
+        sym.join(na, F.col("a") == F.col("na.id"))
+        .join(nb, F.col("b") == F.col("nb.id"))
+        .select(
+            "a",
+            "b",
+            "dot",
+            (
+                F.col("dot").cast("double")
+                / F.sqrt(
+                    F.col("na.__n2").cast("double") * F.col("nb.__n2").cast("double")
+                )
+            ).alias("__sim"),
+        )
+    )
+    sim = F.col("__sim")
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    win = Window.partitionBy("a").orderBy(F.col("dot").desc(), F.col("b"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= int(k))
+        .select("a", "b", "dot", sim.alias("sim"), "rnk")
+    )

@@ -462,3 +462,100 @@ class TestSearchReviewRegressions:
     def test_unparseable_date_filter_raises(self, corpus):
         with pytest.raises(ValueError, match="ocr_from"):
             search_documents(corpus, "alpha", ocr_from="17/08/2026")
+
+
+class TestTfidfRelated:
+    """tfidf_related_topk (search/ranking.py): exact-integer scalar model
+    parity plus the documented pruning/ranking semantics."""
+
+    @staticmethod
+    def _scalar(rows, k, frac):
+        import math
+        from collections import Counter
+        import re
+
+        def hb(x):
+            return math.floor(2 * math.log2(x))
+
+        toks = {
+            i: re.findall(r"[a-zа-яё0-9_]+", t.lower()) for i, t in rows
+        }
+        n = len(rows)
+        tf = {i: Counter(ws) for i, ws in toks.items()}
+        df = Counter(t for c in tf.values() for t in c)
+        w = {
+            i: {
+                t: (1 + hb(c)) * (hb(n) - hb(df[t]))
+                for t, c in cnt.items()
+                if df[t] <= math.floor(frac * n)
+                and (1 + hb(c)) * (hb(n) - hb(df[t])) > 0
+            }
+            for i, cnt in tf.items()
+        }
+        out = []
+        for a in w:
+            cand = []
+            for b in w:
+                if a == b:
+                    continue
+                dot = sum(w[a][t] * w[b][t] for t in w[a].keys() & w[b].keys())
+                if dot > 0:
+                    cand.append((b, dot))
+            cand.sort(key=lambda x: (-x[1], x[0]))
+            for rnk, (b, dot) in enumerate(cand[:k], 1):
+                out.append((a, b, dot, rnk))
+        return sorted(out)
+
+    def test_matches_scalar_model(self, spark):
+        from ocr_search_spark.search.ranking import tfidf_related_topk
+
+        rows = [
+            (1, "apple banana cherry apple"),
+            (2, "apple banana date"),
+            (3, "cherry cherry elderberry"),
+            (4, "fig grape melon"),
+            (5, "apple banana cherry date"),
+            (6, "unrelated words entirely here"),
+            (7, "apple apple apple apple banana"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(
+            (r.a, r.b, r.dot, r.rnk)
+            for r in tfidf_related_topk(df, k=3, max_df_frac=0.9).collect()
+        )
+        assert got == self._scalar(rows, 3, 0.9)
+
+    def test_stop_term_pruning_drops_ubiquitous_terms(self, spark):
+        from ocr_search_spark.search.ranking import tfidf_related_topk
+
+        # 'the' in every doc; at max_df_frac=0.5 it must not create pairs
+        rows = [(i, f"the unique{i}") for i in range(1, 5)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        assert tfidf_related_topk(df, k=3, max_df_frac=0.5).count() == 0
+
+    def test_ranking_is_exact_integer_dot(self, spark):
+        from ocr_search_spark.search.ranking import tfidf_related_topk
+
+        rows = [
+            (1, "x y"),
+            (2, "x y zz zz zz"),   # longer doc, same shared terms
+            (3, "x y"),            # identical twin of 1
+            (4, "filler other stuff"),  # keeps df(x) < N (idf > 0)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        r = {
+            (x.a, x.rnk): (x.b, x.dot)
+            for x in tfidf_related_topk(df, k=2, max_df_frac=1.0).collect()
+        }
+        # doc1's dots vs 2 and 3 are equal integers -> tie broken b ASC
+        assert r[(1, 1)][0] == 2 and r[(1, 2)][0] == 3
+        assert r[(1, 1)][1] == r[(1, 2)][1]
+
+    def test_bad_frac_raises(self, spark):
+        import pytest
+
+        from ocr_search_spark.search.ranking import tfidf_related_topk
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            tfidf_related_topk(df, max_df_frac=0.0)
