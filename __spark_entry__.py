@@ -1252,6 +1252,28 @@ def q_bpe_encode(spark, sf_dir):
     return bpe_encode(_docs(spark, sf_dir), "doc_id", "text", n_merges=6)
 
 
+def q_heaps_law(spark, sf_dir):
+    """Vocabulary growth curve over nested deterministic 1%/10%/100%
+    document samples — exact doc/token/distinct-word counts per
+    fraction, the Heaps'-law audit that sizes tokenizer vocabularies
+    and hash widths (ops/sketch.py heaps_law; one scan, one word-keyed
+    min-tier shuffle)."""
+    from ocr_search_spark.ops.sketch import heaps_law
+
+    return heaps_law(_docs(spark, sf_dir))
+
+
+def q_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility per language after 6 BPE merge rounds
+    trained on the whole corpus: (lang, docs, words, symbols,
+    fertility_ppm) — the multilingual tokenizer-equity report
+    (ops/text_analysis.py bpe_fertility_by_lang; bpe_train's cost plus
+    one corpus explode joined to the vocab-sized symbol-count map)."""
+    from ocr_search_spark.ops.text_analysis import bpe_fertility_by_lang
+
+    return bpe_fertility_by_lang(_docs(spark, sf_dir), "lang", "text", n_merges=6)
+
+
 def q_tfidf_related(spark, sf_dir):
     """Per-document top-3 related documents ("more like this"): sparse
     tf-idf inner product over a df-pruned posting-list self-join, with
@@ -2221,6 +2243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab_stats": q_bpe_vocab_stats,
         "bpe_encode": q_bpe_encode,
         "tfidf_related": q_tfidf_related,
+        "heaps_law": q_heaps_law,
+        "bpe_fertility": q_bpe_fertility,
     }
 
 
@@ -4056,6 +4080,61 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_train_oracle(6),
         "bpe_vocab_stats": _bpe_vocab_stats_oracle(6, 30),
         "bpe_encode": _bpe_encode_oracle(6),
+        "heaps_law": f"""
+            WITH d AS (
+              SELECT CASE WHEN b < 100 THEN 0
+                          WHEN b < 1000 THEN 1
+                          ELSE 2 END AS tier,
+                     {_TOK} AS tok
+              FROM (
+                SELECT ('0x' || substring(md5('heaps' || doc_id), 1, 8))::BIGINT
+                         % 10000 AS b,
+                       text
+                FROM documents
+              )
+            ), per_tier AS (
+              SELECT tier, count(*)::BIGINT AS docs,
+                     sum(len(tok))::BIGINT AS tokens
+              FROM d GROUP BY tier
+            ), fs AS (
+              SELECT tier, count(*)::BIGINT AS words FROM (
+                SELECT w, min(tier) AS tier
+                FROM (SELECT tier, unnest(tok) AS w FROM d)
+                GROUP BY w
+              ) GROUP BY tier
+            ), base AS (
+              SELECT * FROM (VALUES (0, 10000), (1, 100000), (2, 1000000))
+                AS t(tier, frac_ppm)
+            )
+            SELECT frac_ppm,
+                   sum(coalesce(docs, 0)) OVER (ORDER BY tier)::BIGINT AS docs,
+                   sum(coalesce(tokens, 0)) OVER (ORDER BY tier)::BIGINT
+                     AS tokens,
+                   sum(coalesce(words, 0)) OVER (ORDER BY tier)::BIGINT
+                     AS distinct_words
+            FROM base LEFT JOIN per_tier USING (tier) LEFT JOIN fs USING (tier)
+            ORDER BY frac_ppm
+        """,
+        "bpe_fertility": _bpe_rounds_cte(6) + """
+            , seg AS (
+              SELECT array_to_string(syms, '') AS w, len(syms)::BIGINT AS ns
+              FROM v6
+            ), stream AS (
+              SELECT lang, count(*)::BIGINT AS words, sum(ns)::BIGINT AS symbols
+              FROM (SELECT lang, unnest(""" + _TOK + """) AS w FROM documents) t
+              JOIN seg USING (w)
+              GROUP BY lang
+            ), dd AS (
+              SELECT lang, count(*)::BIGINT AS docs FROM documents GROUP BY lang
+            )
+            SELECT dd.lang, dd.docs,
+                   coalesce(words, 0) AS words,
+                   coalesce(symbols, 0) AS symbols,
+                   CASE WHEN coalesce(words, 0) > 0
+                        THEN floor(symbols * 1000000 / words)::BIGINT
+                   END AS fertility_ppm
+            FROM dd LEFT JOIN stream USING (lang)
+        """,
         "tfidf_related": f"""
             WITH tok AS (
               SELECT doc_id AS id, unnest({_TOK}) AS term FROM documents

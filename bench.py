@@ -188,6 +188,8 @@ def main() -> None:
         "bpe_vocab_stats",
         "bpe_encode",
         "tfidf_related",
+        "heaps_law",
+        "bpe_fertility",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

@@ -156,3 +156,85 @@ def sampled_jaccard(
             .alias("jaccard_pm"),
         )
     )
+
+
+def heaps_law(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fracs: tuple[float, ...] = (0.01, 0.1, 1.0),
+    salt: str = "heaps",
+) -> DataFrame:
+    """Vocabulary growth curve (Heaps'-law audit): for each NESTED
+    deterministic document sample — frac f keeps docs whose md5 bucket
+    falls below f·BUCKETS, so the 1% corpus IS a subset of the 10%
+    corpus — the exact doc/token/distinct-word counts. Fitting
+    V = K·nᵝ to these rows is the standard vocabulary forecast for
+    tokenizer-vocab and hash-width sizing (ops.text_analysis.bpe_train
+    assumes ~10^8 words at 100 TB by exactly this law; this operator
+    measures the exponent on YOUR corpus instead of assuming it).
+
+    Returns (frac_ppm, docs, tokens, distinct_words) ordered by
+    frac_ppm — exact integers end to end, no estimator variance.
+
+    Scale shape: ONE corpus scan. Each doc gets its smallest qualifying
+    tier (a literal CASE over the md5 bucket — the ops.sampling
+    convention, so tier-i docs are the same documents
+    ``deterministic_sample(fracs[i])`` draws); docs/tokens reduce per
+    tier into |fracs| rows. Distinct words do NOT shuffle once per
+    frac: one word-keyed map-side-combinable shuffle computes each
+    word's MINIMUM tier, a vocab-sized aggregate counts words per
+    first-seen tier, and a |fracs|-row running sum converts "first seen
+    at tier i" into "distinct at frac ≥ i" — nesting makes the
+    cumulative counts exact. No UDF; the word table is the same
+    vocab-sized asset bpe_train shuffles.
+    """
+    from ..search.analysis import tokens_expr
+    from .sampling import BUCKETS, hash_bucket
+
+    fr = [float(f) for f in fracs]
+    if not fr or any(not 0.0 < f <= 1.0 for f in fr) or sorted(set(fr)) != fr:
+        raise ValueError(
+            f"fracs must be strictly increasing, each in (0, 1]: {fracs}"
+        )
+    cuts = [int(round(f * BUCKETS)) for f in fr]
+    bucket = hash_bucket(id_col, salt)
+    tier = F.when(bucket < cuts[0], F.lit(0))
+    for i, c in enumerate(cuts[1:], start=1):
+        tier = tier.when(bucket < c, F.lit(i))
+    toked = df.select(
+        tier.alias("__tier"), tokens_expr(F.col(text_col)).alias("__toks")
+    ).filter(F.col("__tier").isNotNull())
+    per_tier = toked.groupBy("__tier").agg(
+        F.count("*").alias("__docs"),
+        F.sum(F.size("__toks")).alias("__tokens"),
+    )
+    first_seen = (
+        toked.select("__tier", F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.min("__tier").alias("__tier"))
+        .groupBy("__tier")
+        .agg(F.count("*").alias("__words"))
+    )
+    base = df.sparkSession.createDataFrame(
+        [(i, int(round(f * 1_000_000))) for i, f in enumerate(fr)],
+        "__tier int, frac_ppm bigint",
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("__tier").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        base.join(per_tier, "__tier", "left")
+        .join(first_seen, "__tier", "left")
+        .select(
+            "frac_ppm",
+            F.sum(F.coalesce("__docs", F.lit(0))).over(w).alias("docs"),
+            F.sum(F.coalesce("__tokens", F.lit(0))).over(w).alias("tokens"),
+            F.sum(F.coalesce("__words", F.lit(0)))
+            .over(w)
+            .alias("distinct_words"),
+        )
+        .orderBy("frac_ppm")
+    )

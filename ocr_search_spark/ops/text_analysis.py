@@ -663,14 +663,14 @@ def paragraph_lang_profile(
     (ascending), so the result is deterministic.
 
     Scale shape: explode → map-side lang tag (codegen'd regexp +
-    array_intersect votes, no UDF) → two keyed aggregations on id — one
-    shuffle carrying (id, lang) pairs, partial-agg-combined. Documents
-    whose every paragraph is empty (or empty text) produce no row, like
-    the upstream paragraph ops.
+    array_intersect votes, no UDF) → (id, lang) pair counts → ONE more
+    keyed aggregation on id where the majority is a min-of-struct
+    ((-count, lang) — count DESC then lang ASC, the documented
+    tie-break) — no per-id window, no self-join, both shuffles
+    partial-agg-combined. Documents whose every paragraph is empty (or
+    empty text) produce no row, like the upstream paragraph ops.
     """
     import re as _re
-
-    from pyspark.sql import Window
 
     paras = df.select(
         F.col(id_col).alias("id"),
@@ -683,24 +683,17 @@ def paragraph_lang_profile(
         .groupBy("id", "plang")
         .agg(F.count("*").alias("c"))
     )
-    w = Window.partitionBy("id").orderBy(F.col("c").desc(), F.col("plang"))
-    maj = (
-        counts.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "id",
-            F.col("plang").alias("majority_lang"),
-            F.col("c").alias("majority_paras"),
-        )
+    agg = counts.groupBy("id").agg(
+        F.sum("c").alias("n_paras"),
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("plang"))).alias("__m"),
     )
-    tot = counts.groupBy("id").agg(F.sum("c").alias("n_paras"))
-    return tot.join(maj, "id").select(
+    return agg.select(
         "id",
         "n_paras",
-        "majority_lang",
-        "majority_paras",
+        F.col("__m.plang").alias("majority_lang"),
+        (-F.col("__m.nc")).alias("majority_paras"),
         F.floor(
-            (F.col("n_paras") - F.col("majority_paras"))
+            (F.col("n_paras") + F.col("__m.nc"))
             * 1_000_000
             / F.col("n_paras")
         )
@@ -1054,4 +1047,58 @@ def bpe_encode(
         .selectExpr("id", "pos", "posexplode(__syms) AS (sym_pos, symbol)")
         .join(F.broadcast(id_map), "symbol")
         .select("id", "pos", "sym_pos", "token_id", "symbol")
+    )
+
+
+def bpe_fertility_by_lang(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Tokenizer fertility per language: after ``n_merges`` BPE rounds
+    trained on the WHOLE corpus, the per-language encoded cost —
+    (lang, docs, words, symbols, fertility_ppm), fertility_ppm =
+    floor(symbols·10⁶/words) (millionths of a symbol per word). The
+    multilingual tokenizer-equity metric: a shared vocab trained on a
+    skewed language mix over-segments the minority languages, and this
+    report shows the damage per language BEFORE a training run pays for
+    it. ``lang_col`` is whatever language label the table carries; pipe
+    :func:`lang_id_expr` output in first when there is none.
+
+    Scale shape: :func:`bpe_train`'s cost plus a vocab-sized
+    word→symbol-count map (one ``size(split(...))`` over the trained
+    segmentation — no re-fold, no re-encode) joined to ONE corpus
+    tokenize/explode pass on the word key (AQE broadcasts the map when
+    it fits), aggregated per language with map-side combine into
+    |langs| rows. No UDF anywhere.
+    """
+    vocab, _ = _bpe_loop(df, text_col, n_merges)
+    seg = vocab.select(
+        F.regexp_replace(F.col("s"), " ", "").alias("w"),
+        F.size(F.split("s", " ")).cast("long").alias("__ns"),
+    )
+    docs = (
+        df.select(F.col(lang_col).alias("lang"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("docs"))
+    )
+    stream = (
+        df.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(tokens_expr(F.col(text_col))).alias("w"),
+        )
+        .join(seg, "w")
+        .groupBy("lang")
+        .agg(F.count("*").alias("words"), F.sum("__ns").alias("symbols"))
+    )
+    return docs.join(stream, "lang", "left").select(
+        "lang",
+        "docs",
+        F.coalesce("words", F.lit(0)).alias("words"),
+        F.coalesce("symbols", F.lit(0)).alias("symbols"),
+        F.when(
+            F.coalesce("words", F.lit(0)) > 0,
+            F.floor(F.col("symbols") * 1_000_000 / F.col("words")).cast("long"),
+        ).alias("fertility_ppm"),
     )

@@ -3202,6 +3202,127 @@ class TestBpeEncode:
         assert orig.exceptAll(rebuilt).count() == 0
 
 
+class TestHeapsLaw:
+    """Vocabulary growth curve (ops/sketch.py heaps_law): brute-force
+    parity per fraction via the shared md5 bucket convention."""
+
+    @staticmethod
+    def _bucket(doc_id, salt="heaps"):
+        import hashlib
+
+        h = hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()
+        return int(h[:8], 16) % 10_000
+
+    def test_matches_bruteforce_per_fraction(self, spark):
+        import re
+
+        from ocr_search_spark.ops.sketch import heaps_law
+
+        rows = [
+            (i, f"alpha beta w{i % 7} gamma" if i % 3 else f"delta w{i % 5}")
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = [
+            (r.frac_ppm, r.docs, r.tokens, r.distinct_words)
+            for r in heaps_law(df, fracs=(0.1, 0.5, 1.0)).collect()
+        ]
+        for (frac_ppm, docs, tokens, words), f in zip(got, (0.1, 0.5, 1.0)):
+            cut = int(round(f * 10_000))
+            sel = [t for i, t in rows if self._bucket(i) < cut]
+            toks = [w for t in sel for w in re.findall(r"[a-zа-яё0-9_]+", t.lower())]
+            assert frac_ppm == int(round(f * 1_000_000))
+            assert docs == len(sel)
+            assert tokens == len(toks)
+            assert words == len(set(toks))
+
+    def test_nesting_is_monotone(self, spark):
+        from ocr_search_spark.ops.sketch import heaps_law
+
+        df = spark.createDataFrame(
+            [(i, f"word{i} shared") for i in range(100)],
+            "doc_id long, text string",
+        )
+        rows = heaps_law(df, fracs=(0.05, 0.25, 1.0)).collect()
+        for a, b in zip(rows, rows[1:]):
+            assert a.docs <= b.docs
+            assert a.tokens <= b.tokens
+            assert a.distinct_words <= b.distinct_words
+        assert rows[-1].docs == 100
+
+    def test_bad_fracs_raise(self, spark):
+        import pytest
+
+        from ocr_search_spark.ops.sketch import heaps_law
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        for bad in [(), (0.5, 0.1), (0.0, 1.0), (0.5, 1.5)]:
+            with pytest.raises(ValueError):
+                heaps_law(df, fracs=bad)
+
+
+class TestBpeFertility:
+    """Per-language tokenizer fertility (ops/text_analysis.py
+    bpe_fertility_by_lang): scalar trainer + encoder parity."""
+
+    def test_matches_scalar_model(self, spark):
+        from collections import Counter
+
+        from ocr_search_spark.ops.text_analysis import bpe_fertility_by_lang
+
+        rows = [
+            (1, "en", "low lower lowest low"),
+            (2, "en", "new newer low"),
+            (3, "de", "niedrig niedriger"),
+            (4, "de", ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        words = Counter(w for _, _, t in rows for w in t.split())
+        segs = {w: list(w) for w in words}
+        for _ in range(3):
+            pc = Counter()
+            for w, c in words.items():
+                s = segs[w]
+                for x, y in zip(s, s[1:]):
+                    pc[(x, y)] += c
+            if not pc:
+                break
+            (l, r), _ = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            for w, s in segs.items():
+                out = []
+                for sym in s:
+                    if out and out[-1] == l and sym == r:
+                        out[-1] = l + r
+                    else:
+                        out.append(sym)
+                segs[w] = out
+        want = {}
+        for _, lang, t in rows:
+            ws = t.split()
+            d = want.setdefault(lang, [0, 0, 0])
+            d[0] += 1
+            d[1] += len(ws)
+            d[2] += sum(len(segs[w]) for w in ws)
+        got = {
+            r.lang: (r.docs, r.words, r.symbols, r.fertility_ppm)
+            for r in bpe_fertility_by_lang(df, n_merges=3).collect()
+        }
+        for lang, (docs, nw, ns) in want.items():
+            fert = ns * 1_000_000 // nw if nw else None
+            assert got[lang] == (docs, nw, ns, fert)
+
+    def test_all_docs_counted_even_empty_text(self, spark):
+        from ocr_search_spark.ops.text_analysis import bpe_fertility_by_lang
+
+        df = spark.createDataFrame(
+            [(1, "zz", "")], "doc_id long, lang string, text string"
+        )
+        r = bpe_fertility_by_lang(df, n_merges=2).collect()[0]
+        assert (r.lang, r.docs, r.words, r.symbols, r.fertility_ppm) == (
+            "zz", 1, 0, 0, None,
+        )
+
+
 class TestOversample:
     """Epoch-factor oversampling (ops/sampling.py oversample)."""
 
