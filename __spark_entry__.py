@@ -1274,6 +1274,19 @@ def q_bpe_fertility(spark, sf_dir):
     return bpe_fertility_by_lang(_docs(spark, sf_dir), "lang", "text", n_merges=6)
 
 
+def q_kmeans_train(spark, sf_dir):
+    """Integer-lattice Lloyd's k-means over the embedding table (k=8,
+    3 iterations): the coarse-quantizer TRAINER the IVF family's
+    md5-sample seeding approximates — exact BIGINT distances, floor
+    means and inertia, so training is bit-reproducible in any engine
+    (ops/similarity.py kmeans_train)."""
+    from ocr_search_spark.ops.similarity import kmeans_train
+
+    return kmeans_train(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=8, n_iters=3
+    )
+
+
 def q_tfidf_related(spark, sf_dir):
     """Per-document top-3 related documents ("more like this"): sparse
     tf-idf inner product over a df-pruned posting-list self-join, with
@@ -2245,6 +2258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_related": q_tfidf_related,
         "heaps_law": q_heaps_law,
         "bpe_fertility": q_bpe_fertility,
+        "kmeans_train": q_kmeans_train,
     }
 
 
@@ -2360,6 +2374,78 @@ def _bpe_vocab_stats_oracle(n_merges: int, top_k: int) -> str:
               )
             ) WHERE rnk <= {top_k}"""
     )
+
+
+def _kmeans_oracle(k: int, iters: int, scale_bits: int) -> str:
+    """Unrolled integer-lattice Lloyd iterations (the domain_pagerank /
+    bpe discipline): assignment = row_number argmin over (d2, cid);
+    update = per-(cid, dim) BIGINT sums with floor(s/cnt) means (equal
+    to the engine's exact floor division for |s| < 2^53); empty
+    clusters keep their previous centroid."""
+    scale = 1 << scale_bits
+    parts = [
+        f"""
+            WITH q AS (
+              SELECT vec_id AS id,
+                     list_transform(embedding,
+                                    x -> floor(x * {scale}.0)::BIGINT) AS qv
+              FROM embeddings
+            ), c0 AS (
+              SELECT (row_number() OVER (ORDER BY md5(id::VARCHAR), id) - 1)
+                       AS cid,
+                     qv AS cv
+              FROM (SELECT id, qv FROM q
+                    ORDER BY md5(id::VARCHAR), id LIMIT {k})
+            )"""
+    ]
+    for i in range(iters + 1):  # one extra assignment for the final stats
+        parts.append(
+            f""", d{i} AS (
+              SELECT q.id, q.qv, c.cid,
+                     list_sum(list_transform(range(1, len(q.qv) + 1),
+                       j -> (q.qv[j] - c.cv[j]) * (q.qv[j] - c.cv[j])))
+                       AS d2
+              FROM q, c{i} c
+            ), a{i} AS (
+              SELECT id, qv, cid, d2 FROM (
+                SELECT *, row_number() OVER (PARTITION BY id
+                                             ORDER BY d2, cid) AS rn
+                FROM d{i}
+              ) WHERE rn = 1
+            )"""
+        )
+        if i == iters:
+            break
+        parts.append(
+            f""", s{i} AS (
+              SELECT cid, jj, sum(qv[jj])::BIGINT AS s,
+                     count(*)::BIGINT AS cnt
+              FROM a{i},
+                   LATERAL (SELECT unnest(range(1, len(qv) + 1)) AS jj) t
+              GROUP BY cid, jj
+            ), c{i + 1} AS (
+              SELECT c.cid,
+                     CASE WHEN m.cid IS NULL THEN c.cv
+                          ELSE (SELECT list(floor(s / cnt)::BIGINT ORDER BY jj)
+                                FROM s{i} WHERE s{i}.cid = c.cid)
+                     END AS cv
+              FROM c{i} c
+              LEFT JOIN (SELECT DISTINCT cid FROM s{i}) m USING (cid)
+            )"""
+        )
+    parts.append(
+        f"""
+            SELECT c.cid::INT AS cluster_id,
+                   coalesce(st.size, 0)::BIGINT AS size,
+                   coalesce(st.inertia, 0)::BIGINT AS inertia,
+                   c.cv AS centroid
+            FROM c{iters} c LEFT JOIN (
+              SELECT cid, count(*)::BIGINT AS size,
+                     sum(d2)::BIGINT AS inertia
+              FROM a{iters} GROUP BY cid
+            ) st USING (cid)"""
+    )
+    return "".join(parts)
 
 
 def _bpe_encode_oracle(n_merges: int) -> str:
@@ -4080,6 +4166,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_train_oracle(6),
         "bpe_vocab_stats": _bpe_vocab_stats_oracle(6, 30),
         "bpe_encode": _bpe_encode_oracle(6),
+        "kmeans_train": _kmeans_oracle(8, 3, 20),
         "heaps_law": f"""
             WITH d AS (
               SELECT CASE WHEN b < 100 THEN 0

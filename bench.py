@@ -190,6 +190,7 @@ def main() -> None:
         "tfidf_related",
         "heaps_law",
         "bpe_fertility",
+        "kmeans_train",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

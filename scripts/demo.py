@@ -276,6 +276,17 @@ def main() -> None:
     bpe_train(content, "content", n_merges=4).show(4, truncate=False)
     bpe_vocab_stats(content, "content", n_merges=4, top_k=3).show(3)
 
+    print("== related docs (tf-idf MIPS) + lattice k-means over the vectors (r5)")
+    from ocr_search_spark.ops.similarity import kmeans_train
+    from ocr_search_spark.search.ranking import tfidf_related_topk
+
+    tfidf_related_topk(
+        content, id_col="doc_id", text_col="content", k=2, max_df_frac=0.9
+    ).orderBy("a", "rnk").show(4)
+    kmeans_train(vecs, k=4, n_iters=2).select(
+        "cluster_id", "size", "inertia"
+    ).orderBy("cluster_id").show()
+
     print("== re-ingest: checkpoint ledger skips committed groups")
     print(store.ingest(docs, run_group="demo"))
 

@@ -2893,6 +2893,108 @@ class TestPackSequences:
         ]
 
 
+class TestKmeansTrain:
+    """Integer-lattice Lloyd's k-means (ops/similarity.py kmeans_train):
+    scalar-model parity and the documented edge semantics."""
+
+    @staticmethod
+    def _scalar(rows, k, iters, scale_bits=20):
+        import hashlib
+        import math
+
+        s = 1 << scale_bits
+        q = {i: [math.floor(x * s) for x in v] for i, v in rows}
+        order = sorted(q, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        cents = {c: list(q[i]) for c, i in enumerate(order[:k])}
+
+        def assign():
+            out = {}
+            for i, v in q.items():
+                best = min(
+                    (sum((a - b) * (a - b) for a, b in zip(v, cv)), c)
+                    for c, cv in cents.items()
+                )
+                out[i] = best
+            return out
+
+        for _ in range(iters):
+            a = assign()
+            sums, cnts = {}, {}
+            for i, (_, c) in a.items():
+                cnts[c] = cnts.get(c, 0) + 1
+                acc = sums.setdefault(c, [0] * len(q[i]))
+                for j, x in enumerate(q[i]):
+                    acc[j] += x
+            for c in sums:
+                cents[c] = [sv // cnts[c] for sv in sums[c]]
+        a = assign()
+        stats = {}
+        for i, (d2, c) in a.items():
+            sz, inr = stats.get(c, (0, 0))
+            stats[c] = (sz + 1, inr + d2)
+        return {
+            c: (*stats.get(c, (0, 0)), cents[c]) for c in cents
+        }
+
+    def test_matches_scalar_lloyd(self, spark):
+        from ocr_search_spark.ops.similarity import kmeans_train
+
+        rng = np.random.RandomState(7)
+        rows = [(i, [float(x) for x in rng.rand(6) - 0.5]) for i in range(60)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {
+            r.cluster_id: (r.size, r.inertia, list(r.centroid))
+            for r in kmeans_train(emb, k=4, n_iters=3).collect()
+        }
+        assert got == self._scalar(rows, 4, 3)
+
+    def test_zero_iters_is_seed_assignment(self, spark):
+        from ocr_search_spark.ops.similarity import kmeans_train
+
+        rows = [(i, [float(i), 0.0]) for i in range(10)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {
+            r.cluster_id: (r.size, r.inertia, list(r.centroid))
+            for r in kmeans_train(emb, k=3, n_iters=0).collect()
+        }
+        assert got == self._scalar(rows, 3, 0)
+        assert sum(sz for sz, _, _ in got.values()) == 10
+
+    def test_empty_cluster_keeps_previous_centroid(self, spark):
+        from ocr_search_spark.ops.similarity import kmeans_train
+
+        # two tight groups far apart; k=3 -> one seed strands with 0
+        # members after reassignment but must keep its centroid row
+        rows = [(i, [0.001 * i, 0.0]) for i in range(6)] + [
+            (100 + i, [0.4 + 0.001 * i, 0.0]) for i in range(6)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = kmeans_train(emb, k=3, n_iters=2).collect()
+        assert len(out) == 3
+        assert {r.cluster_id for r in out} == {0, 1, 2}
+        assert sum(r.size for r in out) == 12
+        want = self._scalar(rows, 3, 2)
+        got = {
+            r.cluster_id: (r.size, r.inertia, list(r.centroid)) for r in out
+        }
+        assert got == want
+
+    def test_validation(self, spark):
+        import pytest
+
+        from ocr_search_spark.ops.similarity import kmeans_train
+
+        emb = spark.createDataFrame(
+            [(1, [0.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError):
+            kmeans_train(emb, k=0)
+        with pytest.raises(ValueError):
+            kmeans_train(emb, k=65)
+        with pytest.raises(ValueError):
+            kmeans_train(emb, n_iters=-1)
+
+
 class TestAnnRecall:
     """ANN recall diagnostic (ops/similarity.py ann_recall)."""
 
