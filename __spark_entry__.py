@@ -1287,6 +1287,57 @@ def q_kmeans_train(spark, sf_dir):
     )
 
 
+def q_pq_train(spark, sf_dir):
+    """PQ codebooks TRAINED (per-subspace lattice Lloyd, m=8 k=16,
+    2 iterations) instead of sampled — exact BIGINT distances, floor
+    means, per-code quantization error; all subspaces train in the same
+    jobs (ops/similarity.py pq_train)."""
+    from ocr_search_spark.ops.similarity import pq_train
+
+    return pq_train(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        m=8, k=16, dim=64, n_iters=2,
+    )
+
+
+def q_curriculum_shards(spark, sf_dir):
+    """Curriculum corpus assembly: documents tiered into training
+    phases by the SHARED integer quality signals (0 = bulk, 1 = mid,
+    2 = anneal — the end-of-training high-quality phase of
+    curriculum/anneal pretraining recipes), then shard-packed WITHIN
+    each phase (phase-salted hash groups, ~2000 tokens/shard) —
+    the data-ordering step composed entirely from certified parts
+    (_quality_signals + ops/sampling.py pack_shards)."""
+    from ocr_search_spark.ops.sampling import pack_shards
+    from ocr_search_spark.search.analysis import with_search_columns
+
+    d = with_search_columns(_docs(spark, sf_dir), "text")
+    n_tokens, n_stop, _ = _quality_signals()
+    scored = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.when((n_stop * 10 >= n_tokens * 2) & (n_tokens >= 30), F.lit(2))
+        .when(n_stop * 20 >= n_tokens, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("phase"),
+    )
+    parts = []
+    for p in (0, 1, 2):
+        packed = pack_shards(
+            scored.filter(F.col("phase") == p),
+            "doc_id",
+            "n_tokens",
+            target_tokens=2000,
+            n_groups=16,
+            salt=f"cur{p}",
+        )
+        parts.append(packed.select(F.lit(p).alias("phase"), "*"))
+    out = parts[0]
+    for more in parts[1:]:
+        out = out.unionByName(more)
+    return out.select("doc_id", "phase", "tokens", "shard_group", "shard_idx")
+
+
 def q_tfidf_related(spark, sf_dir):
     """Per-document top-3 related documents ("more like this"): sparse
     tf-idf inner product over a df-pruned posting-list self-join, with
@@ -2259,6 +2310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_law": q_heaps_law,
         "bpe_fertility": q_bpe_fertility,
         "kmeans_train": q_kmeans_train,
+        "pq_train": q_pq_train,
+        "curriculum_shards": q_curriculum_shards,
     }
 
 
@@ -2444,6 +2497,89 @@ def _kmeans_oracle(k: int, iters: int, scale_bits: int) -> str:
                      sum(d2)::BIGINT AS inertia
               FROM a{iters} GROUP BY cid
             ) st USING (cid)"""
+    )
+    return "".join(parts)
+
+
+def _pq_train_oracle(
+    m: int, k: int, dim: int, iters: int, scale_bits: int
+) -> str:
+    """Unrolled per-subspace lattice Lloyd iterations — the _kmeans_oracle
+    discipline with a (s)ubspace dimension carried through every stage;
+    list_slice(qv, a, b) is inclusive, matching Spark slice(qv, a, len)."""
+    scale = 1 << scale_bits
+    dsub = dim // m
+    parts = [
+        f"""
+            WITH q AS (
+              SELECT vec_id AS id,
+                     list_transform(embedding,
+                                    x -> floor(x * {scale}.0)::BIGINT) AS qv
+              FROM embeddings
+            ), seeds AS (
+              SELECT qv, (row_number() OVER (ORDER BY md5(id::VARCHAR), id)
+                          - 1) AS code
+              FROM (SELECT id, qv FROM q
+                    ORDER BY md5(id::VARCHAR), id LIMIT {k})
+            ), sub AS (
+              SELECT id, s,
+                     list_slice(qv, s * {dsub} + 1, s * {dsub} + {dsub}) AS sv
+              FROM q, LATERAL (SELECT unnest(range(0, {m})) AS s) t
+            ), c0 AS (
+              SELECT s, code,
+                     list_slice(qv, s * {dsub} + 1, s * {dsub} + {dsub}) AS cv
+              FROM seeds, LATERAL (SELECT unnest(range(0, {m})) AS s) t
+            )"""
+    ]
+    for i in range(iters + 1):
+        parts.append(
+            f""", d{i} AS (
+              SELECT sub.id, sub.s, sub.sv, c.code,
+                     list_sum(list_transform(range(1, len(sub.sv) + 1),
+                       j -> (sub.sv[j] - c.cv[j]) * (sub.sv[j] - c.cv[j])))
+                       AS d2
+              FROM sub JOIN c{i} c USING (s)
+            ), a{i} AS (
+              SELECT id, s, sv, code, d2 FROM (
+                SELECT *, row_number() OVER (PARTITION BY id, s
+                                             ORDER BY d2, code) AS rn
+                FROM d{i}
+              ) WHERE rn = 1
+            )"""
+        )
+        if i == iters:
+            break
+        parts.append(
+            f""", s{i} AS (
+              SELECT s, code, jj, sum(sv[jj])::BIGINT AS sm,
+                     count(*)::BIGINT AS cnt
+              FROM a{i},
+                   LATERAL (SELECT unnest(range(1, len(sv) + 1)) AS jj) t
+              GROUP BY s, code, jj
+            ), c{i + 1} AS (
+              SELECT c.s, c.code,
+                     CASE WHEN m2.code IS NULL THEN c.cv
+                          ELSE (SELECT list(floor(sm / cnt)::BIGINT
+                                            ORDER BY jj)
+                                FROM s{i}
+                                WHERE s{i}.s = c.s AND s{i}.code = c.code)
+                     END AS cv
+              FROM c{i} c
+              LEFT JOIN (SELECT DISTINCT s, code FROM s{i}) m2
+                USING (s, code)
+            )"""
+        )
+    parts.append(
+        f"""
+            SELECT c.s::INT AS s, c.code::INT AS code,
+                   coalesce(st.size, 0)::BIGINT AS size,
+                   coalesce(st.inertia, 0)::BIGINT AS inertia,
+                   c.cv AS centroid
+            FROM c{iters} c LEFT JOIN (
+              SELECT s, code, count(*)::BIGINT AS size,
+                     sum(d2)::BIGINT AS inertia
+              FROM a{iters} GROUP BY s, code
+            ) st USING (s, code)"""
     )
     return "".join(parts)
 
@@ -4167,6 +4303,36 @@ def oracle_sql() -> dict[str, str]:
         "bpe_vocab_stats": _bpe_vocab_stats_oracle(6, 30),
         "bpe_encode": _bpe_encode_oracle(6),
         "kmeans_train": _kmeans_oracle(8, 3, 20),
+        "pq_train": _pq_train_oracle(8, 16, 64, 2, 20),
+        "curriculum_shards": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     len({_TOK}) AS n_tokens,
+                     len(list_filter({_TOK},
+                         t -> list_contains(
+                           ['the','a','of','and','to','in','is'], t)))
+                       AS n_stop
+              FROM documents
+            ), ph AS (
+              SELECT doc_id, n_tokens,
+                     CASE WHEN n_stop * 10 >= n_tokens * 2
+                               AND n_tokens >= 30 THEN 2
+                          WHEN n_stop * 20 >= n_tokens THEN 1
+                          ELSE 0 END AS phase
+              FROM t
+            )
+            SELECT doc_id, phase, n_tokens AS tokens,
+                   ('0x' || substring(md5('cur' || phase || doc_id), 1, 8))
+                     ::BIGINT % 16 AS shard_group,
+                   floor((sum(n_tokens) OVER (
+                       PARTITION BY phase,
+                         ('0x' || substring(md5('cur' || phase || doc_id),
+                                            1, 8))::BIGINT % 16
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) - n_tokens) / 2000)::BIGINT AS shard_idx
+            FROM ph
+        """,
         "heaps_law": f"""
             WITH d AS (
               SELECT CASE WHEN b < 100 THEN 0

@@ -191,6 +191,8 @@ def main() -> None:
         "heaps_law",
         "bpe_fertility",
         "kmeans_train",
+        "pq_train",
+        "curriculum_shards",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

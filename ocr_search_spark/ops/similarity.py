@@ -744,6 +744,138 @@ def pq_codebooks_from_sample(
     return out
 
 
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """TRAIN the PQ codebooks (per-subspace Lloyd's k-means on the
+    integer lattice) instead of sampling them — the upgrade over
+    :func:`pq_codebooks_from_sample`, which seeds codewords from k
+    corpus vectors without any refinement. Returns m·k rows:
+    (s, code, size, inertia, centroid) where ``centroid`` is the
+    quantized array<long> codeword (floor(x·2^scale_bits) components)
+    and ``inertia`` the exact integer quantization error of subspace
+    ``s`` under codeword ``code`` — summed over codes, the per-subspace
+    distortion an ADC table inherits. Same lattice rationale as
+    :func:`kmeans_train`: float per-cluster means are order-dependent
+    sums, so float PQ training is not engine-reproducible; on the
+    lattice the whole training run (and the oracle's hash of every
+    codeword array) is exact BIGINT arithmetic.
+
+    Init matches the from_sample convention: codeword ``c`` of
+    subspace ``s`` is the s-th subvector slice of the vector with the
+    c-th smallest md5(id). Empty codes keep their previous codeword.
+
+    Scale shape: ALL m subspaces train in the same jobs — the corpus
+    explodes once into (id, s, subvector) rows (localCheckpoint-ed);
+    each iteration is one broadcast join against the m·k codebook with
+    a map-side-combined min(struct(d2, code)) argmin per (id, s), then
+    one map-side-combined (s, code, dim) partial-sum shuffle; m·k·dsub
+    integers reach the driver per round (the codebook itself — exactly
+    the driver state every PQ trainer holds). Never a per-subspace job
+    fan-out, never vectors on the driver.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if n_iters < 0:
+        raise ValueError(f"n_iters must be >= 0, got {n_iters}")
+    dsub = dim // m
+    scale = 1 << int(scale_bits)
+    spark = df.sparkSession
+    q = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * scale).cast("long"),
+        ).alias("qv"),
+    ).localCheckpoint()
+    qsub = q.select(
+        "id",
+        F.posexplode(
+            F.array(*[F.slice("qv", s * dsub + 1, dsub) for s in range(m)])
+        ).alias("s", "sub"),
+    ).localCheckpoint()
+    seeds = (
+        q.orderBy(
+            F.md5(F.encode(F.col("id").cast("string"), "utf-8")), F.col("id")
+        )
+        .limit(int(k))
+        .collect()
+    )
+    cents: dict[tuple[int, int], list[int]] = {
+        (s, c): [int(v) for v in r.qv[s * dsub : (s + 1) * dsub]]
+        for s in range(m)
+        for c, r in enumerate(seeds)
+    }
+
+    def cent_df():
+        return spark.createDataFrame(
+            [(s, c, cents[(s, c)]) for (s, c) in sorted(cents)],
+            "s int, code int, cv array<bigint>",
+        )
+
+    d2 = F.aggregate(
+        F.zip_with(F.col("sub"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+    def assign():
+        return (
+            qsub.join(F.broadcast(cent_df()), "s")
+            .select(
+                "id",
+                "s",
+                "sub",
+                F.struct(d2.alias("d2"), F.col("code").alias("code")).alias(
+                    "c"
+                ),
+            )
+            .groupBy("id", "s")
+            .agg(F.min("c").alias("b"), F.any_value("sub").alias("sub"))
+        )
+
+    for _ in range(int(n_iters)):
+        parts = (
+            assign()
+            .select(
+                "s",
+                F.col("b.code").alias("code"),
+                F.posexplode("sub").alias("pos", "val"),
+            )
+            .groupBy("s", "code", "pos")
+            .agg(F.sum("val").alias("sm"), F.count("*").alias("cnt"))
+            .collect()
+        )
+        sums: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+        for r in parts:
+            sums.setdefault((r.s, r.code), {})[r.pos] = (int(r.sm), int(r.cnt))
+        for key, dims in sums.items():
+            cents[key] = [dims[p][0] // dims[p][1] for p in range(dsub)]
+    stats = (
+        assign()
+        .groupBy("s", F.col("b.code").alias("code"))
+        .agg(F.count("*").alias("size"), F.sum("b.d2").alias("inertia"))
+    )
+    out_cents = spark.createDataFrame(
+        [(s, c, cents[(s, c)]) for (s, c) in sorted(cents)],
+        "s int, code int, centroid array<bigint>",
+    )
+    return out_cents.join(stats, ["s", "code"], "left").select(
+        "s",
+        "code",
+        F.coalesce("size", F.lit(0)).alias("size"),
+        F.coalesce("inertia", F.lit(0)).alias("inertia"),
+        "centroid",
+    )
+
+
 def _codebook_df(spark, codebooks):
     return spark.createDataFrame(
         [(s, c, v) for s, c, v in codebooks],

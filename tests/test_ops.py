@@ -2995,6 +2995,84 @@ class TestKmeansTrain:
             kmeans_train(emb, n_iters=-1)
 
 
+class TestPqTrain:
+    """Per-subspace lattice PQ training (ops/similarity.py pq_train):
+    scalar parity by running the kmeans scalar model per subspace."""
+
+    @staticmethod
+    def _scalar(rows, m, k, dim, iters, scale_bits=20):
+        dsub = dim // m
+        out = {}
+        for s in range(m):
+            srows = [
+                (i, v[s * dsub : (s + 1) * dsub]) for i, v in rows
+            ]
+            res = TestKmeansTrain._scalar(srows, k, iters, scale_bits)
+            for code, (size, inertia, cv) in res.items():
+                out[(s, code)] = (size, inertia, cv)
+        return out
+
+    def test_matches_per_subspace_scalar_lloyd(self, spark):
+        from ocr_search_spark.ops.similarity import pq_train
+
+        rng = np.random.RandomState(3)
+        rows = [(i, [float(x) for x in rng.rand(8) - 0.5]) for i in range(50)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {
+            (r.s, r.code): (r.size, r.inertia, list(r.centroid))
+            for r in pq_train(emb, m=2, k=4, dim=8, n_iters=2).collect()
+        }
+        assert got == self._scalar(rows, 2, 4, 8, 2)
+
+    def test_zero_iters_matches_sampled_seeding(self, spark):
+        from ocr_search_spark.ops.similarity import (
+            pq_codebooks_from_sample,
+            pq_train,
+        )
+
+        rng = np.random.RandomState(5)
+        rows = [(i, [float(x) for x in rng.rand(8)]) for i in range(30)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        trained = {
+            (r.s, r.code): list(r.centroid)
+            for r in pq_train(emb, m=4, k=3, dim=8, n_iters=0).collect()
+        }
+        sampled = pq_codebooks_from_sample(emb, m=4, k=3, dim=8)
+        import math
+
+        for s, c, vec in sampled:
+            assert trained[(s, c)] == [math.floor(x * (1 << 20)) for x in vec]
+
+    def test_training_never_increases_inertia(self, spark):
+        from ocr_search_spark.ops.similarity import pq_train
+
+        rng = np.random.RandomState(9)
+        rows = [(i, [float(x) for x in rng.rand(8) - 0.5]) for i in range(80)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+        def total_inertia(iters):
+            return sum(
+                r.inertia
+                for r in pq_train(emb, m=2, k=4, dim=8, n_iters=iters).collect()
+            )
+
+        i0, i1, i2 = (total_inertia(n) for n in (0, 1, 2))
+        assert i0 >= i1 >= i2
+
+    def test_validation(self, spark):
+        import pytest
+
+        from ocr_search_spark.ops.similarity import pq_train
+
+        emb = spark.createDataFrame(
+            [(1, [0.0] * 8)], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError):
+            pq_train(emb, m=3, dim=8)
+        with pytest.raises(ValueError):
+            pq_train(emb, m=2, dim=8, n_iters=-1)
+
+
 class TestAnnRecall:
     """ANN recall diagnostic (ops/similarity.py ann_recall)."""
 
