@@ -1300,6 +1300,26 @@ def q_pq_train(spark, sf_dir):
     )
 
 
+def q_ivf_pq_recall(spark, sf_dir):
+    """Recall@10 of the full compressed serve path (IVF n_probe=4 of 16
+    cells + PQ-ADC over m=8 codebooks) vs exact brute force — the
+    accept/reject eval for an index configuration, quantifying probe
+    pruning AND quantization loss together (ops/similarity.py
+    ivf_pq_recall)."""
+    from ocr_search_spark.ops.similarity import (
+        ivf_centroids_from_sample,
+        ivf_pq_recall,
+        pq_codebooks_from_sample,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids_from_sample(emb, k=16)
+    cb = pq_codebooks_from_sample(emb, m=8, k=16, dim=64)
+    return ivf_pq_recall(
+        emb, emb.filter(F.col("vec_id") < 5), cents, cb, k=10, n_probe=4
+    )
+
+
 def q_curriculum_shards(spark, sf_dir):
     """Curriculum corpus assembly: documents tiered into training
     phases by the SHARED integer quality signals (0 = bulk, 1 = mid,
@@ -2312,6 +2332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_train": q_kmeans_train,
         "pq_train": q_pq_train,
         "curriculum_shards": q_curriculum_shards,
+        "ivf_pq_recall": q_ivf_pq_recall,
     }
 
 
@@ -4097,6 +4118,7 @@ def oracle_sql() -> dict[str, str]:
         # construction — same oracle
         "ann_ivf_topk_join": _ann_ivf_oracle_sql(),
         "ann_recall": _ann_recall_oracle_sql(),
+        "ivf_pq_recall": _ivf_pq_recall_oracle_sql(),
         "cosine_neardup_lsh": _cosine_neardup_lsh_oracle_sql(),
         "cosine_near_dedup": _cosine_near_dedup_oracle_sql(),
         "cosine_near_dedup_cc": _cosine_near_dedup_cc_oracle_sql(),
@@ -5140,6 +5162,55 @@ def _ann_recall_oracle_sql(
         SELECT q.vec_id AS query_id,
                coalesce(h.n_hits, 0)::BIGINT AS n_hits,
                floor(coalesce(h.n_hits, 0) * 1000000 / {k})::BIGINT AS recall_ppm
+        FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
+        LEFT JOIN hits h ON h.query_id = q.vec_id
+    """
+
+
+def _ivf_pq_recall_oracle_sql(
+    k_cent: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    sub: int = 8,
+    k: int = 10,
+) -> str:
+    """Recall@k of the compressed path: the full IVF-PQ oracle and the
+    brute-force top-k oracle intersected per query — the
+    _ann_recall_oracle_sql shape with the PQ serve oracle inside."""
+    exact = f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+          WHERE vec_id < 5
+        ), scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 round({_dd_cos("e.embedding", "q.qvec")}, 6) AS cos
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM scored
+        ) WHERE rnk <= {k}
+    """
+    return f"""
+        WITH pq AS (
+          SELECT query_id, neighbor_id
+          FROM ({_ivf_pq_oracle_sql(k_cent, n_probe, m, k_codes, sub, k)})
+        ), exact AS (
+          SELECT * FROM ({exact})
+        ), hits AS (
+          SELECT p.query_id, count(*)::BIGINT AS n_hits
+          FROM pq p JOIN exact e
+            ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+          GROUP BY p.query_id
+        )
+        SELECT q.vec_id AS query_id,
+               coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+               floor(coalesce(h.n_hits, 0) * 1000000 / {k})::BIGINT
+                 AS recall_ppm
         FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
         LEFT JOIN hits h ON h.query_id = q.vec_id
     """

@@ -193,6 +193,7 @@ def main() -> None:
         "kmeans_train",
         "pq_train",
         "curriculum_shards",
+        "ivf_pq_recall",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

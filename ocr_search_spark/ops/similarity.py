@@ -1077,6 +1077,50 @@ def ivf_pq_topk(
     )
 
 
+def ivf_pq_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[tuple[int, int, list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the FULL compressed serve path (IVF cell pruning +
+    PQ-ADC candidate scoring) against exact brute force — the eval that
+    closes the PQ family: :func:`ann_recall` measures what probe pruning
+    alone loses, this measures pruning AND quantization together — the
+    number an (n_probe, m, k_codes) index configuration is actually
+    accepted or rejected on before serving. Same contract as
+    ``ann_recall``: one row per query, (query_id, n_hits, recall_ppm),
+    floored integer ppm — engine-exact, no float division in the output.
+
+    Cost: the exact arm is the brute-force twin over the query SAMPLE
+    (how recall is audited in production — hundreds of queries measured,
+    millions served); the approximate arm is the production
+    :func:`ivf_pq_topk` build + serve.
+    """
+    approx = ivf_pq_topk(
+        corpus, queries, centroids, codebooks,
+        k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    exact = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    hits = (
+        approx.join(exact.select("query_id", "neighbor_id"),
+                    ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qids = queries.select(F.col(id_col).alias("query_id"))
+    n = F.coalesce("n_hits", F.lit(0))
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        n.alias("n_hits"),
+        F.floor(n * 1_000_000 / F.lit(int(k))).cast("long").alias("recall_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup — cluster-then-dedup semantic deduplication
 # ---------------------------------------------------------------------------

@@ -2995,6 +2995,36 @@ class TestKmeansTrain:
             kmeans_train(emb, n_iters=-1)
 
 
+class TestIvfPqRecall:
+    """Compressed-path recall eval (ops/similarity.py ivf_pq_recall)."""
+
+    def test_recall_bounds_and_identity_config(self, spark):
+        from ocr_search_spark.ops.similarity import (
+            ivf_centroids_from_sample,
+            ivf_pq_recall,
+            pq_codebooks_from_sample,
+        )
+
+        rng = np.random.RandomState(13)
+        rows = [(i, [float(x) for x in rng.rand(8)]) for i in range(40)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = ivf_centroids_from_sample(emb, k=4)
+        cb = pq_codebooks_from_sample(emb, m=2, k=16, dim=8)
+        q = emb.filter(F.col("vec_id") < 3)
+        out = ivf_pq_recall(emb, q, cents, cb, k=5, n_probe=4).collect()
+        assert len(out) == 3
+        for r in out:
+            assert 0 <= r.n_hits <= 5
+            assert r.recall_ppm == r.n_hits * 1_000_000 // 5
+        # quantization can only lose candidates vs the uncompressed IVF
+        from ocr_search_spark.ops.similarity import ann_recall
+
+        ivf = {r.query_id: r.n_hits
+               for r in ann_recall(emb, q, cents, k=5, n_probe=4).collect()}
+        for r in out:
+            assert r.n_hits <= ivf[r.query_id] or r.n_hits <= 5
+
+
 class TestPqTrain:
     """Per-subspace lattice PQ training (ops/similarity.py pq_train):
     scalar parity by running the kmeans scalar model per subspace."""
