@@ -1320,6 +1320,16 @@ def q_ivf_pq_recall(spark, sf_dir):
     )
 
 
+def q_zipf_spectrum(spark, sf_dir):
+    """Token frequency-of-frequencies per half-bit band — hapax mass,
+    Good-Turing smoothing bands, stop-word head, all exact integers
+    (ops/sketch.py zipf_spectrum; one vocab shuffle + a ≤64-key
+    aggregate)."""
+    from ocr_search_spark.ops.sketch import zipf_spectrum
+
+    return zipf_spectrum(_docs(spark, sf_dir))
+
+
 def q_curriculum_shards(spark, sf_dir):
     """Curriculum corpus assembly: documents tiered into training
     phases by the SHARED integer quality signals (0 = bulk, 1 = mid,
@@ -2333,6 +2343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_train": q_pq_train,
         "curriculum_shards": q_curriculum_shards,
         "ivf_pq_recall": q_ivf_pq_recall,
+        "zipf_spectrum": q_zipf_spectrum,
     }
 
 
@@ -4324,6 +4335,19 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_train_oracle(6),
         "bpe_vocab_stats": _bpe_vocab_stats_oracle(6, 30),
         "bpe_encode": _bpe_encode_oracle(6),
+        "zipf_spectrum": f"""
+            WITH v AS (
+              SELECT w, count(*)::BIGINT AS c
+              FROM (SELECT unnest({_TOK}) AS w FROM documents)
+              GROUP BY w
+            )
+            SELECT (length(bin((c * c)::BIGINT)) - 1)::INT AS hb_band,
+                   count(*)::BIGINT AS n_words,
+                   sum(c)::BIGINT AS tokens,
+                   min(c)::BIGINT AS min_count,
+                   max(c)::BIGINT AS max_count
+            FROM v GROUP BY 1 ORDER BY 1
+        """,
         "kmeans_train": _kmeans_oracle(8, 3, 20),
         "pq_train": _pq_train_oracle(8, 16, 64, 2, 20),
         "curriculum_shards": f"""

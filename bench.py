@@ -194,6 +194,7 @@ def main() -> None:
         "pq_train",
         "curriculum_shards",
         "ivf_pq_recall",
+        "zipf_spectrum",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

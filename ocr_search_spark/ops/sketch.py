@@ -238,3 +238,45 @@ def heaps_law(
         )
         .orderBy("frac_ppm")
     )
+
+
+def zipf_spectrum(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token frequency-of-frequencies on the half-bit lattice — the
+    Zipf/Good-Turing spectrum: for each half-bit band
+    ``hb(c) = floor(2·log₂ c)`` of word frequency c, how many distinct
+    words live there and how much corpus mass they carry. Returns
+    (hb_band, n_words, tokens, min_count, max_count) ordered by band —
+    band 0 is the hapax legomena (c = 1), the low bands are the
+    Good-Turing smoothing mass and the OOV-rate forecast, the top bands
+    are the stop-word head. Exact integers end to end (the ops.dsir
+    ``length(bin(c·c)) - 1`` identity), so the spectrum is
+    engine-reproducible — no histogram binning conventions to argue
+    about.
+
+    Scale shape: ONE corpus tokenize/explode into the map-side-
+    combinable word-count shuffle (the same vocab-sized table
+    bpe_train and heaps_law build), then a second combinable aggregate
+    over ≤ ~64 half-bit keys. Nothing vocab-sized ever reaches the
+    driver.
+    """
+    from ..search.analysis import tokens_expr
+    from .dsir import _hb
+
+    vocab = (
+        df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        vocab.groupBy(_hb(F.col("c")).cast("int").alias("hb_band"))
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("c").alias("tokens"),
+            F.min("c").alias("min_count"),
+            F.max("c").alias("max_count"),
+        )
+        .orderBy("hb_band")
+    )

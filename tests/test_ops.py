@@ -3471,6 +3471,51 @@ class TestHeapsLaw:
                 heaps_law(df, fracs=bad)
 
 
+class TestZipfSpectrum:
+    """Half-bit frequency-of-frequencies (ops/sketch.py zipf_spectrum)."""
+
+    def test_matches_bruteforce_bands(self, spark):
+        import math
+        import re
+        from collections import Counter
+
+        from ocr_search_spark.ops.sketch import zipf_spectrum
+
+        # frequencies spanning several half-bit bands: 1, 2, 3, 5, 9, 17
+        words = (
+            ["hapax"] + ["twice"] * 2 + ["thrice"] * 3 + ["five"] * 5
+            + ["nine"] * 9 + ["seventeen"] * 17
+        )
+        docs = [(i, " ".join(words[i::4])) for i in range(4)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = [
+            (r.hb_band, r.n_words, r.tokens, r.min_count, r.max_count)
+            for r in zipf_spectrum(df).collect()
+        ]
+        counts = Counter(
+            w for _, t in docs for w in re.findall(r"[a-zа-яё0-9_]+", t.lower())
+        )
+        bands = {}
+        for _w, c in counts.items():
+            b = math.floor(2 * math.log2(c))
+            n, tot, lo, hi = bands.get(b, (0, 0, c, c))
+            bands[b] = (n + 1, tot + c, min(lo, c), max(hi, c))
+        want = sorted((b, *v) for b, v in bands.items())
+        assert got == want
+        assert got[0][0] == 0 and got[0][3] == 1  # hapax band present
+
+    def test_band_identity(self, spark):
+        from ocr_search_spark.ops.sketch import zipf_spectrum
+
+        # c = 1 -> band 0; c = 2 -> band 2; c = 4 -> band 4
+        df = spark.createDataFrame(
+            [(1, "one two two four four four four")],
+            "doc_id long, text string",
+        )
+        got = {r.hb_band: (r.n_words, r.min_count) for r in zipf_spectrum(df).collect()}
+        assert got == {0: (1, 1), 2: (1, 2), 4: (1, 4)}
+
+
 class TestBpeFertility:
     """Per-language tokenizer fertility (ops/text_analysis.py
     bpe_fertility_by_lang): scalar trainer + encoder parity."""
