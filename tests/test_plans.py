@@ -440,3 +440,53 @@ class TestLmPlans:
         assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
         # gram/prefix posting joins are equi joins
         assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+class TestR5LateOpPlans:
+    """Plan pins for the closing-r5 operators: no cartesian products, no
+    Python UDFs, partial aggregation where the scale argument claims it."""
+
+    def test_tfidf_related_posting_join_is_equi(self, spark):
+        from ocr_search_spark.search.ranking import tfidf_related_topk
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        plan = plan_of(tfidf_related_topk(docs, k=3, max_df_frac=0.25))
+        assert "CartesianProduct" not in plan
+        assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+        # the posting self-join must be an equi join on the term key
+        assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or \
+            "ShuffledHashJoin" in plan
+
+    def test_kmeans_iteration_shuffle_is_partial_agg(self, spark):
+        """The per-iteration (cid, pos) sum must partial-combine map-side:
+        two HashAggregate levels around one Exchange, so only k*dim rows
+        per partition cross the wire — the core kmeans_train scale claim."""
+        from ocr_search_spark.ops.similarity import kmeans_train
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        out = kmeans_train(emb, k=4, n_iters=1)
+        # the returned stats plan carries the final assignment aggregation
+        plan = plan_of(out)
+        assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("HashAggregate") >= 2  # partial + final
+
+    def test_zipf_and_heaps_word_shuffles_partial_agg(self, spark):
+        from ocr_search_spark.ops.sketch import heaps_law, zipf_spectrum
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        for q in (zipf_spectrum(docs), heaps_law(docs)):
+            plan = plan_of(q)
+            assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+            assert plan.count("HashAggregate") >= 2
+
+    def test_bpe_encode_id_map_broadcast(self, spark):
+        """The symbol->id map join must broadcast (|alphabet|+K rows) —
+        never shuffle the encoded symbol stream for it."""
+        from ocr_search_spark.ops.text_analysis import bpe_encode
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        plan = plan_of(bpe_encode(docs, n_merges=2))
+        assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
