@@ -1320,6 +1320,20 @@ def q_ivf_pq_recall(spark, sf_dir):
     )
 
 
+def q_tokenized_pack(spark, sf_dir):
+    """End-to-end tokenizer→loader lifecycle: per-document token counts
+    under the TRAINED 6-merge BPE segmentation (bpe_token_counts — what
+    the LM loader actually consumes, not whitespace words) packed into
+    exact 512-token training sequences with boundary splits
+    (ops/sampling.py pack_sequences over ops/text_analysis.py
+    bpe_token_counts)."""
+    from ocr_search_spark.ops.sampling import pack_sequences
+    from ocr_search_spark.ops.text_analysis import bpe_token_counts
+
+    counts = bpe_token_counts(_docs(spark, sf_dir), "doc_id", "text", n_merges=6)
+    return pack_sequences(counts, "id", "bpe_tokens", seq_len=512, n_groups=16)
+
+
 def q_zipf_spectrum(spark, sf_dir):
     """Token frequency-of-frequencies per half-bit band — hapax mass,
     Good-Turing smoothing bands, stop-word head, all exact integers
@@ -2344,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_shards": q_curriculum_shards,
         "ivf_pq_recall": q_ivf_pq_recall,
         "zipf_spectrum": q_zipf_spectrum,
+        "tokenized_pack": q_tokenized_pack,
     }
 
 
@@ -4350,6 +4365,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_train": _kmeans_oracle(8, 3, 20),
         "pq_train": _pq_train_oracle(8, 16, 64, 2, 20),
+        "tokenized_pack": _bpe_rounds_cte(6) + f"""
+            , seg AS (
+              SELECT array_to_string(syms, '') AS w, len(syms)::BIGINT AS ns
+              FROM v6
+            ), cnts AS (
+              SELECT d.doc_id AS id, coalesce(x.bt, 0)::BIGINT AS bpe_tokens
+              FROM documents d LEFT JOIN (
+                SELECT doc_id, sum(ns)::BIGINT AS bt
+                FROM (SELECT doc_id, unnest({_TOK}) AS w FROM documents) t
+                JOIN seg USING (w) GROUP BY doc_id
+              ) x ON x.doc_id = d.doc_id
+            ), s AS (
+              SELECT id, bpe_tokens AS tokens,
+                     ('0x' || substring(md5('pack' || id), 1, 8))::BIGINT
+                       % 16 AS shard_group,
+                     sum(bpe_tokens) OVER (
+                       PARTITION BY ('0x' || substring(md5('pack' || id),
+                                                       1, 8))::BIGINT % 16
+                       ORDER BY id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     )::BIGINT AS cum
+              FROM cnts
+            ), nz AS (
+              SELECT id, tokens, shard_group, cum, cum - tokens AS strt
+              FROM s WHERE tokens > 0
+            ), pieces AS (
+              SELECT id, tokens, shard_group, strt,
+                     unnest(generate_series(floor(strt / 512)::BIGINT,
+                                            floor((cum - 1) / 512)::BIGINT))
+                       AS seq_idx
+              FROM nz
+            )
+            SELECT id, tokens, shard_group, seq_idx,
+                   greatest(0, seq_idx * 512 - strt)::BIGINT AS begin_tok,
+                   least(tokens, (seq_idx + 1) * 512 - strt)::BIGINT AS end_tok
+            FROM pieces
+        """,
         "curriculum_shards": f"""
             WITH t AS (
               SELECT doc_id,

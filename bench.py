@@ -195,6 +195,7 @@ def main() -> None:
         "curriculum_shards",
         "ivf_pq_recall",
         "zipf_spectrum",
+        "tokenized_pack",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

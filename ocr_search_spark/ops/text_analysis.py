@@ -1102,3 +1102,42 @@ def bpe_fertility_by_lang(
             F.floor(F.col("symbols") * 1_000_000 / F.col("words")).cast("long"),
         ).alias("fertility_ppm"),
     )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Per-document TRAINED-tokenizer token counts: (id, bpe_tokens) —
+    the budget column for :func:`ops.sampling.pack_sequences` /
+    ``pack_shards`` when the packing budget must be measured in REAL
+    tokenizer tokens rather than whitespace words (what an LM loader
+    actually consumes; word counts under-budget agglutinative text and
+    over-budget fused symbols). Documents whose text produces no tokens
+    report 0 (and downstream packing drops them, per its contract).
+
+    Scale shape: :func:`bpe_train`'s cost plus one corpus
+    tokenize/explode joined to the vocab-sized word→symbol-count map —
+    the :func:`bpe_fertility_by_lang` pass keyed by document instead of
+    language, so the shuffle output is doc-count rows.
+    """
+    vocab, _ = _bpe_loop(df, text_col, n_merges)
+    seg = vocab.select(
+        F.regexp_replace(F.col("s"), " ", "").alias("w"),
+        F.size(F.split("s", " ")).cast("long").alias("__ns"),
+    )
+    counted = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens_expr(F.col(text_col))).alias("w"),
+        )
+        .join(seg, "w")
+        .groupBy("id")
+        .agg(F.sum("__ns").alias("bpe_tokens"))
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(counted, "id", "left").select(
+        "id", F.coalesce("bpe_tokens", F.lit(0)).alias("bpe_tokens")
+    )

@@ -3578,6 +3578,47 @@ class TestBpeFertility:
         )
 
 
+class TestBpeTokenCounts:
+    """Trained-tokenizer per-doc token counts (ops/text_analysis.py
+    bpe_token_counts) — the pack budget in real tokenizer tokens."""
+
+    def test_matches_scalar_and_keeps_empty_docs(self, spark):
+        from collections import Counter
+
+        from ocr_search_spark.ops.text_analysis import bpe_token_counts
+
+        rows = [(1, "low low lower"), (2, "newest newest"), (3, "")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        words = Counter(w for _, t in rows for w in t.split())
+        segs = {w: list(w) for w in words}
+        for _ in range(3):
+            pc = Counter()
+            for w, c in words.items():
+                s = segs[w]
+                for x, y in zip(s, s[1:]):
+                    pc[(x, y)] += c
+            if not pc:
+                break
+            (l, r), _ = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            for w, s in segs.items():
+                out = []
+                for sym in s:
+                    if out and out[-1] == l and sym == r:
+                        out[-1] = l + r
+                    else:
+                        out.append(sym)
+                segs[w] = out
+        got = {
+            r.id: r.bpe_tokens
+            for r in bpe_token_counts(df, n_merges=3).collect()
+        }
+        want = {
+            i: sum(len(segs[w]) for w in t.split()) for i, t in rows
+        }
+        assert got == want
+        assert got[3] == 0  # empty doc reported, not dropped
+
+
 class TestOversample:
     """Epoch-factor oversampling (ops/sampling.py oversample)."""
 
