@@ -276,6 +276,12 @@ def main() -> None:
     bpe_train(content, "content", n_merges=4).show(4, truncate=False)
     bpe_vocab_stats(content, "content", n_merges=4, top_k=3).show(3)
 
+    print("== corpus statistics: Heaps' growth curve + Zipf half-bit spectrum (r5)")
+    from ocr_search_spark.ops.sketch import heaps_law, zipf_spectrum
+
+    heaps_law(content, "doc_id", "content").show()
+    zipf_spectrum(content, "content").show(5)
+
     print("== related docs (tf-idf MIPS) + lattice k-means over the vectors (r5)")
     from ocr_search_spark.ops.similarity import kmeans_train
     from ocr_search_spark.search.ranking import tfidf_related_topk
