@@ -1344,6 +1344,27 @@ def q_zipf_spectrum(spark, sf_dir):
     return zipf_spectrum(_docs(spark, sf_dir))
 
 
+def q_pq_recall_trained(spark, sf_dir):
+    """The train→serve payoff, certified: recall@10 of the compressed
+    serve path with TRAINED codebooks (pq_train, 2 Lloyd rounds) in
+    place of the md5-sampled seeding — compare against `ivf_pq_recall`
+    to see what training buys (ops/similarity.py pq_train_codebooks
+    feeding ivf_pq_recall; codewords dequantize by an exact
+    power-of-two division so both engines serve identical floats)."""
+    from ocr_search_spark.ops.similarity import (
+        ivf_centroids_from_sample,
+        ivf_pq_recall,
+        pq_train_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids_from_sample(emb, k=16)
+    cb = pq_train_codebooks(emb, m=8, k=16, dim=64, n_iters=2)
+    return ivf_pq_recall(
+        emb, emb.filter(F.col("vec_id") < 5), cents, cb, k=10, n_probe=4
+    )
+
+
 def q_curriculum_shards(spark, sf_dir):
     """Curriculum corpus assembly: documents tiered into training
     phases by the SHARED integer quality signals (0 = bulk, 1 = mid,
@@ -2359,6 +2380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_recall": q_ivf_pq_recall,
         "zipf_spectrum": q_zipf_spectrum,
         "tokenized_pack": q_tokenized_pack,
+        "pq_recall_trained": q_pq_recall_trained,
     }
 
 
@@ -4145,6 +4167,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk_join": _ann_ivf_oracle_sql(),
         "ann_recall": _ann_recall_oracle_sql(),
         "ivf_pq_recall": _ivf_pq_recall_oracle_sql(),
+        "pq_recall_trained": _ivf_pq_recall_oracle_sql(
+            cb_cte=_pq_trained_cb_cte(8, 16, 8, 2, 20)
+        ),
         "cosine_neardup_lsh": _cosine_neardup_lsh_oracle_sql(),
         "cosine_near_dedup": _cosine_near_dedup_oracle_sql(),
         "cosine_near_dedup_cc": _cosine_near_dedup_cc_oracle_sql(),
@@ -5075,12 +5100,26 @@ def _ivf_pq_oracle_sql(
     k_codes: int = 16,
     sub: int = 8,
     k: int = 10,
+    cb_cte: str | None = None,
 ) -> str:
     """IVF-PQ oracle: the _ann_ivf_oracle_sql cell-pruning front composed
     with the _pq_adc_oracle_sql encode/LUT scoring — candidates restricted
-    to probed cells before the ADC sum."""
+    to probed cells before the ADC sum. ``cb_cte`` overrides the codebook
+    source: a WITH-fragment ending in ``cb(s, code, cvec)`` (the trained
+    variant passes the t-prefixed pq_train chain; default is the
+    md5-sampled seeding)."""
     l2 = _dd_l2sq("sv", "cvec", sub)
     l2q = _dd_l2sq("qsv", "cvec", sub)
+    if cb_cte is None:
+        cb_cte = f"""samp AS (
+          SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS c,
+                 embedding AS v
+          FROM (SELECT vec_id, embedding FROM embeddings
+                ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k_codes})
+        ), cb AS (
+          SELECT s, c AS code, list_slice(v, s * {sub} + 1, s * {sub} + {sub}) AS cvec
+          FROM samp CROSS JOIN subs
+        )"""
     return f"""
         WITH cent AS (
           SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cid,
@@ -5110,17 +5149,9 @@ def _ivf_pq_oracle_sql(
           SELECT p.query_id, a.neighbor_id
           FROM probes p JOIN assigned a ON p.cid = a.cid
           WHERE a.neighbor_id <> p.query_id
-        ), samp AS (
-          SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS c,
-                 embedding AS v
-          FROM (SELECT vec_id, embedding FROM embeddings
-                ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k_codes})
         ), subs AS (
           SELECT unnest(range(0, {m})) AS s
-        ), cb AS (
-          SELECT s, c AS code, list_slice(v, s * {sub} + 1, s * {sub} + {sub}) AS cvec
-          FROM samp CROSS JOIN subs
-        ), slices AS (
+        ), {cb_cte}, slices AS (
           SELECT vec_id AS id, s,
                  list_slice(embedding, s * {sub} + 1, s * {sub} + {sub}) AS sv
           FROM embeddings CROSS JOIN subs
@@ -5243,6 +5274,79 @@ def _ann_recall_oracle_sql(
     """
 
 
+def _pq_trained_cb_cte(
+    m: int, k_codes: int, sub: int, iters: int, scale_bits: int
+) -> str:
+    """WITH-fragment producing ``cb(s, code, cvec)`` from the TRAINED
+    per-subspace lattice Lloyd chain (_pq_train_oracle's stages,
+    t-prefixed to avoid colliding with the serve oracle's CTE names);
+    codewords dequantize by an exact power-of-two division, so the
+    float cvec values are bit-identical to the Spark helper's v/2^b."""
+    scale = 1 << scale_bits
+    parts = [
+        f"""tq AS (
+          SELECT vec_id AS id,
+                 list_transform(embedding,
+                                x -> floor(x * {scale}.0)::BIGINT) AS qv
+          FROM embeddings
+        ), tseeds AS (
+          SELECT qv, (row_number() OVER (ORDER BY md5(id::VARCHAR), id) - 1)
+                   AS code
+          FROM (SELECT id, qv FROM tq
+                ORDER BY md5(id::VARCHAR), id LIMIT {k_codes})
+        ), tsub AS (
+          SELECT id, s,
+                 list_slice(qv, s * {sub} + 1, s * {sub} + {sub}) AS sv
+          FROM tq, LATERAL (SELECT unnest(range(0, {m})) AS s) t
+        ), tc0 AS (
+          SELECT s, code,
+                 list_slice(qv, s * {sub} + 1, s * {sub} + {sub}) AS cv
+          FROM tseeds, LATERAL (SELECT unnest(range(0, {m})) AS s) t
+        )"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", td{i} AS (
+              SELECT tsub.id, tsub.s, tsub.sv, c.code,
+                     list_sum(list_transform(range(1, len(tsub.sv) + 1),
+                       j -> (tsub.sv[j] - c.cv[j]) * (tsub.sv[j] - c.cv[j])))
+                       AS d2
+              FROM tsub JOIN tc{i} c USING (s)
+            ), ta{i} AS (
+              SELECT id, s, sv, code FROM (
+                SELECT *, row_number() OVER (PARTITION BY id, s
+                                             ORDER BY d2, code) AS rn
+                FROM td{i}
+              ) WHERE rn = 1
+            ), ts{i} AS (
+              SELECT s, code, jj, sum(sv[jj])::BIGINT AS sm,
+                     count(*)::BIGINT AS cnt
+              FROM ta{i},
+                   LATERAL (SELECT unnest(range(1, len(sv) + 1)) AS jj) t
+              GROUP BY s, code, jj
+            ), tc{i + 1} AS (
+              SELECT c.s, c.code,
+                     CASE WHEN m2.code IS NULL THEN c.cv
+                          ELSE (SELECT list(floor(sm / cnt)::BIGINT
+                                            ORDER BY jj)
+                                FROM ts{i}
+                                WHERE ts{i}.s = c.s AND ts{i}.code = c.code)
+                     END AS cv
+              FROM tc{i} c
+              LEFT JOIN (SELECT DISTINCT s, code FROM ts{i}) m2
+                USING (s, code)
+            )"""
+        )
+    parts.append(
+        f""", cb AS (
+          SELECT s::BIGINT AS s, code::BIGINT AS code,
+                 list_transform(cv, x -> x / {scale}.0) AS cvec
+          FROM tc{iters}
+        )"""
+    )
+    return "".join(parts)
+
+
 def _ivf_pq_recall_oracle_sql(
     k_cent: int = 16,
     n_probe: int = 4,
@@ -5250,6 +5354,7 @@ def _ivf_pq_recall_oracle_sql(
     k_codes: int = 16,
     sub: int = 8,
     k: int = 10,
+    cb_cte: str | None = None,
 ) -> str:
     """Recall@k of the compressed path: the full IVF-PQ oracle and the
     brute-force top-k oracle intersected per query — the
@@ -5274,7 +5379,7 @@ def _ivf_pq_recall_oracle_sql(
     return f"""
         WITH pq AS (
           SELECT query_id, neighbor_id
-          FROM ({_ivf_pq_oracle_sql(k_cent, n_probe, m, k_codes, sub, k)})
+          FROM ({_ivf_pq_oracle_sql(k_cent, n_probe, m, k_codes, sub, k, cb_cte)})
         ), exact AS (
           SELECT * FROM ({exact})
         ), hits AS (

@@ -196,6 +196,7 @@ def main() -> None:
         "ivf_pq_recall",
         "zipf_spectrum",
         "tokenized_pack",
+        "pq_recall_trained",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

@@ -876,6 +876,36 @@ def pq_train(
     )
 
 
+def pq_train_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = 20,
+) -> list[tuple[int, int, list[float]]]:
+    """Driver-side TRAINED codebooks in the
+    :func:`pq_codebooks_from_sample` format [(s, code, subvector)] — a
+    drop-in for :func:`pq_encode` / ADC / the ``ivf_pq_*`` serve path.
+    Codewords come off :func:`pq_train`'s integer lattice and
+    dequantize by an exact power-of-two division (v / 2^scale_bits is
+    lossless in binary floating point), so the float codewords — and
+    therefore every downstream ADC table — are bit-identical in any
+    engine. This is the train→serve seam: train once at corpus scale,
+    collect the m·k codebook, broadcast it into the serve joins."""
+    scale = float(1 << scale_bits)
+    rows = pq_train(
+        df, m=m, k=k, dim=dim, n_iters=n_iters,
+        id_col=id_col, vec_col=vec_col, scale_bits=scale_bits,
+    ).collect()
+    return [
+        (int(r.s), int(r.code), [v / scale for v in r.centroid])
+        for r in sorted(rows, key=lambda r: (r.s, r.code))
+    ]
+
+
 def _codebook_df(spark, codebooks):
     return spark.createDataFrame(
         [(s, c, v) for s, c, v in codebooks],

@@ -3102,6 +3102,28 @@ class TestPqTrain:
         with pytest.raises(ValueError):
             pq_train(emb, m=2, dim=8, n_iters=-1)
 
+    def test_trained_codebooks_are_dyadic_dropins(self, spark):
+        """pq_train_codebooks must return the from_sample format with
+        exactly-dequantized (power-of-two) floats, usable by pq_encode."""
+        from ocr_search_spark.ops.similarity import (
+            pq_encode,
+            pq_train_codebooks,
+        )
+
+        rng = np.random.RandomState(21)
+        rows = [(i, [float(x) for x in rng.rand(8) - 0.5]) for i in range(20)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cb = pq_train_codebooks(emb, m=2, k=4, dim=8, n_iters=1)
+        assert {(s, c) for s, c, _ in cb} == {
+            (s, c) for s in range(2) for c in range(4)
+        }
+        for _s, _c, vec in cb:
+            for v in vec:
+                # dequantized lattice point: v * 2^20 is an exact integer
+                assert float(v * (1 << 20)).is_integer()
+        enc = pq_encode(emb, cb)
+        assert enc.count() == 20 * 2  # one code per (vector, subspace)
+
 
 class TestAnnRecall:
     """ANN recall diagnostic (ops/similarity.py ann_recall)."""
