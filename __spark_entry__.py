@@ -2432,8 +2432,13 @@ def _bpe_rounds_cte(n_merges: int) -> str:
     picks the (cnt DESC, l, r) argmax b{k}, and applies it with a
     string-accumulator list_reduce — the same left-to-right
     non-overlapping fold the engine runs. An exhausted round leaves
-    b{k} empty, which empties every later stage — matching the
-    engine's early stop."""
+    b{k} empty; every later b{j} stays empty (matching bpe_train's
+    early stop) while v{k+1} CARRIES v{k} unchanged via a LEFT JOIN —
+    the engine's `_bpe_loop` keeps its last vocab state on exhaustion,
+    and the encode-side consumers (bpe_vocab_stats/bpe_encode/
+    bpe_fertility/tokenized_pack) read v{n}, so an inner-join fold here
+    would falsely empty their oracles on any corpus that fully fuses
+    in under n_merges rounds."""
     parts = [
         f"""
             WITH v0 AS (
@@ -2455,12 +2460,15 @@ def _bpe_rounds_cte(n_merges: int) -> str:
               SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
             ), v{k + 1} AS (
               SELECT v.wc,
-                     str_split(list_reduce(v.syms, (acc, x) -> CASE
-                       WHEN x = b.r AND (acc = b.l
-                            OR right(acc, length(b.l) + 1) = ' ' || b.l)
-                       THEN left(acc, length(acc) - length(b.l)) || b.l || b.r
-                       ELSE acc || ' ' || x END), ' ') AS syms
-              FROM v{k} v, b{k} b
+                     CASE WHEN b.l IS NULL THEN v.syms
+                          ELSE str_split(list_reduce(v.syms, (acc, x) -> CASE
+                            WHEN x = b.r AND (acc = b.l
+                                 OR right(acc, length(b.l) + 1) = ' ' || b.l)
+                            THEN left(acc, length(acc) - length(b.l))
+                                 || b.l || b.r
+                            ELSE acc || ' ' || x END), ' ')
+                     END AS syms
+              FROM v{k} v LEFT JOIN b{k} b ON TRUE
             )"""
         )
     return "".join(parts)
@@ -2495,6 +2503,21 @@ def _bpe_vocab_stats_oracle(n_merges: int, top_k: int) -> str:
                 GROUP BY u
               )
             ) WHERE rnk <= {top_k}"""
+    )
+
+
+def _hb_wide_sql(col: str = "c") -> str:
+    """floor(2·log2(c)) without squaring — the ops.sketch._hb_wide twin:
+    2L + [c >= T_L], thresholds T_L = ceil(sqrt(2^(2L+1))) embedded as a
+    list literal indexed by L+1 = length(bin(c))."""
+    import math
+
+    ts = ", ".join(
+        str(math.isqrt((1 << (2 * lv + 1)) - 1) + 1) for lv in range(63)
+    )
+    return (
+        f"(2 * (length(bin({col})) - 1) + CASE WHEN {col} >= "
+        f"([{ts}])[length(bin({col}))] THEN 1 ELSE 0 END)::INT"
     )
 
 
@@ -4381,7 +4404,7 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT unnest({_TOK}) AS w FROM documents)
               GROUP BY w
             )
-            SELECT (length(bin((c * c)::BIGINT)) - 1)::INT AS hb_band,
+            SELECT {_hb_wide_sql("c")} AS hb_band,
                    count(*)::BIGINT AS n_words,
                    sum(c)::BIGINT AS tokens,
                    min(c)::BIGINT AS min_count,

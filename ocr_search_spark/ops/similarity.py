@@ -595,6 +595,54 @@ def _l2sq(a, b):
     )
 
 
+#: lattice components must stay below 2^24 in magnitude so a squared
+#: difference summed over up to ~4096 dimensions cannot overflow BIGINT:
+#: (2·2^24)² · 4096 = 2^62 < 2^63. Past it Spark (non-ANSI) would WRAP
+#: silently while DuckDB errors — the guard keeps both engines in the
+#: same (exact) regime by raising instead.
+_MAX_LATTICE = 1 << 24
+
+
+def _lattice_quantize(df: DataFrame, id_col: str, vec_col: str, scale: int):
+    """(id, qv) with qv = floor(x·scale), guarded onto the overflow-safe
+    integer lattice (|q| < 2^24, see _MAX_LATTICE). Shared by the
+    lattice trainers so the quantization contract — which every oracle
+    and scalar test model re-derives — lives in exactly one place."""
+
+    def q(x):
+        v = F.floor(x.cast("double") * scale).cast("long")
+        return F.when(F.abs(v) < F.lit(_MAX_LATTICE), v).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "lattice component out of range (|q| >= 2^24; "
+                        "lower scale_bits or rescale inputs): "
+                    ),
+                    v.cast("string"),
+                )
+            )
+        )
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), q).alias("qv"),
+    )
+
+
+def _md5_seeds(q: DataFrame, k: int):
+    """The k rows of (id, qv) with the smallest md5(id) — the shared
+    deterministic seeding convention (ivf_centroids_from_sample /
+    pq_codebooks_from_sample / both lattice trainers and their
+    oracles)."""
+    return (
+        q.orderBy(
+            F.md5(F.encode(F.col("id").cast("string"), "utf-8")), F.col("id")
+        )
+        .limit(int(k))
+        .collect()
+    )
+
+
 def kmeans_train(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -643,20 +691,8 @@ def kmeans_train(
     if n_iters < 0:
         raise ValueError(f"n_iters must be >= 0, got {n_iters}")
     scale = 1 << int(scale_bits)
-    q = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.floor(x.cast("double") * scale).cast("long"),
-        ).alias("qv"),
-    ).localCheckpoint()
-    seeds = (
-        q.orderBy(
-            F.md5(F.encode(F.col("id").cast("string"), "utf-8")), F.col("id")
-        )
-        .limit(int(k))
-        .collect()
-    )
+    q = _lattice_quantize(df, id_col, vec_col, scale).localCheckpoint()
+    seeds = _md5_seeds(q, k)
     cents: dict[int, list[int]] = {
         i: [int(v) for v in r.qv] for i, r in enumerate(seeds)
     }
@@ -788,26 +824,14 @@ def pq_train(
     dsub = dim // m
     scale = 1 << int(scale_bits)
     spark = df.sparkSession
-    q = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.floor(x.cast("double") * scale).cast("long"),
-        ).alias("qv"),
-    ).localCheckpoint()
+    q = _lattice_quantize(df, id_col, vec_col, scale).localCheckpoint()
     qsub = q.select(
         "id",
         F.posexplode(
             F.array(*[F.slice("qv", s * dsub + 1, dsub) for s in range(m)])
         ).alias("s", "sub"),
     ).localCheckpoint()
-    seeds = (
-        q.orderBy(
-            F.md5(F.encode(F.col("id").cast("string"), "utf-8")), F.col("id")
-        )
-        .limit(int(k))
-        .collect()
-    )
+    seeds = _md5_seeds(q, k)
     cents: dict[tuple[int, int], list[int]] = {
         (s, c): [int(v) for v in r.qv[s * dsub : (s + 1) * dsub]]
         for s in range(m)
@@ -1107,6 +1131,35 @@ def ivf_pq_topk(
     )
 
 
+def _recall_vs_exact(
+    approx: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The shared recall@k contract: |approx ∩ exact brute-force top-k|
+    per query as (query_id, n_hits, recall_ppm) with floored integer
+    ppm — one implementation for every ANN eval (ann_recall,
+    ivf_pq_recall) so the recall semantics cannot drift between them."""
+    exact = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qids = queries.select(F.col(id_col).alias("query_id"))
+    n = F.coalesce("n_hits", F.lit(0))
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        n.alias("n_hits"),
+        F.floor(n * 1_000_000 / F.lit(int(k))).cast("long").alias("recall_ppm"),
+    )
+
+
 def ivf_pq_recall(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1134,21 +1187,8 @@ def ivf_pq_recall(
     approx = ivf_pq_topk(
         corpus, queries, centroids, codebooks,
         k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col,
-    ).select("query_id", "neighbor_id")
-    exact = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
-    hits = (
-        approx.join(exact.select("query_id", "neighbor_id"),
-                    ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_hits"))
     )
-    qids = queries.select(F.col(id_col).alias("query_id"))
-    n = F.coalesce("n_hits", F.lit(0))
-    return qids.join(hits, "query_id", "left").select(
-        "query_id",
-        n.alias("n_hits"),
-        F.floor(n * 1_000_000 / F.lit(int(k))).cast("long").alias("recall_ppm"),
-    )
+    return _recall_vs_exact(approx, corpus, queries, k, id_col, vec_col)
 
 
 # ---------------------------------------------------------------------------
@@ -1311,18 +1351,5 @@ def ann_recall(
     approx = ivf_search(
         corpus, queries, centroids, k=k, n_probe=n_probe,
         id_col=id_col, vec_col=vec_col, method=method,
-    ).select("query_id", "neighbor_id")
-    exact = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
-    hits = (
-        approx.join(exact.select("query_id", "neighbor_id"),
-                    ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_hits"))
     )
-    qids = queries.select(F.col(id_col).alias("query_id"))
-    n = F.coalesce("n_hits", F.lit(0))
-    return qids.join(hits, "query_id", "left").select(
-        "query_id",
-        n.alias("n_hits"),
-        F.floor(n * 1_000_000 / F.lit(int(k))).cast("long").alias("recall_ppm"),
-    )
+    return _recall_vs_exact(approx, corpus, queries, k, id_col, vec_col)

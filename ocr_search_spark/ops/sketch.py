@@ -198,6 +198,15 @@ def heaps_law(
             f"fracs must be strictly increasing, each in (0, 1]: {fracs}"
         )
     cuts = [int(round(f * BUCKETS)) for f in fr]
+    # a frac below the 1/BUCKETS hash granularity rounds to cut 0 (its
+    # sample row would silently read all-zero), and two nearby fracs can
+    # round to the SAME cut (a fake nesting level) — both would skew a
+    # V = K·nᵝ fit, so they are errors, not empty samples
+    if cuts[0] < 1 or sorted(set(cuts)) != cuts:
+        raise ValueError(
+            f"fracs must stay distinct at the 1/{BUCKETS} hash "
+            f"granularity: {fracs} round to buckets {cuts}"
+        )
     bucket = hash_bucket(id_col, salt)
     tier = F.when(bucket < cuts[0], F.lit(0))
     for i, c in enumerate(cuts[1:], start=1):
@@ -240,6 +249,27 @@ def heaps_law(
     )
 
 
+def _hb_wide(c):
+    """floor(2·log₂ c) for 1 ≤ c < 2^63 WITHOUT squaring:
+    2L + [c ≥ T_L] with L = length(bin(c)) - 1 and T_L =
+    ceil(sqrt(2^(2L+1))) — the 63 thresholds are exact integers
+    (Python isqrt) embedded as one array literal indexed by L. The
+    ops.dsir ``_hb`` identity squares its argument and therefore caps
+    at 2^31; head-word counts at 100 TB (~10^11–10^12) need this wide
+    form. Agrees with ``_hb`` bit-for-bit on the shared range
+    (tested)."""
+    import math
+
+    ts = [math.isqrt((1 << (2 * lv + 1)) - 1) + 1 for lv in range(63)]
+    lcol = F.length(F.bin(c)) - F.lit(1)
+    t = F.element_at(
+        F.array(*[F.lit(v) for v in ts]), (lcol + F.lit(1)).cast("int")
+    )
+    return (lcol * 2 + F.when(c >= t, F.lit(1)).otherwise(F.lit(0))).cast(
+        "int"
+    )
+
+
 def zipf_spectrum(
     df: DataFrame,
     text_col: str = "text",
@@ -251,10 +281,11 @@ def zipf_spectrum(
     (hb_band, n_words, tokens, min_count, max_count) ordered by band —
     band 0 is the hapax legomena (c = 1), the low bands are the
     Good-Turing smoothing mass and the OOV-rate forecast, the top bands
-    are the stop-word head. Exact integers end to end (the ops.dsir
-    ``length(bin(c·c)) - 1`` identity), so the spectrum is
-    engine-reproducible — no histogram binning conventions to argue
-    about.
+    are the stop-word head. Exact integers end to end via the WIDE
+    half-bit identity (:func:`_hb_wide` — threshold table, no
+    squaring), so the spectrum is engine-reproducible at any count a
+    BIGINT can hold: a 100 TB head word at c ≈ 10^12 bands exactly,
+    where the squaring form of the identity would overflow at 2^31.
 
     Scale shape: ONE corpus tokenize/explode into the map-side-
     combinable word-count shuffle (the same vocab-sized table
@@ -263,7 +294,6 @@ def zipf_spectrum(
     driver.
     """
     from ..search.analysis import tokens_expr
-    from .dsir import _hb
 
     vocab = (
         df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
@@ -271,7 +301,7 @@ def zipf_spectrum(
         .agg(F.count("*").alias("c"))
     )
     return (
-        vocab.groupBy(_hb(F.col("c")).cast("int").alias("hb_band"))
+        vocab.groupBy(_hb_wide(F.col("c")).alias("hb_band"))
         .agg(
             F.count("*").alias("n_words"),
             F.sum("c").alias("tokens"),

@@ -887,6 +887,23 @@ def _bpe_loop(
     return vocab, steps
 
 
+def _seg_map(vocab: DataFrame, with_count: bool = False) -> DataFrame:
+    """Word→segmentation map read off a trained ``_bpe_loop`` vocab state:
+    strip the segmentation's spaces back into the word key (BPE symbols
+    are substrings of the word, so the space-free concat IS the word —
+    the invariant every encode-side consumer relies on, asserted here
+    once). ``with_count`` swaps the symbol array for its length
+    (the fertility/packing budget column)."""
+    payload = (
+        F.size(F.split("s", " ")).cast("long").alias("__ns")
+        if with_count
+        else F.split("s", " ").alias("__syms")
+    )
+    return vocab.select(
+        F.regexp_replace(F.col("s"), " ", "").alias("w"), payload
+    )
+
+
 def bpe_vocab_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -1005,10 +1022,7 @@ def bpe_encode(
     work after the join is one split + posexplode.
     """
     vocab, steps = _bpe_loop(df, text_col, n_merges)
-    seg = vocab.select(
-        F.regexp_replace(F.col("s"), " ", "").alias("w"),
-        F.split("s", " ").alias("__syms"),
-    )
+    seg = _seg_map(vocab)
     # alphabet from the vocab's own word strings (vocab-sized pass, not a
     # corpus pass); ids are dense ranks in sorted order — the tiny global
     # window is |alphabet|-sized, never corpus-sized
@@ -1074,10 +1088,7 @@ def bpe_fertility_by_lang(
     |langs| rows. No UDF anywhere.
     """
     vocab, _ = _bpe_loop(df, text_col, n_merges)
-    seg = vocab.select(
-        F.regexp_replace(F.col("s"), " ", "").alias("w"),
-        F.size(F.split("s", " ")).cast("long").alias("__ns"),
-    )
+    seg = _seg_map(vocab, with_count=True)
     docs = (
         df.select(F.col(lang_col).alias("lang"))
         .groupBy("lang")
@@ -1124,10 +1135,7 @@ def bpe_token_counts(
     language, so the shuffle output is doc-count rows.
     """
     vocab, _ = _bpe_loop(df, text_col, n_merges)
-    seg = vocab.select(
-        F.regexp_replace(F.col("s"), " ", "").alias("w"),
-        F.size(F.split("s", " ")).cast("long").alias("__ns"),
-    )
+    seg = _seg_map(vocab, with_count=True)
     counted = (
         df.select(
             F.col(id_col).alias("id"),

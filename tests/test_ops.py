@@ -3006,9 +3006,13 @@ class TestIvfPqRecall:
         )
 
         rng = np.random.RandomState(13)
-        rows = [(i, [float(x) for x in rng.rand(8)]) for i in range(40)]
+        rows = [(i, [float(x) for x in rng.rand(8)]) for i in range(12)]
         emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
         cents = ivf_centroids_from_sample(emb, k=4)
+        # 16 codewords for 12 vectors: every subvector IS a codeword, so
+        # the quantization is lossless and with all cells probed the
+        # compressed path must recover most of the exact top-5 — a real
+        # floor, not a tautology
         cb = pq_codebooks_from_sample(emb, m=2, k=16, dim=8)
         q = emb.filter(F.col("vec_id") < 3)
         out = ivf_pq_recall(emb, q, cents, cb, k=5, n_probe=4).collect()
@@ -3016,13 +3020,7 @@ class TestIvfPqRecall:
         for r in out:
             assert 0 <= r.n_hits <= 5
             assert r.recall_ppm == r.n_hits * 1_000_000 // 5
-        # quantization can only lose candidates vs the uncompressed IVF
-        from ocr_search_spark.ops.similarity import ann_recall
-
-        ivf = {r.query_id: r.n_hits
-               for r in ann_recall(emb, q, cents, k=5, n_probe=4).collect()}
-        for r in out:
-            assert r.n_hits <= ivf[r.query_id] or r.n_hits <= 5
+        assert sum(r.n_hits for r in out) >= 9  # >= 60% mean recall
 
 
 class TestPqTrain:
@@ -3488,7 +3486,11 @@ class TestHeapsLaw:
         from ocr_search_spark.ops.sketch import heaps_law
 
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
-        for bad in [(), (0.5, 0.1), (0.0, 1.0), (0.5, 1.5)]:
+        for bad in [
+            (), (0.5, 0.1), (0.0, 1.0), (0.5, 1.5),
+            (0.00004, 0.5, 1.0),      # rounds to cut 0: silent empty sample
+            (0.00006, 0.00014, 1.0),  # distinct fracs, same rounded cut
+        ]:
             with pytest.raises(ValueError):
                 heaps_law(df, fracs=bad)
 
@@ -3536,6 +3538,32 @@ class TestZipfSpectrum:
         )
         got = {r.hb_band: (r.n_words, r.min_count) for r in zipf_spectrum(df).collect()}
         assert got == {0: (1, 1), 2: (1, 2), 4: (1, 4)}
+
+    def test_hb_wide_exact_beyond_the_squaring_cap(self, spark):
+        """_hb_wide must equal exact integer floor(2*log2 c) across the
+        whole BIGINT range — including counts >= 2^31 where the dsir
+        _hb identity (which squares) would raise; 100 TB head words
+        live there."""
+        from pyspark.sql import functions as F
+
+        from ocr_search_spark.ops.sketch import _hb_wide
+
+        vals = (
+            list(range(1, 18))
+            + [2**k for k in range(1, 62)]
+            + [2**k + 1 for k in range(1, 62)]
+            + [2**k - 1 for k in range(2, 63)]
+            + [10**12, 10**12 + 7, 3**39, (1 << 62) - 1]
+        )
+        df = spark.createDataFrame([(v,) for v in vals], "c long")
+        got = {
+            r.c: r.b
+            for r in df.select("c", _hb_wide(F.col("c")).alias("b")).collect()
+        }
+        for c in vals:
+            lv = c.bit_length() - 1
+            want = 2 * lv + (1 if c * c >= 1 << (2 * lv + 1) else 0)
+            assert got[c] == want, (c, got[c], want)
 
 
 class TestBpeFertility:
