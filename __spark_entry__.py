@@ -1274,6 +1274,27 @@ def q_bpe_fertility(spark, sf_dir):
     return bpe_fertility_by_lang(_docs(spark, sf_dir), "lang", "text", n_merges=6)
 
 
+def q_bpe_apply(spark, sf_dir):
+    """Shipped-tokenizer serve path: train 6 BPE merges on the
+    even-doc_id HALF of the corpus, export the (merges, vocab)
+    artifact pair, and apply it to the FULL corpus —
+    (id, pos, sym_pos, token_id, symbol) with symbols the training
+    half never saw mapped to unk_id = -1 (ops/text_analysis.py
+    bpe_artifacts + bpe_apply; the train→ship→apply seam, the only
+    BPE query whose encode corpus differs from its training corpus).
+    Driver state is the artifact itself (|alphabet| + K entries);
+    application is K chained codegen'd folds over the distinct-word
+    table plus one posexplode/broadcast-join encode pass — no
+    training rounds on the serve corpus."""
+    from ocr_search_spark.ops.text_analysis import bpe_apply, bpe_artifacts
+
+    docs = _docs(spark, sf_dir)
+    merges, vocab = bpe_artifacts(
+        docs.filter(F.col("doc_id") % 2 == 0), "text", n_merges=6
+    )
+    return bpe_apply(docs, merges, vocab, "doc_id", "text")
+
+
 def q_kmeans_train(spark, sf_dir):
     """Integer-lattice Lloyd's k-means over the embedding table (k=8,
     3 iterations): the coarse-quantizer TRAINER the IVF family's
@@ -2374,6 +2395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_related": q_tfidf_related,
         "heaps_law": q_heaps_law,
         "bpe_fertility": q_bpe_fertility,
+        "bpe_apply": q_bpe_apply,
         "kmeans_train": q_kmeans_train,
         "pq_train": q_pq_train,
         "curriculum_shards": q_curriculum_shards,
@@ -2426,7 +2448,7 @@ def _simhash_vote_sql(bits: int = 32) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _bpe_rounds_cte(n_merges: int) -> str:
+def _bpe_rounds_cte(n_merges: int, source: str = "documents") -> str:
     """Shared unrolled BPE-round CTE chain (the domain_pagerank
     discipline): round k counts pairs over the re-segmented vocab v{k},
     picks the (cnt DESC, l, r) argmax b{k}, and applies it with a
@@ -2444,7 +2466,7 @@ def _bpe_rounds_cte(n_merges: int) -> str:
             WITH v0 AS (
               SELECT count(*)::BIGINT AS wc,
                      list_transform(range(1, length(w) + 1), i -> w[i]) AS syms
-              FROM (SELECT unnest({_TOK}) AS w FROM documents)
+              FROM (SELECT unnest({_TOK}) AS w FROM {source})
               GROUP BY w
             )"""
     ]
@@ -2713,6 +2735,71 @@ def _bpe_encode_oracle(n_merges: int) -> str:
             )
             SELECT e.id, e.pos, e.sym_pos, m.token_id, e.symbol
             FROM enc e JOIN id_map m USING (symbol)"""
+    )
+
+
+def _bpe_apply_oracle(n_merges: int) -> str:
+    """Cross-corpus serve-path twin of ops.text_analysis.bpe_apply:
+    train the merge rounds on the even-doc_id HALF of the corpus
+    (the _bpe_rounds_cte chain over a filtered source), then re-fold
+    the FULL corpus's distinct words through the shipped b{k} merges
+    (a{k} chain — LEFT JOIN so an exhausted round is a no-op, exactly
+    the engine's shorter-merge-list case), assign ids in the
+    bpe_artifacts convention (train alphabet sorted at 0..A-1, merge k
+    at A+k-1, min-id dedup), and LEFT-join the encode stream so
+    symbols outside the shipped vocab — characters the training half
+    never saw — surface as unk_id = -1 instead of dropping."""
+    train = "(SELECT * FROM documents WHERE doc_id % 2 = 0)"
+    merge_union = "\n                UNION ALL ".join(
+        f"SELECT {k + 1} AS step, l || r AS symbol FROM b{k}"
+        for k in range(n_merges)
+    )
+    apply_chain = "".join(
+        f""", a{k + 1} AS (
+              SELECT a.w,
+                     CASE WHEN b.l IS NULL THEN a.syms
+                          ELSE str_split(list_reduce(a.syms, (acc, x) -> CASE
+                            WHEN x = b.r AND (acc = b.l
+                                 OR right(acc, length(b.l) + 1) = ' ' || b.l)
+                            THEN left(acc, length(acc) - length(b.l))
+                                 || b.l || b.r
+                            ELSE acc || ' ' || x END), ' ')
+                     END AS syms
+              FROM a{k} a LEFT JOIN b{k} b ON TRUE
+            )"""
+        for k in range(n_merges)
+    )
+    return (
+        _bpe_rounds_cte(n_merges, source=train)
+        + f""", a0 AS (
+              SELECT w, list_transform(range(1, length(w) + 1),
+                                       i -> w[i]) AS syms
+              FROM (SELECT DISTINCT unnest({_TOK}) AS w FROM documents)
+            ){apply_chain}, alpha AS (
+              SELECT symbol,
+                     (row_number() OVER (ORDER BY symbol) - 1)::INT AS token_id
+              FROM (SELECT DISTINCT unnest(syms) AS symbol FROM v0)
+            ), id_map AS (
+              SELECT symbol, min(token_id)::INT AS token_id FROM (
+                SELECT symbol, token_id FROM alpha
+                UNION ALL
+                SELECT symbol,
+                       ((SELECT count(*) FROM alpha) + step - 1)::INT AS token_id
+                FROM ({merge_union})
+              ) GROUP BY symbol
+            ), toks AS (
+              SELECT doc_id AS id, (i - 1)::INT AS pos, tok[i] AS w
+              FROM (SELECT doc_id, {_TOK} AS tok FROM documents) d,
+                   LATERAL (SELECT unnest(range(1, len(tok) + 1)) AS i) t
+            ), enc AS (
+              SELECT toks.id, toks.pos, (j - 1)::INT AS sym_pos,
+                     a.syms[j] AS symbol
+              FROM toks JOIN a{n_merges} a USING (w),
+                   LATERAL (SELECT unnest(range(1, len(a.syms) + 1)) AS j) u
+            )
+            SELECT e.id, e.pos, e.sym_pos,
+                   coalesce(m.token_id, -1)::INT AS token_id, e.symbol
+            FROM enc e LEFT JOIN id_map m USING (symbol)"""
     )
 
 
@@ -4398,6 +4485,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_train_oracle(6),
         "bpe_vocab_stats": _bpe_vocab_stats_oracle(6, 30),
         "bpe_encode": _bpe_encode_oracle(6),
+        "bpe_apply": _bpe_apply_oracle(6),
         "zipf_spectrum": f"""
             WITH v AS (
               SELECT w, count(*)::BIGINT AS c

@@ -1149,3 +1149,124 @@ def bpe_token_counts(
     return ids.join(counted, "id", "left").select(
         "id", F.coalesce("bpe_tokens", F.lit(0)).alias("bpe_tokens")
     )
+
+
+def bpe_artifacts(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> tuple[list[tuple[str, str]], dict[str, int]]:
+    """Train and EXPORT the shipped-tokenizer artifact pair:
+    (ordered merge list [(l, r), ...], symbol→token_id vocab dict) —
+    exactly what a tokenizer file carries, in the :func:`bpe_encode`
+    id convention (alphabet sorted at ids 0..A-1, merge k at A+k-1,
+    min-id dedup for a later merge that reproduces an existing
+    symbol). Feed the pair to :func:`bpe_apply` to tokenize a
+    DIFFERENT corpus — the train→ship→apply seam. Driver state is the
+    artifact itself (|alphabet| + K entries), never corpus-sized: the
+    alphabet collects from the vocab-sized distinct-word table."""
+    vocab, steps = _bpe_loop(df, text_col, n_merges)
+    merges: list[tuple[str, str]] = []
+    if steps:
+        out = steps[0]
+        for s in steps[1:]:
+            out = out.unionByName(s)
+        merges = [
+            (r.l, r.r) for r in out.orderBy("step").collect()
+        ]
+    alpha_rows = (
+        _seg_map(vocab)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+            ).alias("ch")
+        )
+        .distinct()
+        .collect()
+    )
+    alpha = sorted(r.ch for r in alpha_rows)
+    ids = {ch: i for i, ch in enumerate(alpha)}
+    for k, (l, r) in enumerate(merges, start=1):
+        ids.setdefault(l + r, len(alpha) + k - 1)
+    return merges, ids
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab_ids: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk_id: int = -1,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Apply a SHIPPED tokenizer (the :func:`bpe_artifacts` pair) to a
+    corpus it was not necessarily trained on — the serve side of
+    train→ship→apply. Same output contract as :func:`bpe_encode`:
+    (id, pos, sym_pos, token_id, symbol), except symbols absent from
+    the shipped vocab (characters the training corpus never saw — the
+    OOV case cross-corpus application creates) get ``unk_id`` instead
+    of being dropped: silently losing symbols would corrupt every
+    downstream token count, and real tokenizers reserve an
+    <unk>/byte-fallback id for exactly this.
+
+    Scale shape: the merge table is LITERAL state (it shipped as a
+    list), so application needs NO training rounds: the new corpus's
+    distinct-word table re-segments through K chained codegen'd folds
+    — each merge is the engine's own ``_BPE_APPLY_EXPR`` with (l, r)
+    bound as SQL literals, and a ``localCheckpoint`` every
+    ``checkpoint_every`` folds keeps plan depth bounded for real
+    (10k+-merge) tokenizers — then ONE corpus tokenize/posexplode
+    joins the vocab-sized segmentation map and a broadcast |vocab|+1
+    id map: :func:`bpe_encode`'s exact encode shape, minus training.
+    Applying a tokenizer to its own training corpus reproduces
+    ``bpe_encode`` exactly (merge-order application ≡ the trainer's
+    per-round fold; tested).
+    """
+    spark = df.sparkSession
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    seg = (
+        df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
+        .distinct()
+        .select(
+            "w",
+            F.expr(
+                "array_join(transform(sequence(1, length(w)), "
+                "i -> substring(w, i, 1)), ' ')"
+            ).alias("s"),
+        )
+    )
+    for i, (l, r) in enumerate(merges):
+        ln, rn = l.replace("'", "''"), r.replace("'", "''")
+        fold = (
+            _BPE_APPLY_EXPR.replace("__syms", "__s_arr")
+            .replace("__l", f"'{ln}'")
+            .replace("__r", f"'{rn}'")
+        )
+        seg = seg.select("w", F.split("s", " ").alias("__s_arr")).select(
+            "w", F.expr(fold).alias("s")
+        )
+        if (i + 1) % checkpoint_every == 0:
+            seg = seg.localCheckpoint()
+    seg = seg.select("w", F.split("s", " ").alias("__syms"))
+    id_map = spark.createDataFrame(
+        sorted((s, int(i)) for s, i in vocab_ids.items()),
+        "symbol string, token_id int",
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        tokens_expr(F.col(text_col)).alias("__toks"),
+    ).selectExpr("id", "posexplode(__toks) AS (pos, w)")
+    return (
+        toks.join(seg, "w")
+        .selectExpr("id", "pos", "posexplode(__syms) AS (sym_pos, symbol)")
+        .join(F.broadcast(id_map), "symbol", "left")
+        .select(
+            "id",
+            "pos",
+            "sym_pos",
+            F.coalesce("token_id", F.lit(int(unk_id))).alias("token_id"),
+            "symbol",
+        )
+    )

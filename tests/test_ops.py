@@ -3432,6 +3432,81 @@ class TestBpeEncode:
         assert orig.exceptAll(rebuilt).count() == 0
 
 
+class TestBpeApply:
+    """Shipped-tokenizer serve path (ops/text_analysis.py bpe_artifacts +
+    bpe_apply): artifact export convention, cross-corpus application,
+    and the self-application ≡ bpe_encode identity."""
+
+    _TRAIN = [
+        (1, "low lower lowest"),
+        (2, "new newer newest low"),
+        (3, "wide wider widest new"),
+    ]
+
+    def test_self_application_reproduces_bpe_encode(self, spark):
+        from ocr_search_spark.ops.text_analysis import (
+            bpe_apply,
+            bpe_artifacts,
+            bpe_encode,
+        )
+
+        df = spark.createDataFrame(self._TRAIN, "doc_id long, text string")
+        merges, vocab = bpe_artifacts(df, n_merges=6)
+        got = sorted(tuple(r) for r in bpe_apply(df, merges, vocab).collect())
+        want = sorted(tuple(r) for r in bpe_encode(df, n_merges=6).collect())
+        assert got == want
+
+    def test_oov_symbols_get_unk_id(self, spark):
+        from ocr_search_spark.ops.text_analysis import bpe_apply, bpe_artifacts
+
+        df = spark.createDataFrame(self._TRAIN, "doc_id long, text string")
+        merges, vocab = bpe_artifacts(df, n_merges=6)
+        new = spark.createDataFrame([(9, "low qqz new")], "doc_id long, text string")
+        got = sorted(
+            (r.pos, r.sym_pos, r.token_id, r.symbol)
+            for r in bpe_apply(new, merges, vocab).collect()
+        )
+        # 'low' and 'new' are shipped merge symbols; q/z never appeared
+        # in training so every character of 'qqz' maps to unk_id.
+        assert got == [
+            (0, 0, vocab["low"], "low"),
+            (1, 0, -1, "q"),
+            (1, 1, -1, "q"),
+            (1, 2, -1, "z"),
+            (2, 0, vocab["new"], "new"),
+        ]
+        custom = bpe_apply(new, merges, vocab, unk_id=-99).collect()
+        assert {r.token_id for r in custom if r.symbol == "q"} == {-99}
+
+    def test_artifact_ids_follow_encode_convention(self, spark):
+        from ocr_search_spark.ops.text_analysis import bpe_artifacts
+
+        # 'aaaa' trains merges aa then aaaa; alphabet {a, b} -> a=0,
+        # b=1; merge k at |alphabet|+k-1 (bpe_encode's vocab rule).
+        df = spark.createDataFrame(
+            [(1, "aaaa aaaa aaaa aaaab"), (2, "aa b")],
+            "doc_id long, text string",
+        )
+        merges, vocab = bpe_artifacts(df, n_merges=2)
+        assert merges == [("a", "a"), ("aa", "aa")]
+        assert vocab == {"a": 0, "b": 1, "aa": 2, "aaaa": 3}
+
+    def test_checkpoint_cadence_does_not_change_output(self, spark):
+        from ocr_search_spark.ops.text_analysis import bpe_apply, bpe_artifacts
+
+        df = spark.createDataFrame(self._TRAIN, "doc_id long, text string")
+        merges, vocab = bpe_artifacts(df, n_merges=6)
+        a = sorted(
+            tuple(r)
+            for r in bpe_apply(df, merges, vocab, checkpoint_every=2).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in bpe_apply(df, merges, vocab, checkpoint_every=100).collect()
+        )
+        assert a == b
+
+
 class TestHeapsLaw:
     """Vocabulary growth curve (ops/sketch.py heaps_law): brute-force
     parity per fraction via the shared md5 bucket convention."""
