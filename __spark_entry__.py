@@ -1479,6 +1479,24 @@ def q_ann_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+def q_margin_mine(spark, sf_dir):
+    """Ratio-margin pair mining (Artetxe-Schwenk / CCMatrix) between the
+    even-vec_id and odd-vec_id halves of the embedding table playing
+    source and target language: per src vector, the single best-margin
+    tgt whose cos/(mean kNN cos) ratio clears 1.05 —
+    (src_id, tgt_id, cos_e6, margin_e6) on the exact e6 integer lattice
+    (ops/similarity.py margin_mine; hubness-corrected mining, k=4)."""
+    from ocr_search_spark.ops.similarity import margin_mine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return margin_mine(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+        threshold_e6=1_050_000,
+    )
+
+
 def q_cosine_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs, exact form (threshold tuned to the
     synthetic embeddings' cosine range — testdata has no true dups)."""
@@ -2376,6 +2394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_topk_join": q_ann_ivf_topk_join,
         "ann_recall": q_ann_recall,
+        "margin_mine": q_margin_mine,
         "media_features": q_media_features,
         "media_dedup": q_media_dedup,
         "media_near_dedup": q_media_near_dedup,
@@ -4276,6 +4295,55 @@ def oracle_sql() -> dict[str, str]:
         # construction — same oracle
         "ann_ivf_topk_join": _ann_ivf_oracle_sql(),
         "ann_recall": _ann_recall_oracle_sql(),
+        "margin_mine": """
+            WITH s AS (
+              SELECT vec_id AS src_id, embedding AS svec FROM embeddings
+              WHERE vec_id % 2 = 0
+            ), t AS (
+              SELECT vec_id AS tgt_id, embedding AS tvec FROM embeddings
+              WHERE vec_id % 2 = 1
+            ), cross_cos AS (
+              SELECT src_id, tgt_id,
+                     CAST(round(round(
+                       list_sum(list_transform(range(1, 65),
+                         i -> svec[i]::DOUBLE * tvec[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(range(1, 65),
+                            i -> svec[i]::DOUBLE * svec[i]::DOUBLE)))
+                        * sqrt(list_sum(list_transform(range(1, 65),
+                            i -> tvec[i]::DOUBLE * tvec[i]::DOUBLE)))),
+                     6) * 1000000) AS BIGINT) AS cos_e6
+              FROM s CROSS JOIN t
+            ), src_nn AS (
+              SELECT src_id, sum(cos_e6)::BIGINT AS sum_x,
+                     count(*)::BIGINT AS kx
+              FROM (
+                SELECT src_id, cos_e6, row_number() OVER (
+                  PARTITION BY src_id ORDER BY cos_e6 DESC, tgt_id) AS rn
+                FROM cross_cos
+              ) WHERE rn <= 4 GROUP BY src_id
+            ), tgt_nn AS (
+              SELECT tgt_id, sum(cos_e6)::BIGINT AS sum_y,
+                     count(*)::BIGINT AS ky
+              FROM (
+                SELECT tgt_id, cos_e6, row_number() OVER (
+                  PARTITION BY tgt_id ORDER BY cos_e6 DESC, src_id) AS rn
+                FROM cross_cos
+              ) WHERE rn <= 4 GROUP BY tgt_id
+            ), scored AS (
+              SELECT c.src_id, c.tgt_id, c.cos_e6,
+                     (2 * c.cos_e6 * x.kx * y.ky * 1000000)
+                       // (x.sum_x * y.ky + y.sum_y * x.kx) AS margin_e6
+              FROM cross_cos c
+              JOIN src_nn x USING (src_id) JOIN tgt_nn y USING (tgt_id)
+              WHERE x.sum_x * y.ky + y.sum_y * x.kx > 0
+            ), best AS (
+              SELECT src_id, tgt_id, cos_e6, margin_e6, row_number() OVER (
+                PARTITION BY src_id ORDER BY margin_e6 DESC, tgt_id) AS rn
+              FROM scored
+            )
+            SELECT src_id, tgt_id, cos_e6, margin_e6 FROM best
+            WHERE rn = 1 AND margin_e6 >= 1050000
+        """,
         "ivf_pq_recall": _ivf_pq_recall_oracle_sql(),
         "pq_recall_trained": _ivf_pq_recall_oracle_sql(
             cb_cte=_pq_trained_cb_cte(8, 16, 8, 2, 20)

@@ -1353,3 +1353,98 @@ def ann_recall(
         id_col=id_col, vec_col=vec_col, method=method,
     )
     return _recall_vs_exact(approx, corpus, queries, k, id_col, vec_col)
+
+
+def margin_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold_e6: int = 1_050_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ratio-margin pair mining (Artetxe & Schwenk 2019, the CCMatrix /
+    LASER bitext-mining criterion): score every (src, tgt) embedding
+    pair by its cosine DIVIDED by the mean cosine of each side's k
+    nearest neighbors in the other side, and keep, per src vector, the
+    single best tgt whose margin clears the threshold. Raw cosine
+    over-mines hub vectors (generic sentences near everything); the
+    margin denominator is exactly the hubness correction the published
+    mining pipelines use to build parallel corpora from web crawls.
+
+    Output: (src_id, tgt_id, cos_e6, margin_e6), one row per mined src,
+    cosine and margin as exact e6-scaled integers. margin =
+    cos / ((avg_src_knn + avg_tgt_knn) / 2) is computed without float
+    division as ``(2 * cos_e6 * kx * ky * 1e6) DIV (sum_x * ky +
+    sum_y * kx)`` — BIGINT-exact (|num| < 2^50 for k <= 64), ties on
+    tgt_id, pairs with non-positive denominators unmineable (a vector
+    whose whole neighborhood is anti-correlated has no meaningful
+    hubness baseline). Mutual argmax ("intersection" in the paper) can
+    be recovered by running the op with sides swapped and joining.
+
+    Scale shape (100 TB): this is the brute-force arm — one
+    src×tgt cosine table, then two map-side-combinable top-k windows
+    (one keyed per side) and two vocab^1-sized sum joins; at
+    billion-vector scale the published pipelines restrict candidates to
+    shared IVF cells (faiss), which is this engine's ivf_search — the
+    margin formula consumes (src_id, tgt_id, cos_e6) candidate tuples
+    from EITHER arm unchanged. Reference repo has no analogue (search
+    service, app/search.py); this belongs to the training-data mining
+    family.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    s = src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("svec"))
+    t = tgt.select(F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("tvec"))
+    cos = _dot(F.col("svec"), F.col("tvec")) / (
+        _norm(F.col("svec")) * _norm(F.col("tvec"))
+    )
+    cross = (
+        s.crossJoin(t)
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round(F.round(cos, 6) * 1_000_000.0)
+            .cast("long")
+            .alias("cos_e6"),
+        )
+    )
+    ws = Window.partitionBy("src_id").orderBy(
+        F.col("cos_e6").desc(), F.col("tgt_id")
+    )
+    wt = Window.partitionBy("tgt_id").orderBy(
+        F.col("cos_e6").desc(), F.col("src_id")
+    )
+    src_nn = (
+        cross.withColumn("__rn", F.row_number().over(ws))
+        .filter(F.col("__rn") <= k)
+        .groupBy("src_id")
+        .agg(F.sum("cos_e6").alias("sum_x"), F.count("*").alias("kx"))
+    )
+    tgt_nn = (
+        cross.withColumn("__rn", F.row_number().over(wt))
+        .filter(F.col("__rn") <= k)
+        .groupBy("tgt_id")
+        .agg(F.sum("cos_e6").alias("sum_y"), F.count("*").alias("ky"))
+    )
+    scored = (
+        cross.join(src_nn, "src_id")
+        .join(tgt_nn, "tgt_id")
+        .filter(F.col("sum_x") * F.col("ky") + F.col("sum_y") * F.col("kx") > 0)
+        .select(
+            "src_id",
+            "tgt_id",
+            "cos_e6",
+            F.expr(
+                "(2 * cos_e6 * kx * ky * 1000000) DIV (sum_x * ky + sum_y * kx)"
+            ).alias("margin_e6"),
+        )
+    )
+    wbest = Window.partitionBy("src_id").orderBy(
+        F.col("margin_e6").desc(), F.col("tgt_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(wbest))
+        .filter((F.col("__rn") == 1) & (F.col("margin_e6") >= threshold_e6))
+        .select("src_id", "tgt_id", "cos_e6", "margin_e6")
+    )

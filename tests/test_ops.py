@@ -785,6 +785,116 @@ class TestCosineNeardup:
         assert lsh <= exact  # LSH path never invents pairs (same re-rank)
 
 
+class TestMarginMine:
+    """Ratio-margin pair mining (ops/similarity.py margin_mine): exact
+    parity vs a scalar Artetxe-Schwenk model on the shared e6 lattice,
+    planted-pair recovery, and threshold behavior."""
+
+    @staticmethod
+    def _scalar(src_rows, tgt_rows, k, threshold_e6):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+
+        def cos_e6(a, b):
+            c = float(
+                np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+            )
+            q = Decimal(repr(c)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+            return int(q * 1_000_000)
+
+        def trunc_div(a, b):
+            q = abs(a) // abs(b)
+            return -q if (a < 0) != (b < 0) else q
+
+        cross = {
+            (si, ti): cos_e6(np.array(sv), np.array(tv))
+            for si, sv in src_rows
+            for ti, tv in tgt_rows
+        }
+        sum_x, kx = {}, {}
+        for si, _ in src_rows:
+            top = sorted(
+                ((cross[(si, ti)], ti) for ti, _ in tgt_rows),
+                key=lambda p: (-p[0], p[1]),
+            )[:k]
+            sum_x[si], kx[si] = sum(c for c, _ in top), len(top)
+        sum_y, ky = {}, {}
+        for ti, _ in tgt_rows:
+            top = sorted(
+                ((cross[(si, ti)], si) for si, _ in src_rows),
+                key=lambda p: (-p[0], p[1]),
+            )[:k]
+            sum_y[ti], ky[ti] = sum(c for c, _ in top), len(top)
+        out = []
+        for si, _ in src_rows:
+            best = None
+            for ti, _ in tgt_rows:
+                denom = sum_x[si] * ky[ti] + sum_y[ti] * kx[si]
+                if denom <= 0:
+                    continue
+                m = trunc_div(
+                    2 * cross[(si, ti)] * kx[si] * ky[ti] * 1_000_000, denom
+                )
+                cand = (-m, ti)
+                if best is None or cand < best:
+                    best, best_row = cand, (si, ti, cross[(si, ti)], m)
+            if best is not None and best_row[3] >= threshold_e6:
+                out.append(best_row)
+        return sorted(out)
+
+    @pytest.fixture(scope="class")
+    def sides(self, spark):
+        rng = np.random.RandomState(31)
+        sv = rng.rand(12, 8).astype("float32") * 2 - 1
+        tv = rng.rand(13, 8).astype("float32") * 2 - 1
+        tv[5] = sv[3] * 1.01 + 0.002  # planted translation pair (3, 5)
+        src = spark.createDataFrame(
+            [(i, [float(x) for x in sv[i]]) for i in range(12)],
+            "vec_id long, embedding array<float>",
+        )
+        tgt = spark.createDataFrame(
+            [(100 + i, [float(x) for x in tv[i]]) for i in range(13)],
+            "vec_id long, embedding array<float>",
+        )
+        src_rows = [(i, [float(x) for x in sv[i]]) for i in range(12)]
+        tgt_rows = [(100 + i, [float(x) for x in tv[i]]) for i in range(13)]
+        return src, tgt, src_rows, tgt_rows
+
+    def test_exact_parity_vs_scalar_model(self, sides):
+        from ocr_search_spark.ops.similarity import margin_mine
+
+        src, tgt, src_rows, tgt_rows = sides
+        got = sorted(
+            tuple(r)
+            for r in margin_mine(src, tgt, k=3, threshold_e6=-10**9).collect()
+        )
+        assert got == self._scalar(src_rows, tgt_rows, 3, -10**9)
+        assert len(got) == 12  # every src mined at the floor threshold
+
+    def test_planted_pair_and_threshold(self, sides):
+        from ocr_search_spark.ops.similarity import margin_mine
+
+        src, tgt, src_rows, tgt_rows = sides
+        rows = {
+            r.src_id: (r.tgt_id, r.margin_e6)
+            for r in margin_mine(src, tgt, k=3, threshold_e6=1_000_000).collect()
+        }
+        assert rows[3][0] == 105  # planted pair recovered
+        assert all(m >= 1_000_000 for _, m in rows.values())
+        high = margin_mine(src, tgt, k=3, threshold_e6=rows[3][1]).collect()
+        assert {r.src_id for r in high} <= set(rows)
+
+    def test_k_validation(self, sides):
+        from ocr_search_spark.ops.similarity import margin_mine
+
+        src, tgt, _, _ = sides
+        with pytest.raises(ValueError):
+            margin_mine(src, tgt, k=0)
+
+
 class TestIvf:
     @pytest.fixture(scope="class")
     def emb(self, spark):
