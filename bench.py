@@ -197,6 +197,8 @@ def main() -> None:
         "zipf_spectrum",
         "tokenized_pack",
         "pq_recall_trained",
+        "bpe_apply",
+        "margin_mine",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then
