@@ -1497,6 +1497,22 @@ def q_margin_mine(spark, sf_dir):
     )
 
 
+def q_margin_mine_mutual(spark, sf_dir):
+    """Intersection-strategy margin mining: pairs where EACH embedding
+    half's best-margin match is the other — forward ∩ backward argmax,
+    both clearing 1.05 (ops/similarity.py margin_mine_mutual; the
+    precision mode CCMatrix ships)."""
+    from ocr_search_spark.ops.similarity import margin_mine_mutual
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return margin_mine_mutual(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+        threshold_e6=1_050_000,
+    )
+
+
 def q_cosine_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs, exact form (threshold tuned to the
     synthetic embeddings' cosine range — testdata has no true dups)."""
@@ -2395,6 +2411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk_join": q_ann_ivf_topk_join,
         "ann_recall": q_ann_recall,
         "margin_mine": q_margin_mine,
+        "margin_mine_mutual": q_margin_mine_mutual,
         "media_features": q_media_features,
         "media_dedup": q_media_dedup,
         "media_near_dedup": q_media_near_dedup,
@@ -2820,6 +2837,62 @@ def _bpe_apply_oracle(n_merges: int) -> str:
                    coalesce(m.token_id, -1)::INT AS token_id, e.symbol
             FROM enc e LEFT JOIN id_map m USING (symbol)"""
     )
+
+
+def _margin_mine_oracle(src_mod: int) -> str:
+    """One direction of ratio-margin mining (ops.similarity.margin_mine)
+    with the vec_id % 2 == src_mod half playing source: e6-lattice
+    cosine, per-side top-4 kNN sums, BIGINT trunc-div margin (DuckDB //
+    ≡ Spark DIV), per-src argmax at threshold 1.05. margin_mine_mutual
+    composes two of these nested-WITH (the ann_recall discipline)."""
+    return f"""
+            WITH s AS (
+              SELECT vec_id AS src_id, embedding AS svec FROM embeddings
+              WHERE vec_id % 2 = {src_mod}
+            ), t AS (
+              SELECT vec_id AS tgt_id, embedding AS tvec FROM embeddings
+              WHERE vec_id % 2 = {1 - src_mod}
+            ), cross_cos AS (
+              SELECT src_id, tgt_id,
+                     CAST(round(round(
+                       list_sum(list_transform(range(1, 65),
+                         i -> svec[i]::DOUBLE * tvec[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(range(1, 65),
+                            i -> svec[i]::DOUBLE * svec[i]::DOUBLE)))
+                        * sqrt(list_sum(list_transform(range(1, 65),
+                            i -> tvec[i]::DOUBLE * tvec[i]::DOUBLE)))),
+                     6) * 1000000) AS BIGINT) AS cos_e6
+              FROM s CROSS JOIN t
+            ), src_nn AS (
+              SELECT src_id, sum(cos_e6)::BIGINT AS sum_x,
+                     count(*)::BIGINT AS kx
+              FROM (
+                SELECT src_id, cos_e6, row_number() OVER (
+                  PARTITION BY src_id ORDER BY cos_e6 DESC, tgt_id) AS rn
+                FROM cross_cos
+              ) WHERE rn <= 4 GROUP BY src_id
+            ), tgt_nn AS (
+              SELECT tgt_id, sum(cos_e6)::BIGINT AS sum_y,
+                     count(*)::BIGINT AS ky
+              FROM (
+                SELECT tgt_id, cos_e6, row_number() OVER (
+                  PARTITION BY tgt_id ORDER BY cos_e6 DESC, src_id) AS rn
+                FROM cross_cos
+              ) WHERE rn <= 4 GROUP BY tgt_id
+            ), scored AS (
+              SELECT c.src_id, c.tgt_id, c.cos_e6,
+                     (2 * c.cos_e6 * x.kx * y.ky * 1000000)
+                       // (x.sum_x * y.ky + y.sum_y * x.kx) AS margin_e6
+              FROM cross_cos c
+              JOIN src_nn x USING (src_id) JOIN tgt_nn y USING (tgt_id)
+              WHERE x.sum_x * y.ky + y.sum_y * x.kx > 0
+            ), best AS (
+              SELECT src_id, tgt_id, cos_e6, margin_e6, row_number() OVER (
+                PARTITION BY src_id ORDER BY margin_e6 DESC, tgt_id) AS rn
+              FROM scored
+            )
+            SELECT src_id, tgt_id, cos_e6, margin_e6 FROM best
+            WHERE rn = 1 AND margin_e6 >= 1050000"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4295,54 +4368,13 @@ def oracle_sql() -> dict[str, str]:
         # construction — same oracle
         "ann_ivf_topk_join": _ann_ivf_oracle_sql(),
         "ann_recall": _ann_recall_oracle_sql(),
-        "margin_mine": """
-            WITH s AS (
-              SELECT vec_id AS src_id, embedding AS svec FROM embeddings
-              WHERE vec_id % 2 = 0
-            ), t AS (
-              SELECT vec_id AS tgt_id, embedding AS tvec FROM embeddings
-              WHERE vec_id % 2 = 1
-            ), cross_cos AS (
-              SELECT src_id, tgt_id,
-                     CAST(round(round(
-                       list_sum(list_transform(range(1, 65),
-                         i -> svec[i]::DOUBLE * tvec[i]::DOUBLE))
-                       / (sqrt(list_sum(list_transform(range(1, 65),
-                            i -> svec[i]::DOUBLE * svec[i]::DOUBLE)))
-                        * sqrt(list_sum(list_transform(range(1, 65),
-                            i -> tvec[i]::DOUBLE * tvec[i]::DOUBLE)))),
-                     6) * 1000000) AS BIGINT) AS cos_e6
-              FROM s CROSS JOIN t
-            ), src_nn AS (
-              SELECT src_id, sum(cos_e6)::BIGINT AS sum_x,
-                     count(*)::BIGINT AS kx
-              FROM (
-                SELECT src_id, cos_e6, row_number() OVER (
-                  PARTITION BY src_id ORDER BY cos_e6 DESC, tgt_id) AS rn
-                FROM cross_cos
-              ) WHERE rn <= 4 GROUP BY src_id
-            ), tgt_nn AS (
-              SELECT tgt_id, sum(cos_e6)::BIGINT AS sum_y,
-                     count(*)::BIGINT AS ky
-              FROM (
-                SELECT tgt_id, cos_e6, row_number() OVER (
-                  PARTITION BY tgt_id ORDER BY cos_e6 DESC, src_id) AS rn
-                FROM cross_cos
-              ) WHERE rn <= 4 GROUP BY tgt_id
-            ), scored AS (
-              SELECT c.src_id, c.tgt_id, c.cos_e6,
-                     (2 * c.cos_e6 * x.kx * y.ky * 1000000)
-                       // (x.sum_x * y.ky + y.sum_y * x.kx) AS margin_e6
-              FROM cross_cos c
-              JOIN src_nn x USING (src_id) JOIN tgt_nn y USING (tgt_id)
-              WHERE x.sum_x * y.ky + y.sum_y * x.kx > 0
-            ), best AS (
-              SELECT src_id, tgt_id, cos_e6, margin_e6, row_number() OVER (
-                PARTITION BY src_id ORDER BY margin_e6 DESC, tgt_id) AS rn
-              FROM scored
-            )
-            SELECT src_id, tgt_id, cos_e6, margin_e6 FROM best
-            WHERE rn = 1 AND margin_e6 >= 1050000
+        "margin_mine": _margin_mine_oracle(0),
+        "margin_mine_mutual": f"""
+            WITH fwd AS ({_margin_mine_oracle(0)}),
+            bwd AS ({_margin_mine_oracle(1)})
+            SELECT f.src_id, f.tgt_id, f.cos_e6, f.margin_e6
+            FROM fwd f JOIN bwd b
+              ON f.src_id = b.tgt_id AND f.tgt_id = b.src_id
         """,
         "ivf_pq_recall": _ivf_pq_recall_oracle_sql(),
         "pq_recall_trained": _ivf_pq_recall_oracle_sql(

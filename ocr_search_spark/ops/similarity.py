@@ -1448,3 +1448,32 @@ def margin_mine(
         .filter((F.col("__rn") == 1) & (F.col("margin_e6") >= threshold_e6))
         .select("src_id", "tgt_id", "cos_e6", "margin_e6")
     )
+
+
+def margin_mine_mutual(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold_e6: int = 1_050_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The paper's "intersection" mining strategy: keep a pair only when
+    each side is the other's best margin match — forward argmax ∩
+    backward argmax, both above threshold. Mutual agreement is the
+    highest-precision mode in Artetxe & Schwenk's comparison and the one
+    CCMatrix ships; the forward-only :func:`margin_mine` is its recall
+    ceiling. Same output contract (src_id, tgt_id, cos_e6, margin_e6),
+    margins from the forward direction (the backward margin differs only
+    through its kNN denominator; the cosine is symmetric).
+
+    Cost: exactly two margin_mine passes over the same candidate table
+    shape plus one pair-keyed join — the backward pass reuses nothing
+    from the forward pass by construction (its kNN sums condition on the
+    other side), matching the published two-direction formulation.
+    """
+    fwd = margin_mine(src, tgt, k, threshold_e6, id_col, vec_col)
+    bwd = margin_mine(tgt, src, k, threshold_e6, id_col, vec_col).select(
+        F.col("tgt_id").alias("src_id"), F.col("src_id").alias("tgt_id")
+    )
+    return fwd.join(bwd, ["src_id", "tgt_id"])

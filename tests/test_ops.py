@@ -894,6 +894,30 @@ class TestMarginMine:
         with pytest.raises(ValueError):
             margin_mine(src, tgt, k=0)
 
+    def test_mutual_is_two_direction_intersection(self, sides):
+        from ocr_search_spark.ops.similarity import (
+            margin_mine,
+            margin_mine_mutual,
+        )
+
+        src, tgt, src_rows, tgt_rows = sides
+        got = sorted(
+            tuple(r)
+            for r in margin_mine_mutual(
+                src, tgt, k=3, threshold_e6=1_000_000
+            ).collect()
+        )
+        fwd = {
+            (r[0], r[1]): r
+            for r in self._scalar(src_rows, tgt_rows, 3, 1_000_000)
+        }
+        bwd = {
+            (r[1], r[0])
+            for r in self._scalar(tgt_rows, src_rows, 3, 1_000_000)
+        }
+        assert got == sorted(fwd[p] for p in fwd.keys() & bwd)
+        assert (3, 105) in {(r[0], r[1]) for r in got}  # planted pair mutual
+
 
 class TestIvf:
     @pytest.fixture(scope="class")
