@@ -1274,6 +1274,17 @@ def q_bpe_fertility(spark, sf_dir):
     return bpe_fertility_by_lang(_docs(spark, sf_dir), "lang", "text", n_merges=6)
 
 
+def q_wordpiece_train(spark, sf_dir):
+    """WordPiece merge table, 6 rounds over the corpus: the likelihood
+    criterion pair_count/(l_count·r_count) on the exact q40 integer
+    lattice — (step, l, r, merged, pair_count, l_count, r_count,
+    score_q40), BERT's tokenizer trainer beside bpe_train's
+    frequency criterion (ops/text_analysis.py wordpiece_train)."""
+    from ocr_search_spark.ops.text_analysis import wordpiece_train
+
+    return wordpiece_train(_docs(spark, sf_dir), "text", n_merges=6)
+
+
 def q_bpe_apply(spark, sf_dir):
     """Shipped-tokenizer serve path: train 6 BPE merges on the
     even-doc_id HALF of the corpus, export the (merges, vocab)
@@ -2432,6 +2443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_law": q_heaps_law,
         "bpe_fertility": q_bpe_fertility,
         "bpe_apply": q_bpe_apply,
+        "wordpiece_train": q_wordpiece_train,
         "kmeans_train": q_kmeans_train,
         "pq_train": q_pq_train,
         "curriculum_shards": q_curriculum_shards,
@@ -2771,6 +2783,72 @@ def _bpe_encode_oracle(n_merges: int) -> str:
             )
             SELECT e.id, e.pos, e.sym_pos, m.token_id, e.symbol
             FROM enc e JOIN id_map m USING (symbol)"""
+    )
+
+
+def _wp_rounds_cte(n_merges: int) -> str:
+    """WordPiece twin of _bpe_rounds_cte: round k additionally counts
+    per-symbol frequencies sc{k} over the current segmentation and picks
+    the argmax of (cnt << 40) // (l_count * r_count) — DuckDB // and
+    Spark DIV share trunc semantics; all quantities positive here.
+    Exhaustion carries v{k} forward unchanged, same as the BPE chain."""
+    parts = [
+        f"""
+            WITH v0 AS (
+              SELECT count(*)::BIGINT AS wc,
+                     list_transform(range(1, length(w) + 1), i -> w[i]) AS syms
+              FROM (SELECT unnest({_TOK}) AS w FROM documents)
+              GROUP BY w
+            )"""
+    ]
+    for k in range(n_merges):
+        parts.append(
+            f""", sc{k} AS (
+              SELECT u AS sym, sum(wc)::BIGINT AS sc
+              FROM (SELECT wc, unnest(syms) AS u FROM v{k})
+              GROUP BY u
+            ), p{k} AS (
+              SELECT syms[i] AS l, syms[i + 1] AS r, sum(wc)::BIGINT AS cnt
+              FROM v{k}, LATERAL (
+                SELECT unnest(range(1, greatest(len(syms), 1))) AS i
+              ) t
+              GROUP BY 1, 2
+            ), b{k} AS (
+              SELECT p.l, p.r, p.cnt, lc.sc AS lcnt, rc.sc AS rcnt,
+                     (p.cnt * 1099511627776) // (lc.sc * rc.sc) AS score
+              FROM p{k} p
+              JOIN sc{k} lc ON lc.sym = p.l
+              JOIN sc{k} rc ON rc.sym = p.r
+              ORDER BY score DESC, p.l, p.r LIMIT 1
+            ), v{k + 1} AS (
+              SELECT v.wc,
+                     CASE WHEN b.l IS NULL THEN v.syms
+                          ELSE str_split(list_reduce(v.syms, (acc, x) -> CASE
+                            WHEN x = b.r AND (acc = b.l
+                                 OR right(acc, length(b.l) + 1) = ' ' || b.l)
+                            THEN left(acc, length(acc) - length(b.l))
+                                 || b.l || b.r
+                            ELSE acc || ' ' || x END), ' ')
+                     END AS syms
+              FROM v{k} v LEFT JOIN b{k} b ON TRUE
+            )"""
+        )
+    return "".join(parts)
+
+
+def _wordpiece_train_oracle(n_merges: int) -> str:
+    union = "\n              UNION ALL ".join(
+        f"SELECT {k + 1} AS step, l, r, l || r AS merged, "
+        f"cnt AS pair_count, lcnt AS l_count, rcnt AS r_count, "
+        f"score AS score_q40 FROM b{k}"
+        for k in range(n_merges)
+    )
+    return (
+        _wp_rounds_cte(n_merges)
+        + f"""
+            SELECT * FROM (
+              {union}
+            ) ORDER BY step"""
     )
 
 
@@ -4586,6 +4664,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_vocab_stats": _bpe_vocab_stats_oracle(6, 30),
         "bpe_encode": _bpe_encode_oracle(6),
         "bpe_apply": _bpe_apply_oracle(6),
+        "wordpiece_train": _wordpiece_train_oracle(6),
         "zipf_spectrum": f"""
             WITH v AS (
               SELECT w, count(*)::BIGINT AS c

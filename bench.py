@@ -199,6 +199,7 @@ def main() -> None:
         "pq_recall_trained",
         "bpe_apply",
         "margin_mine",
+        "wordpiece_train",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

@@ -1270,3 +1270,156 @@ def bpe_apply(
             "symbol",
         )
     )
+
+
+#: quantization shift for the WordPiece likelihood sort key: scores are
+#: compared as floor(pair_count * 2^40 / (l_count * r_count)) — BIGINT-
+#: exact in both engines, resolution 2^-40 (ties after quantization break
+#: (l, r) ascending, a DEFINED part of the operator's semantics)
+WP_SCORE_SHIFT = 40
+
+#: pair_count must stay below 2^23 so pair_count << 40 fits BIGINT; the
+#: published practice trains tokenizers on a bounded reference sample
+#: (~10 GB), never the full 100 TB corpus, so the guard marks a misuse,
+#: not a scale wall
+_WP_MAX_PAIR = 1 << 23
+
+
+def wordpiece_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Train the first ``n_merges`` WordPiece merges (Schuster &
+    Nakajima 2012; BERT's tokenizer): the same agglomerative loop as
+    :func:`bpe_train` but each round fuses the pair maximizing the
+    LIKELIHOOD score ``pair_count / (l_count * r_count)`` — the pair
+    whose fusion most increases corpus likelihood under a unigram
+    model — instead of raw pair frequency. Scores are compared on the
+    exact integer lattice ``(pair_count << 40) DIV (l_count *
+    r_count)`` (2^-40 resolution, ties (l, r) ascending), so the merge
+    table is bit-identical across engines. Symbol counts are taken
+    over the CURRENT segmentation state each round, pair counts over
+    adjacent symbol pairs — both weighted by word frequency.
+
+    Returns (step, l, r, merged, pair_count, l_count, r_count,
+    score_q40) — the ordered merge table plus the score evidence.
+    Early-stops when no pair remains. ``pair_count`` is guarded below
+    2^23 (raise_error) so the shifted numerator stays in BIGINT; train
+    on a bounded reference sample, which is the published practice.
+
+    Scale shape: identical to :func:`bpe_train` — one corpus scan to
+    the vocab-sized distinct-word table, then per round one pair
+    explode + two map-side-combined groupBys (pairs, symbol counts)
+    over vocab-sized inputs, two broadcast joins of the pair table
+    against the symbol-count table, and a TakeOrdered(1) argmax; the
+    1-row winner applies as the shared codegen'd fold. localCheckpoint
+    per round bounds lineage. No UDF anywhere.
+    """
+    spark = df.sparkSession
+    out_schema = (
+        "step INT NOT NULL, l STRING, r STRING, merged STRING, "
+        "pair_count BIGINT, l_count BIGINT, r_count BIGINT, "
+        "score_q40 BIGINT"
+    )
+    words = (
+        df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    vocab = words.select(
+        "wc",
+        F.expr(
+            "array_join(transform(sequence(1, length(w)), "
+            "i -> substring(w, i, 1)), ' ')"
+        ).alias("s"),
+    ).localCheckpoint()
+    steps: list[DataFrame] = []
+    for step in range(1, int(n_merges) + 1):
+        seg = vocab.select("wc", F.split("s", " ").alias("__syms"))
+        sym_counts = (
+            seg.select("wc", F.explode("__syms").alias("__sym"))
+            .groupBy("__sym")
+            .agg(F.sum("wc").alias("__sc"))
+        )
+        pair_counts = (
+            seg.select("wc", F.explode(F.expr(_BPE_PAIRS_EXPR)).alias("p"))
+            .groupBy(F.col("p.l").alias("__l"), F.col("p.r").alias("__r"))
+            .agg(F.sum("wc").alias("__cnt"))
+        )
+        guarded = F.when(
+            F.col("__cnt") < F.lit(_WP_MAX_PAIR), F.col("__cnt")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "wordpiece_train: pair_count too large for the "
+                        "exact q40 score lattice (train on a sample): "
+                    ),
+                    F.col("__cnt").cast("string"),
+                )
+            )
+        )
+        best = (
+            pair_counts.join(
+                sym_counts.select(
+                    F.col("__sym").alias("__l"), F.col("__sc").alias("__lc")
+                ),
+                "__l",
+            )
+            .join(
+                sym_counts.select(
+                    F.col("__sym").alias("__r"), F.col("__sc").alias("__rc")
+                ),
+                "__r",
+            )
+            .select(
+                "__l",
+                "__r",
+                "__cnt",
+                "__lc",
+                "__rc",
+                # integer DIV, not `/`: float division loses exactness
+                # once the shifted numerator passes 2^53
+                F.shiftleft(guarded, WP_SCORE_SHIFT)
+                .cast("long")
+                .alias("__num"),
+            )
+            .select(
+                "__l",
+                "__r",
+                "__cnt",
+                "__lc",
+                "__rc",
+                F.expr("__num DIV (__lc * __rc)").alias("__score"),
+            )
+            .orderBy(F.col("__score").desc(), "__l", "__r")
+            .limit(1)
+            .localCheckpoint()
+        )
+        if best.isEmpty():
+            break
+        steps.append(
+            best.select(
+                F.lit(step).alias("step"),
+                F.col("__l").alias("l"),
+                F.col("__r").alias("r"),
+                F.concat("__l", "__r").alias("merged"),
+                F.col("__cnt").alias("pair_count"),
+                F.col("__lc").alias("l_count"),
+                F.col("__rc").alias("r_count"),
+                F.col("__score").alias("score_q40"),
+            )
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(best.select("__l", "__r")))
+            .select("wc", F.split("s", " ").alias("__syms"), "__l", "__r")
+            .select("wc", F.expr(_BPE_APPLY_EXPR).alias("s"))
+            .localCheckpoint()
+        )
+    if not steps:
+        return spark.createDataFrame([], out_schema)
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("step")

@@ -3566,6 +3566,98 @@ class TestBpeEncode:
         assert orig.exceptAll(rebuilt).count() == 0
 
 
+class TestWordpieceTrain:
+    """Likelihood-criterion WordPiece trainer (ops/text_analysis.py
+    wordpiece_train): exact parity vs a scalar model on the q40 score
+    lattice, and the published divergence from frequency-based BPE."""
+
+    @staticmethod
+    def _scalar_wp(words, k):
+        """Reference trainer: argmax of (pair_count << 40) //
+        (l_count * r_count), ties (l, r) ascending, left-to-right
+        non-overlapping application."""
+        from collections import Counter
+
+        segs = {w: list(w) for w in words}
+        merges = []
+        for step in range(1, k + 1):
+            pc, sc = Counter(), Counter()
+            for w, c in words.items():
+                s = segs[w]
+                for sym in s:
+                    sc[sym] += c
+                for x, y in zip(s, s[1:]):
+                    pc[(x, y)] += c
+            if not pc:
+                break
+            scored = {
+                (l, r): (cnt << 40) // (sc[l] * sc[r])
+                for (l, r), cnt in pc.items()
+            }
+            (l, r), score = min(
+                scored.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            merges.append(
+                (step, l, r, l + r, pc[(l, r)], sc[l], sc[r], score)
+            )
+            for w, s in segs.items():
+                out = []
+                for sym in s:
+                    if out and out[-1] == l and sym == r:
+                        out[-1] = l + r
+                    else:
+                        out.append(sym)
+                segs[w] = out
+        return merges
+
+    _ROWS = [
+        (1, "low low lower lowest"),
+        (2, "new newer newest low"),
+        (3, "a ab abc wider"),
+    ]
+
+    def _words(self):
+        import re
+        from collections import Counter
+
+        return Counter(
+            w
+            for _, t in self._ROWS
+            for w in re.findall(r"[a-zа-яё0-9_]+", t.lower())
+        )
+
+    def test_merges_match_scalar_trainer(self, spark):
+        from ocr_search_spark.ops.text_analysis import wordpiece_train
+
+        df = spark.createDataFrame(self._ROWS, "doc_id long, text string")
+        got = [
+            (r.step, r.l, r.r, r.merged, r.pair_count, r.l_count,
+             r.r_count, r.score_q40)
+            for r in wordpiece_train(df, n_merges=6).collect()
+        ]
+        assert got == self._scalar_wp(self._words(), 6)
+
+    def test_diverges_from_bpe_on_likelihood(self, spark):
+        """'zq zq xx xx xx' — BPE fuses the more frequent xx first;
+        WordPiece fuses zq (2/(2·2) > 3/(6·6))."""
+        from ocr_search_spark.ops.text_analysis import bpe_train, wordpiece_train
+
+        df = spark.createDataFrame(
+            [(1, "zq zq xx xx xx")], "doc_id long, text string"
+        )
+        wp = wordpiece_train(df, n_merges=1).collect()[0]
+        bpe = bpe_train(df, n_merges=1).collect()[0]
+        assert (wp.l, wp.r) == ("z", "q")
+        assert (bpe.l, bpe.r) == ("x", "x")
+
+    def test_early_stop_on_full_fusion(self, spark):
+        from ocr_search_spark.ops.text_analysis import wordpiece_train
+
+        df = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+        out = wordpiece_train(df, n_merges=5).collect()
+        assert [(r.step, r.merged) for r in out] == [(1, "ab")]
+
+
 class TestBpeApply:
     """Shipped-tokenizer serve path (ops/text_analysis.py bpe_artifacts +
     bpe_apply): artifact export convention, cross-corpus application,
