@@ -1394,11 +1394,23 @@ def margin_mine(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    s = src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("svec"))
-    t = tgt.select(F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("tvec"))
-    cos = _dot(F.col("svec"), F.col("tvec")) / (
-        _norm(F.col("svec")) * _norm(F.col("tvec"))
+    # norms once per VECTOR (|src| + |tgt| sqrts), not per pair — the
+    # higher-order-function norm fold is the expensive non-codegen part
+    s = src.select(
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).alias("svec"),
+        _norm(F.col(vec_col)).alias("__sn"),
     )
+    t = tgt.select(
+        F.col(id_col).alias("tgt_id"),
+        F.col(vec_col).alias("tvec"),
+        _norm(F.col(vec_col)).alias("__tn"),
+    )
+    cos = _dot(F.col("svec"), F.col("tvec")) / (F.col("__sn") * F.col("__tn"))
+    # materialize the candidate table ONCE: three consumers (both kNN
+    # windows and the scored join) would otherwise each recompute the
+    # full cross-cosine — at scale this is the candidate set an index
+    # arm produces, and materializing it is the standard shape
     cross = (
         s.crossJoin(t)
         .select(
@@ -1408,6 +1420,7 @@ def margin_mine(
             .cast("long")
             .alias("cos_e6"),
         )
+        .localCheckpoint()
     )
     ws = Window.partitionBy("src_id").orderBy(
         F.col("cos_e6").desc(), F.col("tgt_id")
