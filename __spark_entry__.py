@@ -1285,6 +1285,23 @@ def q_wordpiece_train(spark, sf_dir):
     return wordpiece_train(_docs(spark, sf_dir), "text", n_merges=6)
 
 
+def q_wordpiece_encode(spark, sf_dir):
+    """BERT-style greedy tokenization of the corpus under a 6-round
+    WordPiece vocab: longest-match-first pieces, whole-word [UNK] for
+    words over 6 chars (the max_input_chars_per_word rule — the
+    synthetic corpus has 7-8 char words, so the rule fires under the
+    oracle) — (id, pos, sym_pos, token_id, symbol)
+    (ops/text_analysis.py wordpiece_artifacts + wordpiece_encode)."""
+    from ocr_search_spark.ops.text_analysis import (
+        wordpiece_artifacts,
+        wordpiece_encode,
+    )
+
+    docs = _docs(spark, sf_dir)
+    vocab = wordpiece_artifacts(docs, "text", n_merges=6)
+    return wordpiece_encode(docs, vocab, "doc_id", "text", max_word_len=6)
+
+
 def q_bpe_apply(spark, sf_dir):
     """Shipped-tokenizer serve path: train 6 BPE merges on the
     even-doc_id HALF of the corpus, export the (merges, vocab)
@@ -2444,6 +2461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": q_bpe_fertility,
         "bpe_apply": q_bpe_apply,
         "wordpiece_train": q_wordpiece_train,
+        "wordpiece_encode": q_wordpiece_encode,
         "kmeans_train": q_kmeans_train,
         "pq_train": q_pq_train,
         "curriculum_shards": q_curriculum_shards,
@@ -2786,15 +2804,21 @@ def _bpe_encode_oracle(n_merges: int) -> str:
     )
 
 
-def _wp_rounds_cte(n_merges: int) -> str:
+def _wp_rounds_cte(n_merges: int, materialized: bool = False) -> str:
     """WordPiece twin of _bpe_rounds_cte: round k additionally counts
     per-symbol frequencies sc{k} over the current segmentation and picks
     the argmax of (cnt << 40) // (l_count * r_count) — DuckDB // and
     Spark DIV share trunc semantics; all quantities positive here.
-    Exhaustion carries v{k} forward unchanged, same as the BPE chain."""
+    Exhaustion carries v{k} forward unchanged, same as the BPE chain.
+    ``materialized`` marks every CTE AS MATERIALIZED — required when a
+    LONG chain consumes this one (DuckDB inlines CTEs by default, and
+    v{k}'s two consumers per round double the inlined tree each round:
+    the composed wordpiece_encode oracle exhausts file handles
+    without it)."""
+    m = "MATERIALIZED " if materialized else ""
     parts = [
         f"""
-            WITH v0 AS (
+            WITH v0 AS {m}(
               SELECT count(*)::BIGINT AS wc,
                      list_transform(range(1, length(w) + 1), i -> w[i]) AS syms
               FROM (SELECT unnest({_TOK}) AS w FROM documents)
@@ -2803,24 +2827,24 @@ def _wp_rounds_cte(n_merges: int) -> str:
     ]
     for k in range(n_merges):
         parts.append(
-            f""", sc{k} AS (
+            f""", sc{k} AS {m}(
               SELECT u AS sym, sum(wc)::BIGINT AS sc
               FROM (SELECT wc, unnest(syms) AS u FROM v{k})
               GROUP BY u
-            ), p{k} AS (
+            ), p{k} AS {m}(
               SELECT syms[i] AS l, syms[i + 1] AS r, sum(wc)::BIGINT AS cnt
               FROM v{k}, LATERAL (
                 SELECT unnest(range(1, greatest(len(syms), 1))) AS i
               ) t
               GROUP BY 1, 2
-            ), b{k} AS (
+            ), b{k} AS {m}(
               SELECT p.l, p.r, p.cnt, lc.sc AS lcnt, rc.sc AS rcnt,
                      (p.cnt * 1099511627776) // (lc.sc * rc.sc) AS score
               FROM p{k} p
               JOIN sc{k} lc ON lc.sym = p.l
               JOIN sc{k} rc ON rc.sym = p.r
               ORDER BY score DESC, p.l, p.r LIMIT 1
-            ), v{k + 1} AS (
+            ), v{k + 1} AS {m}(
               SELECT v.wc,
                      CASE WHEN b.l IS NULL THEN v.syms
                           ELSE str_split(list_reduce(v.syms, (acc, x) -> CASE
@@ -2849,6 +2873,79 @@ def _wordpiece_train_oracle(n_merges: int) -> str:
             SELECT * FROM (
               {union}
             ) ORDER BY step"""
+    )
+
+
+def _wordpiece_encode_oracle(n_merges: int, max_word_len: int) -> str:
+    """Greedy longest-match WordPiece twin (ops.text_analysis
+    wordpiece_encode): id_map = train alphabet + _wp_rounds_cte merges
+    in the bpe_artifacts id convention; g{i} chain unrolls the greedy
+    loop max_word_len rounds (per round: bounded prefix unnest → piece
+    join → per-word max-L argmax; no match or over-cap word → whole-word
+    '[UNK]'), then the bpe_encode stream shape with unk_id -1."""
+    merge_union = "\n                UNION ALL ".join(
+        f"SELECT {k + 1} AS step, l || r AS symbol FROM b{k}"
+        for k in range(n_merges)
+    )
+    greedy_chain = "".join(
+        f""", m{i} AS MATERIALIZED (
+              SELECT p.w, max(p.L)::INT AS bl
+              FROM (
+                SELECT g.w, g.rest,
+                       unnest(range(1, least(length(g.rest),
+                         (SELECT max(length(symbol)) FROM id_map)) + 1)) AS L
+                FROM g{i} g WHERE g.rest <> ''
+              ) p JOIN id_map v ON substring(p.rest, 1, p.L) = v.symbol
+              GROUP BY p.w
+            ), g{i + 1} AS MATERIALIZED (
+              SELECT g.w,
+                     CASE WHEN g.rest = '' THEN g.rest
+                          WHEN m.bl IS NULL THEN ''
+                          ELSE substring(g.rest, m.bl + 1) END AS rest,
+                     CASE WHEN g.rest = '' THEN g.toks
+                          WHEN m.bl IS NULL THEN ['[UNK]']
+                          ELSE list_append(g.toks,
+                                           substring(g.rest, 1, m.bl))
+                     END AS toks
+              FROM g{i} g LEFT JOIN m{i} m USING (w)
+            )"""
+        for i in range(max_word_len)
+    )
+    return (
+        _wp_rounds_cte(n_merges, materialized=True)
+        + f""", alpha AS MATERIALIZED (
+              SELECT symbol,
+                     (row_number() OVER (ORDER BY symbol) - 1)::INT AS token_id
+              FROM (SELECT DISTINCT unnest(syms) AS symbol FROM v0)
+            ), id_map AS MATERIALIZED (
+              SELECT symbol, min(token_id)::INT AS token_id FROM (
+                SELECT symbol, token_id FROM alpha
+                UNION ALL
+                SELECT symbol,
+                       ((SELECT count(*) FROM alpha) + step - 1)::INT AS token_id
+                FROM ({merge_union})
+              ) GROUP BY symbol
+            ), g0 AS MATERIALIZED (
+              SELECT w,
+                     CASE WHEN length(w) <= {max_word_len} THEN w
+                          ELSE '' END AS rest,
+                     CASE WHEN length(w) <= {max_word_len}
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE ['[UNK]'] END AS toks
+              FROM (SELECT DISTINCT unnest({_TOK}) AS w FROM documents)
+            ){greedy_chain}, toks AS (
+              SELECT doc_id AS id, (i - 1)::INT AS pos, tok[i] AS w
+              FROM (SELECT doc_id, {_TOK} AS tok FROM documents) d,
+                   LATERAL (SELECT unnest(range(1, len(tok) + 1)) AS i) t
+            ), enc AS (
+              SELECT t.id, t.pos, (j - 1)::INT AS sym_pos,
+                     g.toks[j] AS symbol
+              FROM toks t JOIN g{max_word_len} g USING (w),
+                   LATERAL (SELECT unnest(range(1, len(g.toks) + 1)) AS j) u
+            )
+            SELECT e.id, e.pos, e.sym_pos,
+                   coalesce(m.token_id, -1)::INT AS token_id, e.symbol
+            FROM enc e LEFT JOIN id_map m ON m.symbol = e.symbol"""
     )
 
 
@@ -4665,6 +4762,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_oracle(6),
         "bpe_apply": _bpe_apply_oracle(6),
         "wordpiece_train": _wordpiece_train_oracle(6),
+        "wordpiece_encode": _wordpiece_encode_oracle(6, 6),
         "zipf_spectrum": f"""
             WITH v AS (
               SELECT w, count(*)::BIGINT AS c

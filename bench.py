@@ -200,6 +200,7 @@ def main() -> None:
         "bpe_apply",
         "margin_mine",
         "wordpiece_train",
+        "wordpiece_encode",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

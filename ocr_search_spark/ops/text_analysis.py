@@ -1423,3 +1423,157 @@ def wordpiece_train(
     for s in steps[1:]:
         out = out.unionByName(s)
     return out.orderBy("step")
+
+
+def wordpiece_artifacts(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> dict[str, int]:
+    """Train :func:`wordpiece_train` and export the shipped vocab
+    (symbol → token_id): training-corpus alphabet sorted at ids
+    0..A-1, the step-k merged piece at A+k-1, min-id dedup — the same
+    id convention :func:`bpe_artifacts` ships, so the two tokenizer
+    families are drop-in comparable downstream. Greedy WordPiece
+    matching needs only the piece SET (no merge order), so the dict is
+    the whole artifact."""
+    merges = [
+        r.merged for r in wordpiece_train(df, text_col, n_merges).collect()
+    ]
+    alpha_rows = (
+        df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
+        .distinct()
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+            ).alias("ch")
+        )
+        .distinct()
+        .collect()
+    )
+    alpha = sorted(r.ch for r in alpha_rows)
+    ids = {ch: i for i, ch in enumerate(alpha)}
+    for k, m in enumerate(merges, start=1):
+        ids.setdefault(m, len(alpha) + k - 1)
+    return ids
+
+
+def wordpiece_encode(
+    df: DataFrame,
+    vocab_ids: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk_id: int = -1,
+    unk_symbol: str = "[UNK]",
+    max_word_len: int = 100,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Greedy longest-match-first WordPiece tokenization (the BERT
+    runtime algorithm — a DIFFERENT algorithm from BPE merge
+    application): at each position take the LONGEST vocab piece
+    prefixing the remainder; if no piece matches, or the word exceeds
+    ``max_word_len`` characters, the WHOLE word becomes ``unk_symbol``
+    (BERT's ``max_input_chars_per_word`` / is_bad rule — never partial
+    output). No ``##`` continuation namespace (one shared piece set);
+    the algorithm structure and UNK semantics follow the reference.
+
+    Output: (id, pos, sym_pos, token_id, symbol) — the
+    :func:`bpe_encode` stream contract; ``unk_symbol`` rows carry
+    ``unk_id``.
+
+    Scale shape: greedy matching runs on the DISTINCT-WORD table, not
+    the token stream — at most ``max_word_len`` rounds of (bounded
+    prefix explode ≤ max-piece-length per active word) → broadcast
+    piece join → per-word argmax, with early stop when every word is
+    consumed and a ``localCheckpoint`` every ``checkpoint_every``
+    rounds bounding plan depth. One corpus-keyed posexplode/join pass
+    (bpe_encode's serving shape) then streams the segmentation. No
+    UDF; the per-round state is vocab-sized."""
+    if max_word_len < 1:
+        raise ValueError("max_word_len must be >= 1")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    if not vocab_ids:
+        raise ValueError("vocab_ids must be non-empty")
+    if unk_symbol in vocab_ids:
+        raise ValueError("unk_symbol must not collide with a vocab piece")
+    spark = df.sparkSession
+    max_piece = max(len(p) for p in vocab_ids)
+    pieces = spark.createDataFrame(
+        sorted((p, int(i)) for p, i in vocab_ids.items()),
+        "piece string, token_id int",
+    )
+    unk_arr = F.array(F.lit(unk_symbol))
+    state = (
+        df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
+        .distinct()
+        .select(
+            "w",
+            F.when(F.length("w") <= max_word_len, F.col("w"))
+            .otherwise(F.lit(""))
+            .alias("rest"),
+            F.when(F.length("w") <= max_word_len, F.expr("array()"))
+            .otherwise(unk_arr)
+            .cast("array<string>")
+            .alias("toks"),
+        )
+        .localCheckpoint()
+    )
+    for it in range(max_word_len):
+        active = state.filter(F.col("rest") != "")
+        if active.isEmpty():
+            break
+        best = (
+            active.select(
+                "w",
+                "rest",
+                F.explode(
+                    F.sequence(
+                        F.lit(1),
+                        F.least(F.length("rest"), F.lit(max_piece)),
+                    )
+                ).alias("__L"),
+            )
+            .join(
+                F.broadcast(pieces.select("piece")),
+                F.expr("substring(rest, 1, __L)") == F.col("piece"),
+            )
+            .groupBy("w")
+            .agg(F.max("__L").alias("__bl"))
+        )
+        state = (
+            state.join(best, "w", "left")
+            .select(
+                "w",
+                F.when(F.col("rest") == "", F.col("rest"))
+                .when(F.col("__bl").isNull(), F.lit(""))
+                .otherwise(F.expr("substring(rest, __bl + 1)"))
+                .alias("rest"),
+                F.when(F.col("rest") == "", F.col("toks"))
+                .when(F.col("__bl").isNull(), unk_arr)
+                .otherwise(
+                    F.concat(
+                        "toks", F.array(F.expr("substring(rest, 1, __bl)"))
+                    )
+                )
+                .alias("toks"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0:
+            state = state.localCheckpoint()
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        tokens_expr(F.col(text_col)).alias("__toks"),
+    ).selectExpr("id", "posexplode(__toks) AS (pos, w)")
+    return (
+        toks.join(state.select("w", "toks"), "w")
+        .selectExpr("id", "pos", "posexplode(toks) AS (sym_pos, symbol)")
+        .join(F.broadcast(pieces.withColumnRenamed("piece", "symbol")), "symbol", "left")
+        .select(
+            "id",
+            "pos",
+            "sym_pos",
+            F.coalesce("token_id", F.lit(int(unk_id))).alias("token_id"),
+            "symbol",
+        )
+    )

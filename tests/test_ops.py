@@ -3658,6 +3658,102 @@ class TestWordpieceTrain:
         assert [(r.step, r.merged) for r in out] == [(1, "ab")]
 
 
+class TestWordpieceEncode:
+    """Greedy longest-match WordPiece tokenization (ops/text_analysis.py
+    wordpiece_artifacts + wordpiece_encode): scalar greedy parity, both
+    whole-word [UNK] rules, and the bpe_encode stream contract."""
+
+    @staticmethod
+    def _scalar_greedy(word, vocab, max_word_len):
+        if len(word) > max_word_len:
+            return ["[UNK]"]
+        out, rest = [], word
+        while rest:
+            for l in range(min(len(rest), max(map(len, vocab))), 0, -1):
+                if rest[:l] in vocab:
+                    out.append(rest[:l])
+                    rest = rest[l:]
+                    break
+            else:
+                return ["[UNK]"]
+        return out
+
+    _TRAIN = [(1, "low lower lowest"), (2, "new newer newest low")]
+
+    def test_stream_matches_scalar_greedy(self, spark):
+        import re
+
+        from ocr_search_spark.ops.text_analysis import (
+            wordpiece_artifacts,
+            wordpiece_encode,
+        )
+
+        df = spark.createDataFrame(self._TRAIN, "doc_id long, text string")
+        vocab = wordpiece_artifacts(df, n_merges=6)
+        got = sorted(
+            tuple(r) for r in wordpiece_encode(df, vocab).collect()
+        )
+        want = []
+        for doc_id, text in self._TRAIN:
+            for pos, w in enumerate(re.findall(r"[a-zа-яё0-9_]+", text)):
+                for sym_pos, sym in enumerate(
+                    self._scalar_greedy(w, vocab, 100)
+                ):
+                    want.append((doc_id, pos, sym_pos, vocab.get(sym, -1), sym))
+        assert got == sorted(want)
+
+    def test_unk_rules_and_custom_unk_id(self, spark):
+        from ocr_search_spark.ops.text_analysis import (
+            wordpiece_artifacts,
+            wordpiece_encode,
+        )
+
+        df = spark.createDataFrame(self._TRAIN, "doc_id long, text string")
+        vocab = wordpiece_artifacts(df, n_merges=6)
+        new = spark.createDataFrame(
+            [(9, "low lowerer qz new")], "doc_id long, text string"
+        )
+        got = [
+            (r.pos, r.sym_pos, r.token_id, r.symbol)
+            for r in wordpiece_encode(new, vocab, max_word_len=5, unk_id=-7)
+            .orderBy("pos", "sym_pos")
+            .collect()
+        ]
+        # 'lowerer' over the 5-char cap and OOV 'qz' both collapse to ONE
+        # whole-word unk row (BERT's is_bad rule — never partial output)
+        assert got == [
+            (0, 0, vocab["low"], "low"),
+            (1, 0, -7, "[UNK]"),
+            (2, 0, -7, "[UNK]"),
+            (3, 0, vocab["ne"], "ne"),
+            (3, 1, vocab["w"], "w"),
+        ]
+
+    def test_longest_match_beats_merge_order(self, spark):
+        """Greedy picks the longest piece even when a shorter piece was
+        merged earlier — the structural difference from BPE encoding."""
+        from ocr_search_spark.ops.text_analysis import wordpiece_encode
+
+        df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        vocab = {"a": 0, "b": 1, "c": 2, "ab": 3, "abc": 4}
+        got = [
+            (r.sym_pos, r.token_id, r.symbol)
+            for r in wordpiece_encode(df, vocab).collect()
+        ]
+        assert got == [(0, 4, "abc")]
+
+    def test_validation(self, spark):
+        from ocr_search_spark.ops.text_analysis import wordpiece_encode
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            wordpiece_encode(df, {})
+        with pytest.raises(ValueError):
+            wordpiece_encode(df, {"a": 0}, max_word_len=0)
+        with pytest.raises(ValueError):
+            wordpiece_encode(df, {"[UNK]": 0})
+
+
 class TestBpeApply:
     """Shipped-tokenizer serve path (ops/text_analysis.py bpe_artifacts +
     bpe_apply): artifact export convention, cross-corpus application,
