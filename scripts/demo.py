@@ -276,6 +276,27 @@ def main() -> None:
     bpe_train(content, "content", n_merges=4).show(4, truncate=False)
     bpe_vocab_stats(content, "content", n_merges=4, top_k=3).show(3)
 
+    print("== tokenizer lifecycle: ship the artifact, serve a NEW batch (r5 close)")
+    from ocr_search_spark.ops.text_analysis import (
+        bpe_apply,
+        bpe_artifacts,
+        wordpiece_artifacts,
+        wordpiece_encode,
+    )
+
+    train_half = content.filter(F.col("doc_id").substr(-1, 1) < "5")
+    merges, ship_vocab = bpe_artifacts(train_half, "content", n_merges=4)
+    served = bpe_apply(content, merges, ship_vocab, "doc_id", "content")
+    n_unk = served.filter(F.col("token_id") == -1).count()
+    print(f"bpe_apply: {served.count()} symbol rows, {n_unk} OOV unk rows "
+          f"(shipped {len(merges)} merges, |vocab|={len(ship_vocab)})")
+    wp_vocab = wordpiece_artifacts(train_half, "content", n_merges=4)
+    wp = wordpiece_encode(content, wp_vocab, "doc_id", "content",
+                          max_word_len=12)
+    print(f"wordpiece_encode (greedy longest-match, 12-char cap): "
+          f"{wp.count()} symbol rows, "
+          f"{wp.filter(F.col('symbol') == '[UNK]').count()} whole-word [UNK]")
+
     print("== corpus statistics: Heaps' growth curve + Zipf half-bit spectrum (r5)")
     from ocr_search_spark.ops.sketch import heaps_law, zipf_spectrum
 
