@@ -1302,6 +1302,23 @@ def q_wordpiece_encode(spark, sf_dir):
     return wordpiece_encode(docs, vocab, "doc_id", "text", max_word_len=6)
 
 
+def q_unigram_segment(spark, sf_dir):
+    """Viterbi-optimal unigram-LM tokenization of the corpus
+    (SentencePiece's runtime): piece costs = half-bit NLLs read off
+    the 6-round WordPiece segmentation state, each word taking its
+    minimum-cost lattice path (smallest-backpointer ties) —
+    (id, pos, sym_pos, symbol, cost_hb)
+    (ops/text_analysis.py unigram_artifacts + unigram_segment)."""
+    from ocr_search_spark.ops.text_analysis import (
+        unigram_artifacts,
+        unigram_segment,
+    )
+
+    docs = _docs(spark, sf_dir)
+    costs = unigram_artifacts(docs, "text", n_merges=6)
+    return unigram_segment(docs, costs, "doc_id", "text", max_word_len=8)
+
+
 def q_bpe_apply(spark, sf_dir):
     """Shipped-tokenizer serve path: train 6 BPE merges on the
     even-doc_id HALF of the corpus, export the (merges, vocab)
@@ -2462,6 +2479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_apply": q_bpe_apply,
         "wordpiece_train": q_wordpiece_train,
         "wordpiece_encode": q_wordpiece_encode,
+        "unigram_segment": q_unigram_segment,
         "kmeans_train": q_kmeans_train,
         "pq_train": q_pq_train,
         "curriculum_shards": q_curriculum_shards,
@@ -2947,6 +2965,116 @@ def _wordpiece_encode_oracle(n_merges: int, max_word_len: int) -> str:
                    coalesce(m.token_id, -1)::INT AS token_id, e.symbol
             FROM enc e LEFT JOIN id_map m ON m.symbol = e.symbol"""
     )
+
+
+def _unigram_segment_oracle(n_merges: int, max_word_len: int) -> str:
+    """Viterbi unigram-segmentation twin (ops.text_analysis
+    unigram_segment over unigram_artifacts): piece costs are half-bit
+    NLLs hb(T) - hb(c) read off the _wp_rounds_cte final state; the DP
+    lattice unrolls as two chained CTEs per position (dp then
+    backpointer, smallest-j tie rule, INF = 2^40 sentinel) against a
+    1-row piece-cost MAP, then the backpointer walk and the shared
+    encode stream. Candidate j ranges use the max_word_len bound — a
+    superset of the engine's max-piece bound; extra candidates are
+    lattice misses (INF) on both sides, so the argmin agrees. All CTEs
+    MATERIALIZED (DuckDB inlining doubles the tree per round
+    otherwise)."""
+    inf = 1 << 40
+    n = max_word_len
+    parts = [
+        _wp_rounds_cte(n_merges, materialized=True),
+        f""", pc AS MATERIALIZED (
+              SELECT sym, sum(wc)::BIGINT AS c
+              FROM (SELECT wc, unnest(syms) AS sym FROM v{n_merges})
+              GROUP BY sym
+            ), costs AS MATERIALIZED (
+              SELECT sym,
+                     ({_hb_wide_sql("t")} - {_hb_wide_sql("c")})::INT
+                       AS cost_hb
+              FROM pc, (SELECT sum(c)::BIGINT AS t FROM pc)
+            ), cm AS MATERIALIZED (
+              SELECT map(list(sym ORDER BY sym),
+                         list(cost_hb ORDER BY sym)) AS m
+              FROM costs
+            ), u0 AS MATERIALIZED (
+              SELECT w, length(w)::INT AS n, 0::BIGINT AS dp_0, m
+              FROM (SELECT DISTINCT unnest({_TOK}) AS w FROM documents), cm
+            )""",
+    ]
+
+    def cand(j: int, i: int) -> str:
+        piece = f"substring(w, {j + 1}, {i - j})"
+        val = f"map_extract(m, {piece})[1]"
+        return (
+            f"CASE WHEN {val} IS NULL OR dp_{j} >= {inf} "
+            f"THEN {inf} ELSE dp_{j} + {val} END"
+        )
+
+    for i in range(1, n + 1):
+        js = list(range(max(0, i - n), i))
+        cands = ", ".join(cand(j, i) for j in js)
+        least = f"least({cands})" if len(js) > 1 else cand(js[0], i)
+        bp_cases = " ".join(
+            f"WHEN ({cand(j, i)}) = dp_{i} THEN {j}" for j in js
+        )
+        parts.append(
+            f""", ua{i} AS MATERIALIZED (
+              SELECT *, CASE WHEN n >= {i} THEN {least}
+                             ELSE {inf} END AS dp_{i}
+              FROM u{i - 1}
+            ), u{i} AS MATERIALIZED (
+              SELECT *, CASE WHEN n >= {i} AND dp_{i} < {inf}
+                             THEN (CASE {bp_cases} END)::INT
+                        END AS bp_{i}
+              FROM ua{i}
+            )"""
+        )
+    dp_list = ", ".join(f"dp_{i}" for i in range(1, n + 1))
+    bp_list = ", ".join(f"bp_{i}" for i in range(1, n + 1))
+    parts.append(
+        f""", w0 AS MATERIALIZED (
+              SELECT w, n, [{bp_list}] AS bps,
+                     (n <= {n} AND [{dp_list}][n] < {inf}) AS ok,
+                     CASE WHEN (n <= {n} AND [{dp_list}][n] < {inf})
+                          THEN n END AS e_0
+              FROM u{n}
+            )"""
+    )
+    for t in range(1, n + 1):
+        parts.append(
+            f""", w{t} AS MATERIALIZED (
+              SELECT *, CASE WHEN e_{t - 1} IS NOT NULL AND e_{t - 1} > 0
+                             THEN bps[e_{t - 1}] END AS e_{t}
+              FROM w{t - 1}
+            )"""
+        )
+    piece_list = ", ".join(
+        f"CASE WHEN e_{t - 1} IS NOT NULL AND e_{t - 1} > 0 "
+        f"THEN substring(w, e_{t} + 1, e_{t - 1} - e_{t}) END"
+        for t in range(1, n + 1)
+    )
+    parts.append(
+        f""", segd AS MATERIALIZED (
+              SELECT w,
+                     CASE WHEN ok THEN list_reverse(list_filter(
+                            [{piece_list}], x -> x IS NOT NULL))
+                          ELSE ['[UNK]'] END AS toks
+              FROM w{n}
+            ), toks AS MATERIALIZED (
+              SELECT doc_id AS id, (i - 1)::INT AS pos, tok[i] AS w
+              FROM (SELECT doc_id, {_TOK} AS tok FROM documents) d,
+                   LATERAL (SELECT unnest(range(1, len(tok) + 1)) AS i) t
+            ), enc AS (
+              SELECT t.id, t.pos, (j - 1)::INT AS sym_pos,
+                     g.toks[j] AS symbol
+              FROM toks t JOIN segd g USING (w),
+                   LATERAL (SELECT unnest(range(1, len(g.toks) + 1)) AS j) u
+            )
+            SELECT e.id, e.pos, e.sym_pos, e.symbol,
+                   coalesce(c.cost_hb, -1)::INT AS cost_hb
+            FROM enc e LEFT JOIN costs c ON c.sym = e.symbol"""
+    )
+    return "".join(parts)
 
 
 def _bpe_apply_oracle(n_merges: int) -> str:
@@ -4763,6 +4891,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_apply": _bpe_apply_oracle(6),
         "wordpiece_train": _wordpiece_train_oracle(6),
         "wordpiece_encode": _wordpiece_encode_oracle(6, 6),
+        "unigram_segment": _unigram_segment_oracle(6, 8),
         "zipf_spectrum": f"""
             WITH v AS (
               SELECT w, count(*)::BIGINT AS c

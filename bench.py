@@ -201,6 +201,7 @@ def main() -> None:
         "margin_mine",
         "wordpiece_train",
         "wordpiece_encode",
+        "unigram_segment",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

@@ -1322,6 +1322,22 @@ def wordpiece_train(
         "pair_count BIGINT, l_count BIGINT, r_count BIGINT, "
         "score_q40 BIGINT"
     )
+    _, steps = _wordpiece_loop(df, text_col, n_merges)
+    if not steps:
+        return spark.createDataFrame([], out_schema)
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("step")
+
+
+def _wordpiece_loop(
+    df: DataFrame, text_col: str, n_merges: int
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The shared WordPiece driver loop (the ``_bpe_loop`` twin):
+    returns the final re-segmented vocab (wc, s) and the per-step 1-row
+    merge DataFrames, both localCheckpoint-ed. The final vocab state is
+    what :func:`unigram_artifacts` reads piece probabilities off."""
     words = (
         df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
         .groupBy("w")
@@ -1417,12 +1433,7 @@ def wordpiece_train(
             .select("wc", F.expr(_BPE_APPLY_EXPR).alias("s"))
             .localCheckpoint()
         )
-    if not steps:
-        return spark.createDataFrame([], out_schema)
-    out = steps[0]
-    for s in steps[1:]:
-        out = out.unionByName(s)
-    return out.orderBy("step")
+    return vocab, steps
 
 
 def wordpiece_artifacts(
@@ -1575,5 +1586,198 @@ def wordpiece_encode(
             "sym_pos",
             F.coalesce("token_id", F.lit(int(unk_id))).alias("token_id"),
             "symbol",
+        )
+    )
+
+
+def unigram_artifacts(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> dict[str, int]:
+    """Piece-cost table for unigram-LM (SentencePiece-style) Viterbi
+    segmentation: run the WordPiece loop, then read unigram piece
+    probabilities off the FINAL segmentation state — piece p with
+    corpus symbol mass c_p costs ``hb(T) - hb(c_p)`` half-bits
+    (T = total symbol mass), the integer-exact NLL the dsir/nb/lm
+    family established. Pieces all occur (they come from the
+    segmentation), so no smoothing term. The dict is the shipped
+    artifact :func:`unigram_segment` consumes."""
+    from .sketch import _hb_wide
+
+    vocab, _ = _wordpiece_loop(df, text_col, n_merges)
+    counts = (
+        vocab.select("wc", F.explode(F.split("s", " ")).alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("wc").alias("c"))
+    )
+    rows = (
+        counts.crossJoin(
+            F.broadcast(counts.agg(F.sum("c").alias("t")))
+        )
+        .select(
+            "sym",
+            (_hb_wide(F.col("t")) - _hb_wide(F.col("c"))).alias("cost_hb"),
+        )
+        .collect()
+    )
+    return {r.sym: int(r.cost_hb) for r in rows}
+
+
+#: unreachable-position sentinel for the Viterbi lattice — far above any
+#: real path cost (<= max_word_len * 126 half-bits) yet sum-safe
+_UNI_INF = 1 << 40
+
+#: map-literal ceiling for unigram_segment: the piece-cost map is inlined
+#: into codegen; past this size ship it as a broadcast join instead
+_UNI_MAX_PIECES = 4096
+
+
+def unigram_segment(
+    df: DataFrame,
+    piece_costs: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk_id_cost: int = -1,
+    unk_symbol: str = "[UNK]",
+    max_word_len: int = 16,
+) -> DataFrame:
+    """Viterbi-optimal segmentation under a shipped unigram piece-cost
+    table — the SentencePiece RUNTIME (Kudo 2018): each word takes the
+    segmentation minimizing total half-bit cost, not greedy longest
+    match and not merge order; ties prefer the earlier backpointer
+    (smallest split position). Words over ``max_word_len`` chars or
+    with no lattice path (a character no piece covers) become a single
+    whole-word ``unk_symbol`` row — the same conservation rule the
+    other two tokenizer serve paths follow.
+
+    Output: (id, pos, sym_pos, symbol, cost_hb) — cost_hb is the
+    shipped per-piece cost, ``unk_id_cost`` on unk rows.
+
+    Scale shape: the whole lattice is unrolled CODEGEN arithmetic on
+    the distinct-word table — max_word_len DP columns, each a least()
+    over ≤ max-piece-length map lookups, then a backpointer walk; no
+    iteration, no shuffle until the single corpus-keyed
+    posexplode/join serve pass every tokenizer in this repo shares.
+    The piece map is a literal (≤ 4096 pieces guarded — ship larger
+    vocabs as a broadcast join variant)."""
+    if max_word_len < 1:
+        raise ValueError("max_word_len must be >= 1")
+    if not piece_costs:
+        raise ValueError("piece_costs must be non-empty")
+    if unk_symbol in piece_costs:
+        raise ValueError("unk_symbol must not collide with a piece")
+    if len(piece_costs) > _UNI_MAX_PIECES:
+        raise ValueError(
+            f"piece_costs has {len(piece_costs)} entries; the map-literal "
+            f"path is capped at {_UNI_MAX_PIECES} (use a broadcast join)"
+        )
+    max_piece = max(len(p) for p in piece_costs)
+    cm = F.create_map(
+        *[
+            F.lit(x)
+            for p, c in sorted(piece_costs.items())
+            for x in (p, int(c))
+        ]
+    )
+    inf = F.lit(_UNI_INF)
+    # the map literal binds to ONE column; every lattice lookup then
+    # references the column instead of inlining |vocab| literals per
+    # candidate — the inlined form OOMs a default-heap driver on
+    # expression-tree size alone
+    d = (
+        df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
+        .distinct()
+        .select(
+            "w",
+            F.length("w").alias("__n"),
+            F.lit(0).alias("__dp_0"),
+            cm.alias("__cm"),
+        )
+    )
+
+    def cand(j: int, i: int):
+        c = F.element_at(
+            F.col("__cm"), F.expr(f"substring(w, {j + 1}, {i - j})")
+        )
+        return F.when(
+            c.isNull() | (F.col(f"__dp_{j}") >= inf), inf
+        ).otherwise(F.col(f"__dp_{j}") + c)
+
+    for i in range(1, max_word_len + 1):
+        js = list(range(max(0, i - max_piece), i))
+        best = F.least(*[cand(j, i) for j in js]) if len(js) > 1 else cand(js[0], i)
+        d = d.withColumn(
+            f"__dp_{i}",
+            F.when(F.col("__n") >= i, best).otherwise(inf),
+        )
+        bp = None
+        for j in js:
+            hit = F.when(cand(j, i) == F.col(f"__dp_{i}"), F.lit(j))
+            bp = hit if bp is None else F.coalesce(bp, hit)
+        d = d.withColumn(
+            f"__bp_{i}",
+            F.when(
+                (F.col("__n") >= i) & (F.col(f"__dp_{i}") < inf), bp
+            ).otherwise(F.lit(None).cast("int")),
+        )
+    dp_arr = F.array(*[F.col(f"__dp_{i}") for i in range(1, max_word_len + 1)])
+    bp_arr = F.array(*[F.col(f"__bp_{i}") for i in range(1, max_word_len + 1)])
+    d = d.withColumn("__bps", bp_arr).withColumn(
+        "__ok",
+        (F.col("__n") <= max_word_len)
+        & (F.element_at(dp_arr, F.col("__n")) < inf),
+    )
+    # backpointer walk: __e_0 = n, __e_t = bp[__e_{t-1}] while > 0
+    d = d.withColumn("__e_0", F.when(F.col("__ok"), F.col("__n")))
+    for t in range(1, max_word_len + 1):
+        prev = F.col(f"__e_{t - 1}")
+        d = d.withColumn(
+            f"__e_{t}",
+            F.when(
+                prev.isNotNull() & (prev > 0),
+                F.element_at(F.col("__bps"), prev),
+            ),
+        )
+    pieces = [
+        F.when(
+            F.col(f"__e_{t - 1}").isNotNull()
+            & (F.col(f"__e_{t - 1}") > 0),
+            F.expr(
+                f"substring(w, __e_{t} + 1, __e_{t - 1} - __e_{t})"
+            ),
+        )
+        for t in range(1, max_word_len + 1)
+    ]
+    # materialize the vocab-sized segmentation: the serve join below
+    # must not carry the full lattice plan (default-heap drivers OOM
+    # compiling it twice)
+    seg = d.select(
+        "w",
+        F.when(
+            F.col("__ok"),
+            F.reverse(
+                F.filter(F.array(*pieces), lambda x: x.isNotNull())
+            ),
+        )
+        .otherwise(F.array(F.lit(unk_symbol)))
+        .alias("toks"),
+    ).localCheckpoint()
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        tokens_expr(F.col(text_col)).alias("__toks"),
+    ).selectExpr("id", "posexplode(__toks) AS (pos, w)")
+    return (
+        toks.join(seg, "w")
+        .selectExpr("id", "pos", "posexplode(toks) AS (sym_pos, symbol)")
+        .select(
+            "id",
+            "pos",
+            "sym_pos",
+            "symbol",
+            F.coalesce(
+                F.element_at(cm, F.col("symbol")),
+                F.lit(int(unk_id_cost)),
+            ).alias("cost_hb"),
         )
     )

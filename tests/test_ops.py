@@ -3754,6 +3754,127 @@ class TestWordpieceEncode:
             wordpiece_encode(df, {"[UNK]": 0})
 
 
+class TestUnigramSegment:
+    """Viterbi-optimal unigram-LM segmentation (ops/text_analysis.py
+    unigram_artifacts + unigram_segment): scalar Viterbi parity with
+    the smallest-backpointer tie rule, optimality over greedy, and the
+    whole-word [UNK] conservation rules."""
+
+    @staticmethod
+    def _viterbi(word, costs, cap, inf=1 << 40):
+        if len(word) > cap:
+            return ["[UNK]"]
+        P = max(map(len, costs))
+        n = len(word)
+        dp, bp = [0] + [inf] * n, [None] * (n + 1)
+        for i in range(1, n + 1):
+            cands = []
+            for j in range(max(0, i - P), i):
+                c = costs.get(word[j:i])
+                cands.append(
+                    (inf if c is None or dp[j] >= inf else dp[j] + c, j)
+                )
+            best = min(c for c, _ in cands)
+            if best < inf:
+                dp[i] = best
+                bp[i] = next(j for c, j in cands if c == best)
+        if dp[n] >= inf:
+            return ["[UNK]"]
+        out, e = [], n
+        while e > 0:
+            out.append(word[bp[e]:e])
+            e = bp[e]
+        return out[::-1]
+
+    _TRAIN = [(1, "low lower lowest"), (2, "new newer newest low")]
+
+    def test_stream_matches_scalar_viterbi(self, spark):
+        import re
+
+        from ocr_search_spark.ops.text_analysis import (
+            unigram_artifacts,
+            unigram_segment,
+        )
+
+        df = spark.createDataFrame(self._TRAIN, "doc_id long, text string")
+        costs = unigram_artifacts(df, n_merges=6)
+        got = sorted(
+            tuple(r)
+            for r in unigram_segment(df, costs, max_word_len=8).collect()
+        )
+        want = []
+        for doc_id, text in self._TRAIN:
+            for pos, w in enumerate(re.findall(r"[a-zа-яё0-9_]+", text)):
+                for sym_pos, sym in enumerate(self._viterbi(w, costs, 8)):
+                    want.append(
+                        (doc_id, pos, sym_pos, sym, costs.get(sym, -1))
+                    )
+        assert got == sorted(want)
+
+    def test_viterbi_beats_greedy(self, spark):
+        """'abc' with costs ab=1, c=9, a=5, bc=1: greedy takes ab+c
+        (cost 10); Viterbi takes a+bc (cost 6)."""
+        from ocr_search_spark.ops.text_analysis import unigram_segment
+
+        df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        costs = {"ab": 1, "c": 9, "a": 5, "bc": 1}
+        got = [
+            (r.sym_pos, r.symbol, r.cost_hb)
+            for r in unigram_segment(df, costs)
+            .orderBy("sym_pos")
+            .collect()
+        ]
+        assert got == [(0, "a", 5), (1, "bc", 1)]
+
+    def test_tie_prefers_smallest_backpointer(self, spark):
+        """'ab' with a=b=ab=2: single piece 'ab' (cost 2) beats a+b
+        (4); with ab=4 the tie between paths cannot arise, but equal
+        candidate costs at one position resolve to the earliest j."""
+        from ocr_search_spark.ops.text_analysis import unigram_segment
+
+        df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+        got = [
+            r.symbol
+            for r in unigram_segment(df, {"a": 2, "b": 2, "ab": 4})
+            .orderBy("sym_pos")
+            .collect()
+        ]
+        # dp[2] = 4 via both j=0 (piece 'ab') and j=1 ('a'+'b');
+        # smallest j wins -> single piece 'ab'
+        assert got == ["ab"]
+
+    def test_unk_rules(self, spark):
+        from ocr_search_spark.ops.text_analysis import unigram_segment
+
+        df = spark.createDataFrame(
+            [(1, "ab qz abcdefghij")], "doc_id long, text string"
+        )
+        got = {
+            r.pos: (r.symbol, r.cost_hb)
+            for r in unigram_segment(
+                df, {"a": 1, "b": 1, "ab": 1, "c": 1}, max_word_len=6,
+                unk_id_cost=-9,
+            )
+            .filter(F.col("sym_pos") == 0)
+            .collect()
+        }
+        assert got[1] == ("[UNK]", -9)  # no lattice path through q/z
+        assert got[2] == ("[UNK]", -9)  # over the 6-char cap
+
+    def test_validation(self, spark):
+        from ocr_search_spark.ops.text_analysis import unigram_segment
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            unigram_segment(df, {})
+        with pytest.raises(ValueError):
+            unigram_segment(df, {"[UNK]": 1})
+        with pytest.raises(ValueError):
+            unigram_segment(df, {"a": 1}, max_word_len=0)
+        with pytest.raises(ValueError):
+            unigram_segment(df, {f"p{i}": 1 for i in range(5000)})
+
+
 class TestBpeApply:
     """Shipped-tokenizer serve path (ops/text_analysis.py bpe_artifacts +
     bpe_apply): artifact export convention, cross-corpus application,
