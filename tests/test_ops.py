@@ -894,6 +894,27 @@ class TestMarginMine:
         with pytest.raises(ValueError):
             margin_mine(src, tgt, k=0)
 
+    def test_candidate_arms_bitwise_equal(self, sides, spark):
+        """The BLAS-block candidate kernel and the crossJoin+HOF fallback
+        must produce the identical e6 lattice for EVERY pair (the mined
+        set is then equal by construction). broadcast_rows_max=0 forces
+        the fallback arm."""
+        from ocr_search_spark.ops.similarity import margin_candidates
+
+        src, tgt, _, _ = sides
+        fast = margin_candidates(src, tgt)  # matmul arm (tgt fits)
+        slow = margin_candidates(src, tgt, broadcast_rows_max=0)
+        assert fast.count() == 12 * 13
+        diff = (
+            fast.alias("a")
+            .join(slow.alias("b"), ["src_id", "tgt_id"], "full")
+            .filter(
+                "a.cos_e6 IS DISTINCT FROM b.cos_e6"
+            )
+            .count()
+        )
+        assert diff == 0
+
     def test_mutual_is_two_direction_intersection(self, sides):
         from ocr_search_spark.ops.similarity import (
             margin_mine,
@@ -3752,6 +3773,37 @@ class TestWordpieceEncode:
             wordpiece_encode(df, {"a": 0}, max_word_len=0)
         with pytest.raises(ValueError):
             wordpiece_encode(df, {"[UNK]": 0})
+        with pytest.raises(ValueError):
+            wordpiece_encode(df, {"a": 0}, engine="rdd")
+
+    def test_engines_bit_identical(self, spark):
+        """The arrow (mapInPandas greedy) and sql (Catalyst round loop)
+        engines must emit the identical token stream — including the
+        over-cap and OOV whole-word [UNK] paths."""
+        from ocr_search_spark.ops.text_analysis import (
+            wordpiece_artifacts,
+            wordpiece_encode,
+        )
+
+        df = spark.createDataFrame(self._TRAIN, "doc_id long, text string")
+        vocab = wordpiece_artifacts(df, n_merges=6)
+        new = spark.createDataFrame(
+            [(9, "low lowerer qz new lowest")], "doc_id long, text string"
+        )
+        for frame, cap in ((df, 100), (new, 5)):
+            a = sorted(
+                tuple(r)
+                for r in wordpiece_encode(
+                    frame, vocab, max_word_len=cap, engine="arrow"
+                ).collect()
+            )
+            s = sorted(
+                tuple(r)
+                for r in wordpiece_encode(
+                    frame, vocab, max_word_len=cap, engine="sql"
+                ).collect()
+            )
+            assert a == s and a
 
 
 class TestUnigramSegment:
