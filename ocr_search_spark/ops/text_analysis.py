@@ -1478,6 +1478,7 @@ def wordpiece_encode(
     unk_symbol: str = "[UNK]",
     max_word_len: int = 100,
     checkpoint_every: int = 4,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Greedy longest-match-first WordPiece tokenization (the BERT
     runtime algorithm — a DIFFERENT algorithm from BPE merge
@@ -1493,13 +1494,19 @@ def wordpiece_encode(
     ``unk_id``.
 
     Scale shape: greedy matching runs on the DISTINCT-WORD table, not
-    the token stream — at most ``max_word_len`` rounds of (bounded
+    the token stream. ``engine='arrow'`` (default) segments each
+    distinct word in ONE mapInPandas pass with the piece set broadcast
+    (a batch-level loop over words inside the Arrow batch — the
+    distinct-word table stays distributed, per-word cost is
+    O(len × max_piece) set probes, and the whole match is a single
+    narrow stage instead of a shuffle per round). ``engine='sql'`` is
+    the pure-Catalyst twin: ≤ ``max_word_len`` rounds of (bounded
     prefix explode ≤ max-piece-length per active word) → broadcast
-    piece join → per-word argmax, with early stop when every word is
-    consumed and a ``localCheckpoint`` every ``checkpoint_every``
-    rounds bounding plan depth. One corpus-keyed posexplode/join pass
-    (bpe_encode's serving shape) then streams the segmentation. No
-    UDF; the per-round state is vocab-sized."""
+    piece join → per-word argmax, early stop when every word is
+    consumed, ``localCheckpoint`` every ``checkpoint_every`` rounds —
+    bit-identical output, kept as the no-UDF validation arm (parity
+    pinned in test_ops). Either way the corpus pays one
+    posexplode/join serving pass (bpe_encode's shape)."""
     if max_word_len < 1:
         raise ValueError("max_word_len must be >= 1")
     if checkpoint_every < 1:
@@ -1508,17 +1515,53 @@ def wordpiece_encode(
         raise ValueError("vocab_ids must be non-empty")
     if unk_symbol in vocab_ids:
         raise ValueError("unk_symbol must not collide with a vocab piece")
+    if engine not in ("arrow", "sql"):
+        raise ValueError("engine must be 'arrow' or 'sql'")
     spark = df.sparkSession
     max_piece = max(len(p) for p in vocab_ids)
     pieces = spark.createDataFrame(
         sorted((p, int(i)) for p, i in vocab_ids.items()),
         "piece string, token_id int",
     )
-    unk_arr = F.array(F.lit(unk_symbol))
-    state = (
+    words = (
         df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
         .distinct()
-        .select(
+    )
+    if engine == "arrow":
+        piece_set = frozenset(vocab_ids)
+        bc = spark.sparkContext.broadcast((piece_set, max_piece))
+
+        def match(batches):
+            import pandas as pd
+
+            pset, mp = bc.value
+            for pdf in batches:
+                out_w, out_t = [], []
+                for w in pdf["w"]:
+                    if len(w) > max_word_len:
+                        toks = [unk_symbol]
+                    else:
+                        toks, pos, n = [], 0, len(w)
+                        while pos < n:
+                            for ln in range(min(mp, n - pos), 0, -1):
+                                if w[pos : pos + ln] in pset:
+                                    toks.append(w[pos : pos + ln])
+                                    pos += ln
+                                    break
+                            else:
+                                toks = [unk_symbol]
+                                break
+                    out_w.append(w)
+                    out_t.append(toks)
+                yield pd.DataFrame({"w": out_w, "toks": out_t})
+
+        state = words.mapInPandas(match, "w string, toks array<string>")
+        return _wordpiece_serve(
+            df, state, pieces, id_col, text_col, unk_id
+        )
+    unk_arr = F.array(F.lit(unk_symbol))
+    state = (
+        words.select(
             "w",
             F.when(F.length("w") <= max_word_len, F.col("w"))
             .otherwise(F.lit(""))
@@ -1572,6 +1615,21 @@ def wordpiece_encode(
         )
         if (it + 1) % checkpoint_every == 0:
             state = state.localCheckpoint()
+    return _wordpiece_serve(df, state, pieces, id_col, text_col, unk_id)
+
+
+def _wordpiece_serve(
+    df: DataFrame,
+    state: DataFrame,
+    pieces: DataFrame,
+    id_col: str,
+    text_col: str,
+    unk_id: int,
+) -> DataFrame:
+    """The shared corpus-keyed serving pass: posexplode the token
+    stream, join each word's segmentation (``state``: w → toks), stream
+    out (id, pos, sym_pos, token_id, symbol) with OOV symbols carrying
+    ``unk_id`` via the broadcast piece join."""
     toks = df.select(
         F.col(id_col).alias("id"),
         tokens_expr(F.col(text_col)).alias("__toks"),
