@@ -324,6 +324,47 @@ def q_decontaminate(spark, sf_dir):
     ).select("doc_id")
 
 
+def q_bloom_probe(spark, sf_dir):
+    """Bloom-filter membership probe of the corpus against the 10-doc
+    benchmark set's 5-token shingles (AI2-BFF shape): k=3 md5 bit
+    positions in a 16384-bit space, a shingle hits iff all three are
+    set — (id, n_ngrams, n_hit, contaminated) per doc, false positives
+    deterministic and part of the contract (ops/dedup.py bloom_probe;
+    the filter broadcasts 8-byte positions, the probe is three
+    broadcast semi-joins, the corpus never shuffles on shingle keys)."""
+    from ocr_search_spark.ops.dedup import bloom_probe
+
+    docs = _docs(spark, sf_dir)
+    bench = (
+        docs.orderBy(F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")), "doc_id")
+        .limit(10)
+        .select("text")
+    )
+    return bloom_probe(
+        docs, bench, "doc_id", "text", shingle_k=5, m_bits=16384, k_hashes=3
+    )
+
+
+def q_bloom_decontaminate(spark, sf_dir):
+    """BFF-style constant-memory decontamination: the corpus rows
+    surviving the Bloom probe (exact shingle matches always dropped,
+    plus the deterministic false positives the 16384/3 sizing admits) —
+    the arm you run when the benchmark shingle TEXT no longer
+    broadcasts (ops/dedup.py bloom_decontaminate; exact-set twin is
+    `decontaminate`)."""
+    from ocr_search_spark.ops.dedup import bloom_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = (
+        docs.orderBy(F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")), "doc_id")
+        .limit(10)
+        .select("text")
+    )
+    return bloom_decontaminate(
+        docs, bench, "doc_id", "text", shingle_k=5, m_bits=16384, k_hashes=3
+    ).select("doc_id")
+
+
 def _planted_pii(docs):
     """Plant deterministic PII into every third document — computed
     identically in the DuckDB twin so redaction/counting oracles are
@@ -2426,6 +2467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selected_corpus": q_selected_corpus,
         "pq_adc_topk": q_pq_adc_topk,
         "decontaminate": q_decontaminate,
+        "bloom_probe": q_bloom_probe,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "token_quality": q_token_quality,
         "token_counts": q_token_counts,
         "mojibake": q_mojibake,
@@ -3562,6 +3605,63 @@ def oracle_sql() -> dict[str, str]:
                     i -> array_to_string(list_slice({_TOK}, i, i + 4), ' ')))) AS s
                 FROM documents) d
               JOIN bsh USING (s)
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+        """,
+        "bloom_probe": f"""
+            WITH sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                  range(1, greatest(len({_TOK}) - 3, 1)),
+                  i -> array_to_string(list_slice({_TOK}, i, i + 4), ' '))) AS shingles
+              FROM documents
+            ), bench AS (
+              SELECT doc_id FROM documents ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 10
+            ), bsh AS (
+              SELECT DISTINCT unnest(shingles) AS s FROM sh
+              WHERE doc_id IN (SELECT doc_id FROM bench)
+            ), bits AS (
+              SELECT DISTINCT ('0x' || substring(md5('b' || i || ':' || s), 1, 8))::BIGINT % 16384 AS bit
+              FROM (SELECT s, unnest([0, 1, 2]) AS i FROM bsh)
+            ), doc_sh AS (
+              SELECT doc_id, unnest(shingles) AS s FROM sh
+            ), hits AS (
+              SELECT doc_id, count(*) AS n_hit FROM doc_sh
+              WHERE ('0x' || substring(md5('b0:' || s), 1, 8))::BIGINT % 16384 IN (SELECT bit FROM bits)
+                AND ('0x' || substring(md5('b1:' || s), 1, 8))::BIGINT % 16384 IN (SELECT bit FROM bits)
+                AND ('0x' || substring(md5('b2:' || s), 1, 8))::BIGINT % 16384 IN (SELECT bit FROM bits)
+              GROUP BY doc_id
+            ), totals AS (
+              SELECT doc_id, count(*) AS n_ngrams FROM doc_sh GROUP BY doc_id
+            )
+            SELECT d.doc_id AS id,
+                   coalesce(t.n_ngrams, 0) AS n_ngrams,
+                   coalesce(h.n_hit, 0) AS n_hit,
+                   coalesce(h.n_hit, 0) > 0 AS contaminated
+            FROM documents d
+            LEFT JOIN totals t ON t.doc_id = d.doc_id
+            LEFT JOIN hits h ON h.doc_id = d.doc_id
+        """,
+        "bloom_decontaminate": f"""
+            WITH sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                  range(1, greatest(len({_TOK}) - 3, 1)),
+                  i -> array_to_string(list_slice({_TOK}, i, i + 4), ' '))) AS shingles
+              FROM documents
+            ), bench AS (
+              SELECT doc_id FROM documents ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 10
+            ), bsh AS (
+              SELECT DISTINCT unnest(shingles) AS s FROM sh
+              WHERE doc_id IN (SELECT doc_id FROM bench)
+            ), bits AS (
+              SELECT DISTINCT ('0x' || substring(md5('b' || i || ':' || s), 1, 8))::BIGINT % 16384 AS bit
+              FROM (SELECT s, unnest([0, 1, 2]) AS i FROM bsh)
+            ), contam AS (
+              SELECT DISTINCT doc_id
+              FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) d
+              WHERE ('0x' || substring(md5('b0:' || s), 1, 8))::BIGINT % 16384 IN (SELECT bit FROM bits)
+                AND ('0x' || substring(md5('b1:' || s), 1, 8))::BIGINT % 16384 IN (SELECT bit FROM bits)
+                AND ('0x' || substring(md5('b2:' || s), 1, 8))::BIGINT % 16384 IN (SELECT bit FROM bits)
             )
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM contam)

@@ -179,6 +179,7 @@ def main() -> None:
         "split_leakage",
         "simhash_dedup",
         "semantic_decontaminate",
+        "bloom_probe",
         "data_card",
         "nb_select",
         "vocab_distinct_est",

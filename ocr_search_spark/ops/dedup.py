@@ -524,6 +524,163 @@ def decontaminate(
     return df.join(contaminated, F.col(id_col) == F.col("__contam"), "left_anti")
 
 
+def _bloom_bit(i: int, s, m_bits: int):
+    """Bit position of hash family ``i`` for shingle ``s`` on the shared
+    md5 basis — ``conv(substring(md5('b{i}:'||s),1,8),16,10) % m_bits``,
+    reproducible in DuckDB as ``('0x'||substring(md5(...),1,8))::BIGINT %
+    m_bits`` (the engine-portable integer convention every hash op in
+    this repo uses)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.encode(F.concat(F.lit(f"b{i}:"), s), "utf-8")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    )
+
+
+def bloom_bits(
+    bench: DataFrame,
+    text_col: str = "text",
+    shingle_k: int = 8,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """The SET side of a Bloom membership filter over a benchmark /
+    blocklist corpus: every distinct ``shingle_k``-token shingle maps to
+    ``k_hashes`` bit positions in an ``m_bits`` space; returns the
+    distinct set positions as one ``bit`` column — the relational form
+    of the bit array (a position is set iff a row exists). This is the
+    structure AI2's BFF and at-scale URL-seen / decontamination filters
+    persist: O(set bits) storage independent of shingle text size, and
+    the probe side never ships text, only 8-byte positions.
+    """
+    if shingle_k < 1 or k_hashes < 1 or m_bits < 2:
+        raise ValueError("shingle_k, k_hashes >= 1 and m_bits >= 2 required")
+    from .text_analysis import _token_shingles
+
+    toked = bench.select(tokens_expr(F.col(text_col)).alias("toks"))
+    sh = (
+        toked.select(
+            F.array_distinct(
+                _token_shingles(F.col("toks"), F.size("toks"), shingle_k)
+            ).alias("sh")
+        )
+        .select(F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .distinct()
+    )
+    return (
+        sh.select(
+            F.explode(
+                F.array(*[_bloom_bit(i, F.col("s"), m_bits) for i in range(k_hashes)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str = "text",
+    shingle_k: int = 8,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Probe every document against the benchmark's Bloom filter: a
+    shingle is a (possible) member iff ALL ``k_hashes`` of its bit
+    positions are set. Returns one row per document —
+    (id, n_ngrams, n_hit, contaminated) with ``n_ngrams`` the doc's
+    distinct shingle count, ``n_hit`` how many of them the filter
+    accepts, ``contaminated`` = n_hit > 0. False positives are part of
+    the contract (that is the Bloom trade: rate ≈ (set_bits/m)^k) and
+    are DETERMINISTIC here — both engines hash identically, so the
+    flagged set is hash-exact, FPs included.
+
+    Scale shape: the filter is broadcast (set positions of an eval
+    suite / blocklist — small by definition); the probe is ``k_hashes``
+    consecutive BROADCAST SEMI-joins on per-hash bit expressions, so a
+    shingle leaves the candidate set at its first unset bit and the
+    corpus never shuffles on shingle keys at all — the only wide
+    exchange is the final id-keyed count aggregation (map-side
+    combinable). Compare :func:`decontaminate`, which broadcasts the
+    shingle TEXT set: the Bloom form ships 8-byte positions instead, a
+    ~shingle_k·word-length compression of the broadcast, which is what
+    makes membership state for billions of set elements shippable.
+    """
+    if shingle_k < 1 or k_hashes < 1 or m_bits < 2:
+        raise ValueError("shingle_k, k_hashes >= 1 and m_bits >= 2 required")
+    from .text_analysis import _token_shingles
+
+    bits = bloom_bits(bench, bench_text_col, shingle_k, m_bits, k_hashes)
+
+    toked = df.select(F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("toks"))
+    doc_sh = (
+        toked.select(
+            "id",
+            F.array_distinct(
+                _token_shingles(F.col("toks"), F.size("toks"), shingle_k)
+            ).alias("sh"),
+        )
+        .select("id", F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+    )
+    cand = doc_sh
+    for i in range(k_hashes):
+        cand = cand.join(
+            F.broadcast(bits.withColumnRenamed("bit", f"__b{i}")),
+            _bloom_bit(i, F.col("s"), m_bits) == F.col(f"__b{i}"),
+            "left_semi",
+        )
+    n_ngrams = doc_sh.groupBy("id").agg(F.count("*").alias("n_ngrams"))
+    n_hit = cand.groupBy("id").agg(F.count("*").alias("n_hit"))
+    ids = df.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(n_ngrams, "id", "left")
+        .join(n_hit, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            (F.coalesce("n_hit", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str = "text",
+    shingle_k: int = 8,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """BFF-style decontamination: drop every document whose
+    :func:`bloom_probe` is contaminated (any shingle accepted by the
+    benchmark's Bloom filter — exact matches always, plus the
+    deterministic false positives the m/k sizing admits). Returns the
+    surviving rows of ``df``. The exact-set twin is
+    :func:`decontaminate`; this is the constant-memory arm you run when
+    the reference set's shingle text no longer broadcasts."""
+    flagged = (
+        bloom_probe(
+            df, bench, id_col, text_col, bench_text_col,
+            shingle_k, m_bits, k_hashes,
+        )
+        .filter(F.col("contaminated"))
+        .select(F.col("id").alias("__contam"))
+    )
+    return df.join(flagged, F.col(id_col) == F.col("__contam"), "left_anti")
+
+
 def connected_components_labels(
     pairs: DataFrame,
     a_col: str = "a_id",

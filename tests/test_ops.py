@@ -1088,6 +1088,101 @@ class TestDecontaminate:
         assert "BroadcastExchange" in plan  # bench shingles + contaminated ids
 
 
+class TestBloomDecontaminate:
+    """Bloom-filter membership decontamination (ops/dedup.py bloom_bits +
+    bloom_probe + bloom_decontaminate): no false negatives vs the exact
+    twin, deterministic false positives under a saturated filter, count
+    contract, and the broadcast-semi-join plan shape."""
+
+    def _frames(self, spark):
+        passage = " ".join(f"bench{i}" for i in range(10))
+        docs = spark.createDataFrame(
+            [
+                ("d1", "clean one " + " ".join(f"w{i}" for i in range(20))),
+                ("d2", "intro " + passage + " outro words here"),
+                ("d3", "short"),
+                ("d4", passage),
+                ("d5", " ".join(f"v{i}" for i in range(20))),
+            ],
+            "doc_id string, text string",
+        )
+        bench = spark.createDataFrame([(passage,)], "text string")
+        return docs, bench
+
+    def test_no_false_negatives_vs_exact_twin(self, spark):
+        """Every doc the exact-set rule drops, the Bloom rule drops too
+        (a Bloom filter can only over-accept, never miss a member)."""
+        from ocr_search_spark.ops.dedup import bloom_decontaminate, decontaminate
+
+        docs, bench = self._frames(spark)
+        exact_kept = {
+            r.doc_id
+            for r in decontaminate(docs, bench, "doc_id", "text", shingle_k=8).collect()
+        }
+        bloom_kept = {
+            r.doc_id
+            for r in bloom_decontaminate(
+                docs, bench, "doc_id", "text", shingle_k=8
+            ).collect()
+        }
+        assert bloom_kept <= exact_kept
+        # at 2^20 bits / 3 set shingles no FP fires on this corpus
+        assert bloom_kept == exact_kept == {"d1", "d3", "d5"}
+
+    def test_probe_counts_and_shingleless_doc(self, spark):
+        from ocr_search_spark.ops.dedup import bloom_probe
+
+        docs, bench = self._frames(spark)
+        rows = {
+            r.id: (r.n_ngrams, r.n_hit, r.contaminated)
+            for r in bloom_probe(docs, bench, "doc_id", "text", shingle_k=8).collect()
+        }
+        assert set(rows) == {"d1", "d2", "d3", "d4", "d5"}
+        assert rows["d3"] == (0, 0, False)  # < k tokens: no shingles
+        assert rows["d4"] == (3, 3, True)  # the bench passage itself
+        assert rows["d2"][1] == 3 and rows["d2"][2]  # the planted overlap
+        assert rows["d1"] == (rows["d1"][0], 0, False)
+
+    def test_saturated_filter_flags_everything(self, spark):
+        """m_bits=2 saturates instantly — every shingled doc becomes a
+        deterministic false positive; shingle-less docs still survive."""
+        from ocr_search_spark.ops.dedup import bloom_decontaminate
+
+        docs, bench = self._frames(spark)
+        kept = {
+            r.doc_id
+            for r in bloom_decontaminate(
+                docs, bench, "doc_id", "text", shingle_k=8, m_bits=2
+            ).collect()
+        }
+        assert kept == {"d3"}
+
+    def test_validation(self, spark):
+        from ocr_search_spark.ops.dedup import bloom_probe
+
+        docs, bench = self._frames(spark)
+        with pytest.raises(ValueError):
+            bloom_probe(docs, bench, "doc_id", "text", shingle_k=0).collect()
+        with pytest.raises(ValueError):
+            bloom_probe(docs, bench, "doc_id", "text", k_hashes=0).collect()
+        with pytest.raises(ValueError):
+            bloom_probe(docs, bench, "doc_id", "text", m_bits=1).collect()
+
+    def test_probe_plan_broadcasts_bits_no_shingle_shuffle(self, spark):
+        from ocr_search_spark.ops.dedup import bloom_probe
+
+        docs, bench = self._frames(spark)
+        plan = (
+            bloom_probe(docs, bench, "doc_id", "text", shingle_k=8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastExchange" in plan
+        assert plan.count("LeftSemi") >= 3  # one semi-join per hash family
+        assert "CartesianProduct" not in plan
+
+
 class TestScrub:
     def test_redact_pii_counts_and_text(self, spark):
         from ocr_search_spark.ops.scrub import redact_pii
