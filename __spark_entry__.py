@@ -1565,6 +1565,30 @@ def q_ann_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+def q_sq_topk(spark, sf_dir):
+    """Int8 scalar-quantized top-10 (faiss SQ8 serve shape): per-vector
+    max-abs encode to int8 codes, integer dot + precomputed integer
+    norms, cosine reconstructed on the 6-dp lattice — the 4x-smaller
+    serving arm for query vectors vec_id < 5 (ops/similarity.py
+    sq_encode + sq_topk; quantized cosine is scale-invariant, so the
+    float scales never ship to serving)."""
+    from ocr_search_spark.ops.similarity import sq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sq_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+def q_sq_recall(spark, sf_dir):
+    """What int8 compression costs on THIS corpus: recall@10 of the
+    SQ8 serving arm vs exact float cosine, per query —
+    (query_id, n_hits, recall_ppm), the same integer-ppm contract as
+    ann_recall / ivf_pq_recall (ops/similarity.py sq_recall)."""
+    from ocr_search_spark.ops.similarity import sq_recall
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sq_recall(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
 def q_margin_mine(spark, sf_dir):
     """Ratio-margin pair mining (Artetxe-Schwenk / CCMatrix) between the
     even-vec_id and odd-vec_id halves of the embedding table playing
@@ -2498,6 +2522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_topk_join": q_ann_ivf_topk_join,
         "ann_recall": q_ann_recall,
+        "sq_topk": q_sq_topk,
+        "sq_recall": q_sq_recall,
         "margin_mine": q_margin_mine,
         "margin_mine_mutual": q_margin_mine_mutual,
         "media_features": q_media_features,
@@ -4771,6 +4797,41 @@ def oracle_sql() -> dict[str, str]:
         # construction — same oracle
         "ann_ivf_topk_join": _ann_ivf_oracle_sql(),
         "ann_recall": _ann_recall_oracle_sql(),
+        "sq_topk": _SQ_TOPK_SQL
+        + """
+            SELECT query_id, neighbor_id, cos_q, rnk FROM sq_ranked
+            WHERE rnk <= 10
+        """,
+        "sq_recall": _SQ_TOPK_SQL
+        + """
+            , sq AS (
+              SELECT query_id, neighbor_id FROM sq_ranked WHERE rnk <= 10
+            ), exact AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT fq.vec_id AS query_id, fe.vec_id AS neighbor_id,
+                       row_number() OVER (
+                         PARTITION BY fq.vec_id
+                         ORDER BY round((list_sum(list_transform(range(1, 65), i -> fe.embedding[i]::DOUBLE * fq.embedding[i]::DOUBLE))
+                                  / (sqrt(list_sum(list_transform(range(1, 65), i -> fe.embedding[i]::DOUBLE * fe.embedding[i]::DOUBLE)))
+                                   * sqrt(list_sum(list_transform(range(1, 65), i -> fq.embedding[i]::DOUBLE * fq.embedding[i]::DOUBLE))))), 6) DESC,
+                                  fe.vec_id
+                       ) AS rnk
+                FROM embeddings fe
+                CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) fq
+                WHERE fe.vec_id <> fq.vec_id
+              ) WHERE rnk <= 10
+            ), hits AS (
+              SELECT s.query_id, count(*)::BIGINT AS n_hits
+              FROM sq s JOIN exact e
+                ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
+              GROUP BY s.query_id
+            )
+            SELECT q.vec_id AS query_id,
+                   coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   floor(coalesce(h.n_hits, 0) * 1000000 / 10)::BIGINT AS recall_ppm
+            FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
+            LEFT JOIN hits h ON h.query_id = q.vec_id
+        """,
         "margin_mine": _margin_mine_oracle(0),
         "margin_mine_mutual": f"""
             WITH fwd AS ({_margin_mine_oracle(0)}),
@@ -5847,6 +5908,42 @@ def _ann_ivf_oracle_sql(k_cent: int = 16, n_probe: int = 4, k: int = 10) -> str:
           FROM scored
         ) WHERE rnk <= {k}
     """
+
+
+# shared WITH-prefix of the SQ8 oracles: per-vector max-abs int8 encode,
+# integer dot + integer norms, cosine on the 6-dp lattice, ranked per
+# query — composed by "sq_topk" (direct) and "sq_recall" (vs exact arm)
+_SQ_TOPK_SQL = """
+            WITH sc AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
+              FROM embeddings
+            ), enc AS (
+              SELECT vec_id,
+                     CASE WHEN scale = 0
+                          THEN list_transform(embedding, x -> 0::BIGINT)
+                          ELSE list_transform(embedding, x -> round(x::DOUBLE / scale * 127)::BIGINT)
+                     END AS codes
+              FROM sc
+            ), nq AS (
+              SELECT vec_id, codes,
+                     list_sum(list_transform(codes, c -> c * c))::BIGINT AS norm_q
+              FROM enc
+            ), qside AS (
+              SELECT vec_id AS query_id, codes AS qc, norm_q AS qn
+              FROM nq WHERE vec_id < 5 AND norm_q > 0
+            ), sq_scored AS (
+              SELECT qside.query_id, e.vec_id AS neighbor_id,
+                     round(list_sum(list_transform(range(1, 65), i -> e.codes[i] * qside.qc[i]))::DOUBLE
+                           / (sqrt(e.norm_q::DOUBLE) * sqrt(qside.qn::DOUBLE)), 6) AS cos_q
+              FROM nq e CROSS JOIN qside
+              WHERE e.vec_id <> qside.query_id AND e.norm_q > 0
+            ), sq_ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos_q DESC, neighbor_id) AS rnk
+              FROM sq_scored
+            )
+"""
 
 
 def _ann_recall_oracle_sql(

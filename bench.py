@@ -180,6 +180,7 @@ def main() -> None:
         "simhash_dedup",
         "semantic_decontaminate",
         "bloom_probe",
+        "sq_topk",
         "data_card",
         "nb_select",
         "vocab_distinct_est",

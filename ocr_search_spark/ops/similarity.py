@@ -48,14 +48,23 @@ def cosine_topk(
 
     ``queries`` is broadcast (must be driver-small); returns
     (query_id, neighbor_id, cos) with neighbor_id != query_id, k rows per
-    query, deterministic tie-break on neighbor_id.
+    query, deterministic tie-break on neighbor_id. Norms are materialized
+    once per ROW (not per pair — the HOF fold is the expensive part) and
+    zero-norm vectors are excluded on both sides (cosine undefined; under
+    ANSI mode the division would throw).
     """
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    ).filter(F.col("__cn") > 0)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("__qn"),
+    ).filter(F.col("__qn") > 0)
     joined = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
-    cos = _dot(F.col("cvec"), F.col("qvec")) / (
-        _norm(F.col("cvec")) * _norm(F.col("qvec"))
-    )
+    cos = _dot(F.col("cvec"), F.col("qvec")) / (F.col("__cn") * F.col("__qn"))
     scored = joined.select("query_id", "neighbor_id", F.round(cos, 6).alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -1636,3 +1645,122 @@ def margin_mine_mutual(
         threshold_e6,
     ).select(F.col("tgt_id").alias("src_id"), F.col("src_id").alias("tgt_id"))
     return fwd.join(bwd, ["src_id", "tgt_id"])
+
+
+def sq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar int8 quantization (the faiss SQ8 shape): each vector is
+    encoded as ``codes[i] = round(v[i] / scale * 127)`` with
+    ``scale = max(|v|)`` per vector — 4-8x smaller than float32 and the
+    standard first compression step of an embedding serving stack
+    (before PQ, after nothing). Returns (id, codes array<int>,
+    norm_q bigint, scale_e6 bigint): ``norm_q`` = Σ codes² is
+    precomputed because quantized cosine is SCALE-INVARIANT
+    (dot(qa,qb)/√(na·nb) — the per-vector scales cancel), so serving
+    never needs the float scale at all; ``scale_e6`` ships only for
+    dequantization (v̂ = q·scale/127). All-zero vectors encode to
+    all-zero codes (norm_q = 0; excluded from cosine serving).
+
+    Engine parity: max/divide/multiply/round are IEEE-deterministic
+    doubles, codes and norms are exact integers — the DuckDB twin
+    reproduces the encoding bit-for-bit. The scale binds to a
+    materialized column before the per-element transform (the repo's
+    HOF plan-shape invariant: interpreted lambdas re-evaluate outer
+    expression trees per element).
+    """
+    scaled = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))).alias(
+            "__scale"
+        ),
+    )
+    codes = F.when(
+        F.col("__scale") == 0.0,
+        F.transform(F.col("v"), lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            F.col("v"),
+            lambda x: F.round(x.cast("double") / F.col("__scale") * 127).cast("int"),
+        )
+    )
+    enc = scaled.select("id", codes.alias("codes"), F.col("__scale").alias("__scale"))
+    return enc.select(
+        "id",
+        "codes",
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda acc, c: acc + c.cast("long") * c.cast("long")
+        ).alias("norm_q"),
+        F.round(F.col("__scale") * 1_000_000.0).cast("long").alias("scale_e6"),
+    )
+
+
+def sq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k over int8-quantized vectors: integer dot of the
+    code arrays, cosine reconstructed as round(dot/√(na·nb), 6) — the
+    compressed serving arm whose quality :func:`sq_recall` certifies
+    against exact float cosine. Returns (query_id, neighbor_id, cos_q,
+    rnk ≤ k), zero-norm vectors excluded on both sides (cosine
+    undefined), ties on neighbor_id.
+
+    Scale shape: identical to :func:`cosine_topk` (broadcast query codes
+    × corpus scan, per-query TakeOrdered) but the corpus side reads
+    ~4x fewer bytes and the per-pair arithmetic is integer
+    multiply-accumulate — at 100 TB the codes table IS the serving
+    table; floats stay in cold storage for re-rank only.
+    """
+    c = sq_encode(corpus, id_col, vec_col).filter(F.col("norm_q") > 0).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("codes").alias("cc"),
+        F.col("norm_q").alias("cn"),
+    )
+    q = sq_encode(queries, id_col, vec_col).filter(F.col("norm_q") > 0).select(
+        F.col("id").alias("query_id"),
+        F.col("codes").alias("qc"),
+        F.col("norm_q").alias("qn"),
+    )
+    joined = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    dot = F.aggregate(
+        F.zip_with("cc", "qc", lambda a, b: a.cast("long") * b.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cos_q = F.round(
+        dot.cast("double")
+        / (F.sqrt(F.col("cn").cast("double")) * F.sqrt(F.col("qn").cast("double"))),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_q").desc(), F.col("neighbor_id")
+    )
+    return (
+        joined.select("query_id", "neighbor_id", cos_q.alias("cos_q"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def sq_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the int8 serving arm against exact float cosine —
+    what 8-bit compression costs on THIS corpus (same contract as
+    ann_recall / ivf_pq_recall: one row per query, (query_id, n_hits,
+    recall_ppm), floored integer ppm)."""
+    approx = sq_topk(corpus, queries, k, id_col, vec_col)
+    return _recall_vs_exact(approx, corpus, queries, k, id_col, vec_col)

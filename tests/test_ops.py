@@ -443,6 +443,90 @@ class TestWinnowing:
         assert not any("c" in p for p in pairs)
 
 
+class TestScalarQuantization:
+    """Int8 scalar quantization (ops/similarity.py sq_encode + sq_topk +
+    sq_recall): scalar encode parity, zero-vector rule, planted-NN
+    recovery through the quantized arm, recall contract, broadcast plan."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rng = np.random.RandomState(11)
+        base = rng.rand(40, 16).astype("float32") * 2 - 1
+        base[7] = base[3] * 0.5  # same direction as 3 — exact cosine 1.0
+        rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+        rows.append((40, [0.0] * 16))  # zero vector
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_encode_matches_scalar_model(self, emb):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from ocr_search_spark.ops.similarity import sq_encode
+
+        got = {r.id: r for r in sq_encode(emb).collect()}
+        for row in emb.collect():
+            v = [float(x) for x in row.embedding]
+            scale = max(abs(x) for x in v)
+            if scale == 0:
+                want = [0] * len(v)
+            else:
+                want = [
+                    int(
+                        Decimal(repr(x / scale * 127)).quantize(
+                            Decimal("1"), rounding=ROUND_HALF_UP
+                        )
+                    )
+                    for x in v
+                ]
+            g = got[row.vec_id]
+            assert list(g.codes) == want
+            assert g.norm_q == sum(c * c for c in want)
+            assert all(-127 <= c <= 127 for c in g.codes)
+
+    def test_zero_vector_excluded_from_serving(self, emb):
+        from ocr_search_spark.ops.similarity import sq_topk
+
+        out = sq_topk(emb, emb.filter(F.col("vec_id").isin(3, 40)), k=5).collect()
+        assert {r.query_id for r in out} == {3}  # zero-norm query dropped
+        assert all(r.neighbor_id != 40 for r in out)  # and zero-norm corpus row
+
+    def test_planted_direction_survives_quantization(self, emb):
+        from ocr_search_spark.ops.similarity import sq_topk
+
+        top = (
+            sq_topk(emb, emb.filter(F.col("vec_id") == 3), k=5)
+            .orderBy("rnk")
+            .collect()
+        )
+        assert top[0].neighbor_id == 7  # scaled copy: identical codes
+        assert top[0].cos_q == 1.0
+
+    def test_recall_contract(self, emb):
+        from ocr_search_spark.ops.similarity import sq_recall
+
+        rows = {
+            r.query_id: r
+            for r in sq_recall(emb, emb.filter(F.col("vec_id") < 3), k=5).collect()
+        }
+        assert set(rows) == {0, 1, 2}
+        for r in rows.values():
+            assert 0 <= r.n_hits <= 5
+            assert r.recall_ppm == r.n_hits * 1_000_000 // 5
+        # 16-dim int8 on smooth vectors: quantized top-5 barely moves
+        assert sum(r.n_hits for r in rows.values()) >= 12
+
+    def test_serving_plan_broadcasts_queries(self, emb, spark):
+        from ocr_search_spark.ops.similarity import sq_topk
+
+        plan = (
+            sq_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "CartesianProduct" not in plan
+
+
 class TestIvfRefine:
     def test_lloyd_converges_to_cluster_means(self, spark):
         import numpy as np
