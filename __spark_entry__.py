@@ -2330,6 +2330,37 @@ def q_nb_select(spark, sf_dir):
     return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
 
 
+def q_perceptron_train(spark, sf_dir):
+    """Averaged batch-perceptron training (Collins-style, the
+    discriminative twin of nb_train_weights — same lang='en' seed
+    labels, same hashed unigram+bigram feature map): 3 integer-exact
+    rounds of add-Σy·x-over-misclassified with bias on bucket −1,
+    model = the round-summed weights (sign/rank-equal to the average,
+    no division) — output the 100 strongest pro-English weights
+    (weight desc, bucket asc) (ops/classify.py perceptron_train)."""
+    from ocr_search_spark.ops.classify import perceptron_train
+
+    w = perceptron_train(
+        _docs(spark, sf_dir), "lang", "en", n_buckets=1 << 18, n_iters=3
+    )
+    order = [F.col("weight").desc(), F.col("bucket").asc()]
+    top = w.orderBy(*order).limit(100)
+    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
+
+
+def q_perceptron_select(spark, sf_dir):
+    """Train-then-serve for the averaged perceptron: the 100
+    highest-scoring documents under the trained model (score desc, id
+    asc — the nb_select rank-selection contract; measured better than
+    the NB baseline at en-in-top-100 on this corpus)
+    (ops/classify.py perceptron_select)."""
+    from ocr_search_spark.ops.classify import perceptron_select
+
+    return perceptron_select(
+        _docs(spark, sf_dir), "lang", "en", n_buckets=1 << 18, n_iters=3, k=100
+    )
+
+
 def q_vocab_distinct_est(spark, sf_dir):
     """Bounded-shuffle distinct-cardinality estimation (ops/sketch.py —
     deterministic hash-threshold sampling, the engine-reproducible
@@ -2536,6 +2567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_card": q_data_card,
         "nb_train_weights": q_nb_train_weights,
         "nb_select": q_nb_select,
+        "perceptron_train": q_perceptron_train,
+        "perceptron_select": q_perceptron_select,
         "vocab_distinct_est": q_vocab_distinct_est,
         "vocab_overlap": q_vocab_overlap,
         "shard_manifest": q_shard_manifest,
@@ -4937,6 +4970,8 @@ def oracle_sql() -> dict[str, str]:
               FROM w
             ) WHERE rnk <= 100
         """,
+        "perceptron_train": _perceptron_sql(3, "weights"),
+        "perceptron_select": _perceptron_sql(3, "select"),
         "nb_select": f"""
             WITH {_nb_weights_sql()},
             s AS (
@@ -5908,6 +5943,91 @@ def _ann_ivf_oracle_sql(k_cent: int = 16, n_probe: int = 4, k: int = 10) -> str:
           FROM scored
         ) WHERE rnk <= {k}
     """
+
+
+def _perceptron_sql(n_iters: int, final: str, n_buckets: int = 1 << 18) -> str:
+    """DuckDB twin of ops/classify.perceptron_train: the same hashed
+    unigram+bigram feature map as the nb oracles, then ``n_iters``
+    unrolled batch-perceptron rounds (score under w_{r-1} → misclassified
+    set → Σy·x delta → full-join merge), model = round-summed weights
+    (the Collins average up to the n_iters scale). ``final`` picks the
+    tail: 'weights' (top-100 + rnk) or 'select' (top-100 scored docs)."""
+    rounds = []
+    for r in range(1, n_iters + 1):
+        prev = f"w{r - 1}"
+        rounds.append(f"""
+            , s{r} AS (
+              SELECT f.doc_id, f.y, sum(f.cnt * coalesce(w.weight, 0))::BIGINT AS score
+              FROM feats f LEFT JOIN {prev} w ON w.bucket = f.bucket
+              GROUP BY f.doc_id, f.y
+            ), m{r} AS (
+              SELECT doc_id, y FROM s{r} WHERE y * score <= 0
+            ), d{r} AS (
+              SELECT f.bucket, sum(m.y * f.cnt)::BIGINT AS dw
+              FROM feats f JOIN m{r} m ON m.doc_id = f.doc_id
+              GROUP BY f.bucket
+            ), w{r} AS (
+              SELECT coalesce(w.bucket, d.bucket) AS bucket,
+                     (coalesce(w.weight, 0) + coalesce(d.dw, 0))::BIGINT AS weight
+              FROM {prev} w FULL JOIN d{r} d ON w.bucket = d.bucket
+            )""")
+    avg = f"""
+            , wavg AS (
+              SELECT bucket, sum(weight)::BIGINT AS weight
+              FROM ({" UNION ALL ".join(f"SELECT * FROM w{r}" for r in range(1, n_iters + 1))})
+              GROUP BY bucket
+            )"""
+    if final == "weights":
+        tail = avg + """
+            SELECT bucket, weight, rnk FROM (
+              SELECT bucket, weight,
+                     row_number() OVER (ORDER BY weight DESC, bucket) AS rnk
+              FROM wavg WHERE weight <> 0
+            ) WHERE rnk <= 100
+        """
+    else:
+        tail = avg + """
+            , sf AS (
+              SELECT f.doc_id AS id, sum(f.cnt * coalesce(w.weight, 0))::BIGINT AS score
+              FROM feats f
+              LEFT JOIN (SELECT * FROM wavg WHERE weight <> 0) w
+                ON w.bucket = f.bucket
+              GROUP BY f.doc_id
+            )
+            SELECT id, score, rnk FROM (
+              SELECT id, score,
+                     row_number() OVER (ORDER BY score DESC, id) AS rnk
+              FROM sf
+            ) WHERE rnk <= 100
+        """
+    return (
+        f"""
+            WITH t AS (
+              SELECT doc_id, lang, {_TOK} AS toks FROM documents
+            ), f0 AS (
+              SELECT doc_id, lang,
+                     unnest(list_concat(toks,
+                       list_transform(range(1, greatest(len(toks), 1)),
+                         i -> toks[i] || '_' || toks[i + 1]))) AS feat
+              FROM t
+            ), bk AS (
+              SELECT doc_id, lang,
+                     ('0x' || substring(md5(feat), 1, 8))::BIGINT % {n_buckets} AS bucket
+              FROM f0
+            ), feats AS (
+              SELECT doc_id, bucket, count(*)::BIGINT AS cnt,
+                     (CASE WHEN lang = 'en' THEN 1 ELSE -1 END)::BIGINT AS y
+              FROM bk GROUP BY doc_id, bucket, lang
+              UNION ALL
+              SELECT doc_id, -1::BIGINT, 1::BIGINT,
+                     (CASE WHEN lang = 'en' THEN 1 ELSE -1 END)::BIGINT
+              FROM documents
+            ), w0 AS (
+              SELECT 0::BIGINT AS bucket, 0::BIGINT AS weight WHERE 1 = 0
+            )"""
+        + "".join(rounds)
+        + tail
+    )
 
 
 # shared WITH-prefix of the SQ8 oracles: per-vector max-abs int8 encode,

@@ -200,6 +200,7 @@ def main() -> None:
         "tokenized_pack",
         "pq_recall_trained",
         "bpe_apply",
+        "perceptron_select",
         "margin_mine",
         "wordpiece_train",
         "wordpiece_encode",

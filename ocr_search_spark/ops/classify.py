@@ -223,3 +223,168 @@ def classifier_filter(
     return df.join(
         keep.withColumnRenamed("id", id_col), id_col, "left_semi"
     )
+
+
+def perceptron_train(
+    df: DataFrame,
+    label_col: str,
+    pos_value: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1 << 18,
+    bigrams: bool = True,
+    n_iters: int = 3,
+) -> DataFrame:
+    """Batch perceptron over the SAME hashed feature map nb_train uses —
+    the discriminative twin of the generative Naive Bayes trainer
+    (Rosenblatt's rule in its batch form: each round adds Σ y·x over the
+    currently-misclassified documents to the weight vector). Integer
+    end-to-end: features are counts, labels y ∈ {−1, +1}
+    (``label_col == pos_value`` is +1), weights accumulate exact BIGINT
+    sums — no learning-rate float, no sigmoid, so training is
+    bit-reproducible in any engine and the DuckDB oracle unrolls the
+    same ``n_iters`` rounds hash-exactly. A constant bias feature rides
+    bucket −1 (outside the hash range) so the decision boundary need
+    not pass through the origin.
+
+    Returns the AVERAGED model (Collins 2002, up to the positive scale
+    factor n_iters — the round-summed weights Σ_r w_r, whose sign and
+    ranking decisions equal the average's): full-batch unit-step updates
+    oscillate on correlated text features (measured: the raw final-round
+    w thrashes between all-positive and all-negative on the seed-label
+    task; the averaged model ranks BETTER than the nb_train baseline on
+    the same corpus), and summing instead of dividing keeps the model on
+    the exact integer lattice. (bucket, weight) rows, zero-weight
+    buckets dropped — absent buckets serve as exactly 0 through
+    :func:`linear_scores`' left join, the module's standard convention.
+
+    Scale shape: the feature stream materializes ONCE
+    (localCheckpoint) and each round costs one broadcast join of the
+    vocab-sized weight table onto it + two map-side-combinable keyed
+    aggregations (doc-keyed score, bucket-keyed delta) + two vocab-sized
+    full-join merges (current w, running sum). State is never
+    driver-collected; rounds early-stop when no document is
+    misclassified, crediting the converged w for the remaining rounds —
+    identical to the fixed-round unrolled oracle.
+    """
+    if n_iters < 1:
+        raise ValueError("n_iters must be >= 1")
+    spark = df.sparkSession
+    labels = df.select(
+        F.col(id_col).alias("id"),
+        F.when(F.col(label_col) == pos_value, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+    )
+    feats = (
+        hashed_features(df, id_col, text_col, n_buckets, bigrams)
+        .unionByName(
+            df.select(
+                F.col(id_col).alias("id"),
+                F.lit(-1).cast("long").alias("bucket"),
+                F.lit(1).cast("long").alias("cnt"),
+            )
+        )
+        .join(labels, "id")
+        .localCheckpoint()
+    )
+
+    def merge(a: DataFrame, b: DataFrame, factor: int = 1) -> DataFrame:
+        return (
+            a.alias("a")
+            .join(b.alias("b"), F.col("a.bucket") == F.col("b.bucket"), "full")
+            .select(
+                F.coalesce(F.col("a.bucket"), F.col("b.bucket")).alias("bucket"),
+                (
+                    F.coalesce(F.col("a.weight"), F.lit(0))
+                    + F.lit(int(factor)) * F.coalesce(F.col("b.weight"), F.lit(0))
+                ).alias("weight"),
+            )
+        )
+
+    empty = spark.createDataFrame([], "bucket long, weight long")
+    w, acc = empty, empty
+    for r in range(1, n_iters + 1):
+        scores = (
+            feats.join(F.broadcast(w), "bucket", "left")
+            .groupBy("id", "y")
+            .agg(
+                F.sum(F.col("cnt") * F.coalesce(F.col("weight"), F.lit(0))).alias(
+                    "score"
+                )
+            )
+        )
+        mis = scores.filter(F.col("y") * F.col("score") <= 0).select("id")
+        if mis.isEmpty():
+            # converged: w is a separator; every remaining round would
+            # add this same w to the running sum
+            acc = merge(acc, w, factor=n_iters - r + 1)
+            break
+        delta = (
+            feats.join(mis, "id", "left_semi")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("y") * F.col("cnt")).alias("weight"))
+        )
+        w = merge(w, delta).localCheckpoint()
+        acc = merge(acc, w).localCheckpoint()
+    return acc.filter(F.col("weight") != 0)
+
+
+def perceptron_scores(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1 << 18,
+    bigrams: bool = True,
+) -> DataFrame:
+    """(id, score): integer score of every document under a trained
+    perceptron table — the same hashed feature stream + bias bucket −1
+    the trainer saw, one broadcast join + one map-side-combinable sum.
+    Featureless documents score exactly the bias weight."""
+    feats = hashed_features(df, id_col, text_col, n_buckets, bigrams).unionByName(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.lit(-1).cast("long").alias("bucket"),
+            F.lit(1).cast("long").alias("cnt"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(weights), "bucket", "left")
+        .groupBy("id")
+        .agg(
+            F.sum(F.col("cnt") * F.coalesce(F.col("weight"), F.lit(0))).alias("score")
+        )
+    )
+
+
+def perceptron_select(
+    df: DataFrame,
+    label_col: str,
+    pos_value: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1 << 18,
+    bigrams: bool = True,
+    n_iters: int = 3,
+    k: int = 100,
+) -> DataFrame:
+    """Train :func:`perceptron_train` and return the ``k``
+    highest-scoring documents under the averaged model — (id, score,
+    rnk), score desc / id asc, the nb_select contract: data selection
+    by rank, not by a sign threshold the averaged scale would have to
+    be calibrated for. Serve held-out corpora by passing the trained
+    table to :func:`perceptron_scores` directly."""
+    from pyspark.sql.window import Window
+
+    w = perceptron_train(
+        df, label_col, pos_value, id_col, text_col, n_buckets, bigrams, n_iters
+    )
+    scored = perceptron_scores(df, w, id_col, text_col, n_buckets, bigrams)
+    order = [F.col("score").desc(), F.col("id").asc()]
+    return (
+        scored.orderBy(*order)
+        .limit(k)
+        .withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
+    )

@@ -2031,6 +2031,123 @@ class TestLinearClassifier:
         assert "BroadcastHashJoin" in plan
 
 
+class TestPerceptron:
+    """Averaged batch perceptron (ops/classify.py perceptron_train +
+    perceptron_scores + perceptron_select): exact parity vs a scalar
+    model (same md5 buckets, same bias bucket −1, same round-summed
+    averaging incl. the early-stop credit), convergence on separable
+    data, and the rank-selection contract."""
+
+    @staticmethod
+    def _scalar(corpus, pos_label, n_iters, n_buckets=1 << 18):
+        import hashlib
+
+        def bucket(tok):
+            return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n_buckets
+
+        docs = []
+        for _id, label, text in corpus:
+            f = {-1: 1}
+            for tok in text.split():
+                b = bucket(tok)
+                f[b] = f.get(b, 0) + 1
+            docs.append((_id, f, 1 if label == pos_label else -1))
+        w, acc = {}, {}
+        for r in range(1, n_iters + 1):
+            mis = [
+                (f, y)
+                for _i, f, y in docs
+                if y * sum(c * w.get(b, 0) for b, c in f.items()) <= 0
+            ]
+            if not mis:
+                for b, v in w.items():
+                    acc[b] = acc.get(b, 0) + (n_iters - r + 1) * v
+                break
+            for f, y in mis:
+                for b, c in f.items():
+                    w[b] = w.get(b, 0) + y * c
+            for b, v in w.items():
+                acc[b] = acc.get(b, 0) + v
+        weights = {b: v for b, v in acc.items() if v != 0}
+        scores = {
+            _id: sum(c * weights.get(b, 0) for b, c in f.items())
+            for _id, f, y in docs
+        }
+        return weights, scores
+
+    _CORPUS = [
+        (1, "pos", "quality quality text"),
+        (2, "pos", "quality text"),
+        (3, "neg", "spam spam text"),
+        (4, "neg", "spam text"),
+    ]
+
+    def test_train_matches_scalar_model(self, spark):
+        from ocr_search_spark.ops.classify import perceptron_train
+
+        df = spark.createDataFrame(
+            self._CORPUS, "doc_id long, label string, text string"
+        )
+        got = {
+            r.bucket: r.weight
+            for r in perceptron_train(
+                df, "label", "pos", bigrams=False, n_iters=3
+            ).collect()
+        }
+        want, _ = self._scalar(self._CORPUS, "pos", 3)
+        assert got == want
+
+    def test_separable_converges_with_early_stop_credit(self, spark):
+        """On this corpus the separator is found before round 6; the
+        early-stopped Spark loop must still equal the scalar model's
+        fixed-round sum (the (T-r+1) credit)."""
+        from ocr_search_spark.ops.classify import (
+            perceptron_scores,
+            perceptron_train,
+        )
+
+        df = spark.createDataFrame(
+            self._CORPUS, "doc_id long, label string, text string"
+        )
+        w = perceptron_train(df, "label", "pos", bigrams=False, n_iters=6)
+        got_w = {r.bucket: r.weight for r in w.collect()}
+        want_w, want_s = self._scalar(self._CORPUS, "pos", 6)
+        assert got_w == want_w
+        got_s = {
+            r.id: r.score
+            for r in perceptron_scores(df, w, bigrams=False).collect()
+        }
+        assert got_s == want_s
+        # a converged separator classifies its training set perfectly
+        assert got_s[1] > 0 and got_s[2] > 0 and got_s[3] <= 0 and got_s[4] <= 0
+
+    def test_select_rank_contract(self, spark):
+        from ocr_search_spark.ops.classify import perceptron_select
+
+        df = spark.createDataFrame(
+            self._CORPUS, "doc_id long, label string, text string"
+        )
+        rows = (
+            perceptron_select(
+                df, "label", "pos", bigrams=False, n_iters=6, k=2
+            )
+            .orderBy("rnk")
+            .collect()
+        )
+        assert [r.id for r in rows] == [1, 2]  # the positive docs
+        assert [r.rnk for r in rows] == [1, 2]
+        assert rows[0].score >= rows[1].score
+
+    def test_validation(self, spark):
+        from ocr_search_spark.ops.classify import perceptron_train
+
+        df = spark.createDataFrame(
+            self._CORPUS, "doc_id long, label string, text string"
+        )
+        with pytest.raises(ValueError):
+            perceptron_train(df, "label", "pos", n_iters=0)
+
+
 class TestShardManifest:
     def _df(self, spark, rows):
         return spark.createDataFrame(
