@@ -324,6 +324,18 @@ def q_decontaminate(spark, sf_dir):
     ).select("doc_id")
 
 
+def q_badwords_filter(spark, sf_dir):
+    """C4-style banned-token document gate: docs surviving a demo
+    blocklist (one in-vocab word + one absent — case-insensitive) — token-level on the shared tokenizer, one hit
+    drops the page, blocklist as broadcast DATA (ops/scrub.py
+    badwords_filter)."""
+    from ocr_search_spark.ops.scrub import badwords_filter
+
+    return badwords_filter(
+        _docs(spark, sf_dir), "doc_id", "text", ["dup", "Verboten"]
+    ).select("doc_id")
+
+
 def q_bloom_probe(spark, sf_dir):
     """Bloom-filter membership probe of the corpus against the 10-doc
     benchmark set's 5-token shingles (AI2-BFF shape): k=3 md5 bit
@@ -2522,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selected_corpus": q_selected_corpus,
         "pq_adc_topk": q_pq_adc_topk,
         "decontaminate": q_decontaminate,
+        "badwords_filter": q_badwords_filter,
         "bloom_probe": q_bloom_probe,
         "bloom_decontaminate": q_bloom_decontaminate,
         "token_quality": q_token_quality,
@@ -3667,6 +3680,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+        """,
+        "badwords_filter": f"""
+            SELECT doc_id FROM documents
+            WHERE NOT list_has_any({_TOK}, ['dup', 'verboten'])
         """,
         "bloom_probe": f"""
             WITH sh AS (

@@ -150,6 +150,45 @@ def domain_blocklist_filter(
     return df.join(offenders, id_col, "left_anti")
 
 
+def badwords_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    badwords: list[str],
+) -> DataFrame:
+    """Drop every document containing ANY blocklisted token — C4's
+    "dirty words" document gate (Raffel et al. 2020 drop a page on one
+    hit from the public banned-word list; the list here is a
+    parameter). Token-level on the shared tokenizer (lowercased,
+    punctuation-split), so ``class`` never matches ``classic`` — the
+    substring-match false-positive class the published list's users
+    complain about is structurally excluded.
+
+    Shape: the blocklist is DATA broadcast onto the exploded token
+    stream (same discipline as :func:`domain_blocklist_filter` — a
+    curated 100k-entry list is one broadcast hash table, never a
+    100k-term boolean expression tree), offenders reduce to a distinct
+    id set, survivors by anti-join. The token explode short-circuits
+    through the broadcast semi-join before the distinct, so the only
+    corpus-keyed shuffle is the offender-id dedup — bounded by the hit
+    count, not the token stream.
+    """
+    if not badwords:
+        return df
+    from ..search.analysis import tokens_expr
+
+    bl = F.broadcast(
+        df.sparkSession.createDataFrame([(b.lower(),) for b in badwords], "w string")
+    )
+    offenders = (
+        df.select(F.col(id_col).alias("id"), F.explode_outer(tokens_expr(F.col(text_col))).alias("w"))
+        .join(bl, "w", "left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return df.join(offenders, id_col, "left_anti")
+
+
 #: classic UTF-8-decoded-as-Latin-1 artifacts: C3/C2 lead bytes rendered
 #: as 'A-tilde'/'A-circumflex' followed by a continuation-range char, the
 #: U+FFFD replacement char, and the D0/D1 pairs of double-encoded

@@ -1267,6 +1267,46 @@ class TestBloomDecontaminate:
         assert "CartesianProduct" not in plan
 
 
+class TestBadwordsFilter:
+    """C4-style banned-token gate (ops/scrub.py badwords_filter):
+    one hit drops the doc, token boundaries (no substring matches),
+    case-insensitive, empty blocklist = identity."""
+
+    def test_gate_semantics(self, spark):
+        from ocr_search_spark.ops.scrub import badwords_filter
+
+        df = spark.createDataFrame(
+            [
+                ("d1", "perfectly clean text here"),
+                ("d2", "contains the badword once"),
+                ("d3", "BADWORD shouted in caps"),
+                ("d4", "badwords plural is a different token"),
+                ("d5", "punctuated badword, with comma"),
+            ],
+            "doc_id string, text string",
+        )
+        kept = {
+            r.doc_id
+            for r in badwords_filter(df, "doc_id", "text", ["BadWord"]).collect()
+        }
+        assert kept == {"d1", "d4"}  # d4 survives: token boundary
+        assert badwords_filter(df, "doc_id", "text", []).count() == 5
+
+    def test_blocklist_is_broadcast_data(self, spark):
+        from ocr_search_spark.ops.scrub import badwords_filter
+
+        df = spark.createDataFrame(
+            [("d1", "some text")], "doc_id string, text string"
+        )
+        plan = (
+            badwords_filter(df, "doc_id", "text", ["x", "y"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastExchange" in plan
+
+
 class TestScrub:
     def test_redact_pii_counts_and_text(self, spark):
         from ocr_search_spark.ops.scrub import redact_pii
