@@ -324,6 +324,22 @@ def q_decontaminate(spark, sf_dir):
     ).select("doc_id")
 
 
+def q_collocations(spark, sf_dir):
+    """word2vec phrase mining (Mikolov 2013 §4): adjacent word pairs
+    scored by (c_ab − δ)/(c_a·c_b) on the exact 2^40 lattice, δ=5,
+    min pair count 5 — top 50 candidate phrases (score desc, pair asc)
+    (ops/text_analysis.py collocations)."""
+    from ocr_search_spark.ops.text_analysis import collocations
+
+    out = collocations(_docs(spark, sf_dir), "text", delta=5, min_count=5)
+    order = [F.col("score_q40").desc(), F.col("l").asc(), F.col("r").asc()]
+    return (
+        out.orderBy(*order)
+        .limit(50)
+        .withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
+    )
+
+
 def q_badwords_filter(spark, sf_dir):
     """C4-style banned-token document gate: docs surviving a demo
     blocklist (one in-vocab word + one absent — case-insensitive) — token-level on the shared tokenizer, one hit
@@ -2534,6 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selected_corpus": q_selected_corpus,
         "pq_adc_topk": q_pq_adc_topk,
         "decontaminate": q_decontaminate,
+        "collocations": q_collocations,
         "badwords_filter": q_badwords_filter,
         "bloom_probe": q_bloom_probe,
         "bloom_decontaminate": q_bloom_decontaminate,
@@ -3680,6 +3697,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+        """,
+        "collocations": f"""
+            WITH toked AS (
+              SELECT {_TOK} AS toks FROM documents
+            ), uni AS (
+              SELECT w, count(*)::BIGINT AS c
+              FROM (SELECT unnest(toks) AS w FROM toked) GROUP BY w
+            ), pr AS (
+              SELECT toks[i] AS l, toks[i + 1] AS r
+              FROM toked, LATERAL (
+                SELECT unnest(range(1, greatest(len(toks), 1))) AS i
+              ) t
+            ), pairs AS (
+              SELECT l, r, count(*)::BIGINT AS pair_count
+              FROM pr GROUP BY l, r HAVING count(*) >= 5
+            ), scored AS (
+              SELECT p.l, p.r, p.pair_count,
+                     ((p.pair_count - 5) * 1099511627776) // (cl.c * cr.c) AS score_q40
+              FROM pairs p
+              JOIN uni cl ON cl.w = p.l
+              JOIN uni cr ON cr.w = p.r
+            )
+            SELECT l, r, pair_count, score_q40, rnk FROM (
+              SELECT *, row_number() OVER (ORDER BY score_q40 DESC, l, r) AS rnk
+              FROM scored
+            ) WHERE rnk <= 50
         """,
         "badwords_filter": f"""
             SELECT doc_id FROM documents

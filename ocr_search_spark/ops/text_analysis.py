@@ -1839,3 +1839,69 @@ def unigram_segment(
             ).alias("cost_hb"),
         )
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    delta: int = 5,
+    min_count: int = 5,
+) -> DataFrame:
+    """Phrase (collocation) mining, the word2vec phrase-detection pass
+    (Mikolov et al. 2013, §4): score every adjacent word pair by
+
+        ``score = (count(a,b) − δ) / (count(a) · count(b))``
+
+    — pairs that co-occur far more than their parts' frequencies
+    predict are phrases ("new_york"); the discount δ kills rare-pair
+    noise. Emitted on the exact 2^40 integer lattice the bpe_pairs
+    family uses (``score_q40 = (c_ab − δ)·2^40 DIV (c_a·c_b)``, BIGINT
+    trunc-toward-zero in both engines), (l, r, pair_count, score_q40)
+    for pairs with ``pair_count ≥ min_count``. Run it iteratively on a
+    re-joined corpus to grow longer phrases, exactly as published.
+
+    Scale shape: one tokens projection, one zip_with-over-shifted-
+    slices pair build (no per-token explode until the single
+    map-side-combinable pair count), a broadcast-small unigram count
+    table joined twice (word-keyed). Guards: q40 numerators stay under
+    2^63 for pair counts < 2^23 — at a 100 TB corpus run per-shard fits
+    and sum counts first (counts are associative), or lift δ.
+    ``min_count >= delta`` is required: it keeps every emitted numerator
+    non-negative, where integer division is engine-identical (floor and
+    trunc-toward-zero diverge on negatives).
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    if min_count < delta:
+        raise ValueError("min_count must be >= delta (negative-score "
+                         "pairs are noise and divide differently per engine)")
+    toked = df.select(tokens_expr(F.col(text_col)).alias("toks"))
+    uni = (
+        toked.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    grams = F.zip_with(
+        F.slice("toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+        F.slice("toks", 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    pairs = (
+        toked.select(F.explode(grams).alias("g"))
+        .select(F.col("g.l").alias("l"), F.col("g.r").alias("r"))
+        .groupBy("l", "r")
+        .agg(F.count("*").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    return (
+        pairs.join(uni.select(F.col("w").alias("l"), F.col("c").alias("__cl")), "l")
+        .join(uni.select(F.col("w").alias("r"), F.col("c").alias("__cr")), "r")
+        .select(
+            "l",
+            "r",
+            "pair_count",
+            F.expr(
+                f"(pair_count - {int(delta)}) * 1099511627776 DIV (__cl * __cr)"
+            ).alias("score_q40"),
+        )
+    )

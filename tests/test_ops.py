@@ -1267,6 +1267,46 @@ class TestBloomDecontaminate:
         assert "CartesianProduct" not in plan
 
 
+class TestCollocations:
+    """word2vec phrase mining (ops/text_analysis.py collocations):
+    planted-phrase recovery, exact q40 score, min_count/delta guards."""
+
+    def test_planted_phrase_scores_highest(self, spark):
+        from ocr_search_spark.ops.text_analysis import collocations
+
+        # "new york" always adjacent; "data" ubiquitous (hub word)
+        rows = [(i, "new york data trip data log") for i in range(6)] + [
+            (10 + i, "data data warehouse data") for i in range(6)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            (r.l, r.r): (r.pair_count, r.score_q40)
+            for r in collocations(df, delta=2, min_count=5).collect()
+        }
+        # scalar: c(new york)=6, c(new)=6, c(york)=6
+        assert out[("new", "york")] == (6, (6 - 2) * (1 << 40) // 36)
+        best = max(out.items(), key=lambda kv: kv[1][1])
+        assert best[0] == ("new", "york")
+        # the hub pair exists but scores far lower
+        assert ("data", "trip") in out
+        assert out[("data", "trip")][1] < out[("new", "york")][1]
+
+    def test_min_count_prunes_and_guards(self, spark):
+        import pytest as _pytest
+
+        from ocr_search_spark.ops.text_analysis import collocations
+
+        df = spark.createDataFrame(
+            [(1, "rare pair here"), (2, "other text")],
+            "doc_id long, text string",
+        )
+        assert collocations(df, min_count=5).count() == 0
+        with _pytest.raises(ValueError):
+            collocations(df, delta=5, min_count=3)
+        with _pytest.raises(ValueError):
+            collocations(df, min_count=0)
+
+
 class TestBadwordsFilter:
     """C4-style banned-token gate (ops/scrub.py badwords_filter):
     one hit drops the doc, token boundaries (no substring matches),
