@@ -555,6 +555,43 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_interval_join(spark, sf_dir):
+    """Interval OVERLAP join (the third sibling after asof and range —
+    Spark has no native form): per user, every (error-window, click-
+    window) pair whose closed intervals intersect — error windows
+    [ts, ts+2h], click windows [ts, ts+1h] — via bin decomposition
+    (equi join on (user, 1h bin), exact residual, overlap-once
+    first-shared-bin rule, no dedup shuffle), with the exact integer
+    microseconds of intersection (ops/relational.py interval_join)."""
+    from ocr_search_spark.ops.relational import interval_join
+
+    ev = _events(spark, sf_dir)
+    l = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("w_start"),
+        F.expr("ts + INTERVAL 7200 SECONDS").alias("w_end"),
+    )
+    r = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("w_start"),
+        F.expr("ts + INTERVAL 3600 SECONDS").alias("w_end"),
+    )
+    out = interval_join(
+        l, r, on="user_id",
+        left_start="w_start", left_end="w_end",
+        right_start="w_start", right_end="w_end",
+        bin_s=3600,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("event_id_r").alias("click_id"),
+        "overlap_us",
+    )
+
+
 def _planted_lines(docs):
     """Give the (newline-free) corpus a line structure with shared
     boilerplate — computed identically in the DuckDB twin."""
@@ -2550,6 +2587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selected_corpus": q_selected_corpus,
         "pq_adc_topk": q_pq_adc_topk,
         "decontaminate": q_decontaminate,
+        "interval_join": q_interval_join,
         "collocations": q_collocations,
         "badwords_filter": q_badwords_filter,
         "bloom_probe": q_bloom_probe,
@@ -3697,6 +3735,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+        """,
+        "interval_join": """
+            WITH l AS (
+              SELECT event_id, user_id, epoch_us(ts) AS s,
+                     epoch_us(ts + INTERVAL 7200 SECOND) AS e
+              FROM events WHERE event_type = 'error'
+            ), r AS (
+              SELECT event_id, user_id, epoch_us(ts) AS s,
+                     epoch_us(ts + INTERVAL 3600 SECOND) AS e
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT l.user_id, l.event_id, r.event_id AS click_id,
+                   least(l.e, r.e) - greatest(l.s, r.s) AS overlap_us
+            FROM l JOIN r ON r.user_id = l.user_id
+                         AND l.s <= r.e AND r.s <= l.e
         """,
         "collocations": f"""
             WITH toked AS (

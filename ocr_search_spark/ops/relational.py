@@ -226,3 +226,94 @@ def range_join(
         F.col(f"__r.{c}").alias(c + suffix) for c in right.columns if c != on
     ]
     return joined.select(*left_cols, *right_cols)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "start",
+    right_end: str = "end",
+    bin_s: int = 60,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval OVERLAP join: all (left, right) pairs under the same
+    ``on`` key whose closed intervals intersect —
+    ``l.start <= r.end AND r.start <= l.end`` — the third sibling of
+    :func:`asof_join` (nearest past point) and :func:`range_join`
+    (point vs backward window), and the shape log-session / outage /
+    concurrency analytics need. Spark has no native interval join; the
+    naive theta join is a per-key cross product.
+
+    Strategy: the classic bin decomposition. Each interval replicates
+    to every ``bin_s``-second time bin it touches, the join becomes a
+    plain (key, bin) equi join, the exact predicate filters in-bin
+    false positives, and a pair is emitted ONLY in the first bin both
+    intervals share (``bin == greatest(first_l_bin, first_r_bin)``) —
+    overlap-once semantics without any distinct/dedup shuffle. Fan-out
+    per row is duration/bin_s + 1: size ``bin_s`` near the typical
+    interval length (the published sizing rule for bin-partitioned
+    overlap joins; at 100 TB also partition the bins table by day so
+    both sides prune).
+
+    Inclusive bounds at full microsecond precision. Rows with
+    ``end < start`` are dropped (malformed intervals; document-side
+    validation belongs upstream). Output: ``on``, every left column,
+    every right column suffixed, plus ``overlap_us`` — the exact
+    integer microseconds of intersection (0 for point-touching pairs).
+    """
+    w = int(bin_s)
+    if w <= 0:
+        raise ValueError(f"bin_s must be a positive whole number of seconds, got {bin_s!r}")
+    w_us = w * 1_000_000
+
+    def prep(df: DataFrame, s_col: str, e_col: str, tag: str) -> DataFrame:
+        s_us = _epoch_us(df, s_col)
+        e_us = _epoch_us(df, e_col)
+        return (
+            df.select(
+                F.col(on),
+                s_us.alias(f"__{tag}s"),
+                e_us.alias(f"__{tag}e"),
+                F.struct(
+                    *[F.col(c).alias(c) for c in df.columns if c != on]
+                ).alias(f"__{tag}"),
+            )
+            .filter(F.col(f"__{tag}e") >= F.col(f"__{tag}s"))
+            .select(
+                "*",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col(f"__{tag}s") / w_us),
+                        F.floor(F.col(f"__{tag}e") / w_us),
+                    )
+                ).alias("__bin"),
+            )
+        )
+
+    l2 = prep(left, left_start, left_end, "l")
+    r2 = prep(right, right_start, right_end, "r")
+    joined = l2.join(r2, [on, "__bin"]).filter(
+        (F.col("__ls") <= F.col("__re"))
+        & (F.col("__rs") <= F.col("__le"))
+        # overlap-once: emit only in the FIRST bin the two intervals share
+        & (
+            F.col("__bin")
+            == F.greatest(
+                F.floor(F.col("__ls") / w_us), F.floor(F.col("__rs") / w_us)
+            )
+        )
+    )
+    left_cols = [F.col(on)] + [
+        F.col(f"__l.{c}").alias(c) for c in left.columns if c != on
+    ]
+    right_cols = [
+        F.col(f"__r.{c}").alias(c + suffix) for c in right.columns if c != on
+    ]
+    overlap = (
+        F.least(F.col("__le"), F.col("__re"))
+        - F.greatest(F.col("__ls"), F.col("__rs"))
+    ).alias("overlap_us")
+    return joined.select(*left_cols, *right_cols, overlap)

@@ -2697,6 +2697,93 @@ class TestMojibake:
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+class TestIntervalJoin:
+    """Interval overlap join (ops/relational.py interval_join): exact
+    pair set + overlap_us vs brute force, overlap-once dedup across
+    many shared bins, malformed-interval drop, keyed plan."""
+
+    def _frames(self, spark):
+        l = spark.createDataFrame(
+            [
+                ("u1", 1, 100.0, 200.0),
+                ("u1", 2, 300.0, 310.0),
+                ("u1", 3, 500.0, 400.0),  # malformed: end < start
+                ("u2", 4, 100.0, 200.0),  # same window, other key
+            ],
+            "user_id string, lid long, s double, e double",
+        )
+        r = spark.createDataFrame(
+            [
+                ("u1", 10, 150.0, 160.0),  # inside l1
+                ("u1", 11, 200.0, 250.0),  # touches l1 at a point
+                ("u1", 12, 211.0, 299.0),  # gap: matches nothing
+                ("u1", 13, 0.0, 1000.0),   # spans everything
+                ("u2", 14, 199.0, 500.0),  # overlaps l4 only
+            ],
+            "user_id string, rid long, s double, e double",
+        )
+        return l, r
+
+    def test_pairs_and_overlap_vs_brute_force(self, spark):
+        from ocr_search_spark.ops.relational import interval_join
+
+        l, r = self._frames(spark)
+        got = {
+            (row.lid, row.rid_r): row.overlap_us
+            for row in interval_join(
+                l, r, on="user_id",
+                left_start="s", left_end="e",
+                right_start="s", right_end="e",
+                bin_s=60,
+            ).collect()
+        }
+        lr = [t for t in l.collect() if t.e >= t.s]
+        rr = r.collect()
+        want = {
+            (a.lid, b.rid): int(
+                (min(a.e, b.e) - max(a.s, b.s)) * 1_000_000
+            )
+            for a in lr
+            for b in rr
+            if a.user_id == b.user_id and a.s <= b.e and b.s <= a.e
+        }
+        assert got == want
+        assert got[(1, 11)] == 0  # point touch: inclusive, zero overlap
+        assert (3, 13) not in got  # malformed left row dropped
+        assert (1, 14) not in got  # key isolation
+
+    def test_overlap_once_across_many_bins(self, spark):
+        """Two intervals sharing ~17 one-second bins must emit exactly
+        one pair (first-shared-bin rule, no distinct in the plan)."""
+        from ocr_search_spark.ops.relational import interval_join
+
+        l = spark.createDataFrame(
+            [("k", 1, 0.0, 17.0)], "user_id string, lid long, s double, e double"
+        )
+        r = spark.createDataFrame(
+            [("k", 2, 5.0, 30.0)], "user_id string, rid long, s double, e double"
+        )
+        out = interval_join(
+            l, r, on="user_id",
+            left_start="s", left_end="e", right_start="s", right_end="e",
+            bin_s=1,
+        )
+        rows = out.collect()
+        assert len(rows) == 1
+        assert rows[0].overlap_us == 12_000_000
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_bin_validation(self, spark):
+        from ocr_search_spark.ops.relational import interval_join
+
+        l, r = self._frames(spark)
+        with pytest.raises(ValueError):
+            interval_join(l, r, on="user_id", left_start="s", left_end="e",
+                          right_start="s", right_end="e", bin_s=0)
+
+
 class TestRelationalRandomized:
     def test_asof_and_range_match_naive_on_random_events(self, spark):
         """Randomized (seeded) cross-check: the union+window as-of join and
