@@ -315,7 +315,15 @@ def perceptron_train(
                 )
             )
         )
-        mis = scores.filter(F.col("y") * F.col("score") <= 0).select("id")
+        # materialize the misclassified set ONCE: isEmpty() is an action,
+        # and without this the full feats-join-score aggregation would run
+        # twice per round (once for the convergence probe, once feeding
+        # the delta semi-join)
+        mis = (
+            scores.filter(F.col("y") * F.col("score") <= 0)
+            .select("id")
+            .localCheckpoint()
+        )
         if mis.isEmpty():
             # converged: w is a separator; every remaining round would
             # add this same w to the running sum
