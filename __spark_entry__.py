@@ -608,6 +608,36 @@ def _planted_lines(docs):
     )
 
 
+def q_line_dedup_within(spark, sf_dir):
+    """WITHIN-doc repeated-line removal (the intra-doc half of the
+    boilerplate pass, run before any corpus-level dedup): keep each
+    document's FIRST occurrence of a line, drop later repeats —
+    zero-shuffle, one projection per row (ops/lines.py
+    remove_repeated_lines_within_doc). Every third doc is planted with
+    a repeated footer and a repeated body copy; others stay intact."""
+    from ocr_search_spark.ops.lines import remove_repeated_lines_within_doc
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\nfooter line\nfooter line\n"),
+                F.col("text"),
+            ),
+        ).otherwise(F.concat(F.col("text"), F.lit("\nfooter line"))),
+    )
+    out = remove_repeated_lines_within_doc(planted, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.md5(F.encode(F.col("text_clean"), "utf-8")).alias("clean_md5"),
+        "n_lines",
+        "n_removed",
+    )
+
+
 def q_line_dedup(spark, sf_dir):
     """C4-style corpus-wide duplicate-line removal: lines occurring in ≥2
     distinct docs are dropped, survivors re-assembled in order
@@ -2580,6 +2610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "asof_join": q_asof_join,
         "line_dedup": q_line_dedup,
+        "line_dedup_within": q_line_dedup_within,
         "compression_signals": q_compression_signals,
         "mixing_corpus": q_mixing_corpus,
         "training_corpus": q_training_corpus,
@@ -3585,6 +3616,27 @@ def oracle_sql() -> dict[str, str]:
                    l.ets - r.ets AS gap_s
             FROM l JOIN r ON r.user_id = l.user_id
                          AND r.ets <= l.ets AND r.ets >= l.ets - 86400
+        """,
+        "line_dedup_within": """
+            WITH planted AS (
+              SELECT doc_id, CASE WHEN doc_id % 3 = 0
+                THEN text || chr(10) || 'footer line' || chr(10) || 'footer line'
+                     || chr(10) || text
+                ELSE text || chr(10) || 'footer line' END AS text
+              FROM documents
+            ), lined AS (
+              SELECT doc_id, string_split(text, chr(10)) AS arr FROM planted
+            ), kept AS (
+              SELECT doc_id, arr,
+                     list_filter(arr, (x, i) ->
+                       length(x) < 1 OR list_position(arr, x) = i) AS k
+              FROM lined
+            )
+            SELECT doc_id,
+                   md5(array_to_string(k, chr(10))) AS clean_md5,
+                   len(arr)::INT AS n_lines,
+                   (len(arr) - len(k))::INT AS n_removed
+            FROM kept
         """,
         "line_dedup": """
             WITH planted AS (

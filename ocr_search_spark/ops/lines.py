@@ -126,3 +126,39 @@ def remove_duplicate_paragraphs(
         df, id_col, text_col, delim="\n\n", min_docs=min_docs,
         min_chars=min_chars,
     )
+
+
+def remove_repeated_lines_within_doc(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delim: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """WITHIN-document repeated-line removal (the intra-doc half of the
+    boilerplate pass — Dolma's paragraph dedup runs this shape before
+    any corpus-level work): keep the FIRST occurrence of each line in a
+    document, drop later repeats. Lines shorter than ``min_chars``
+    never count as repeats (empty spacer lines survive verbatim, the
+    same triviality floor as :func:`duplicate_lines`).
+
+    Scale shape: there is no shuffle AT ALL — the whole operator is one
+    projection per row (split → keep-first filter via
+    ``array_position(arr, x) == index`` → re-join), so it composes into
+    any pipeline as a free narrow stage. Per-row cost is O(lines²)
+    string compares, bounded by document size like every other per-doc
+    kernel. Returns (id, text_clean, n_lines, n_removed).
+    """
+    arr = F.split(F.coalesce(F.col(text_col), F.lit("")), re.escape(delim), -1)
+    base = df.select(F.col(id_col).alias("id"), arr.alias("__lines"))
+    kept = F.filter(
+        F.col("__lines"),
+        lambda x, i: (F.length(x) < min_chars)
+        | (F.array_position(F.col("__lines"), x) == i + 1),
+    )
+    return base.select(
+        F.col("id").alias(id_col),
+        F.array_join(kept, delim).alias("text_clean"),
+        F.size("__lines").alias("n_lines"),
+        (F.size("__lines") - F.size(kept)).alias("n_removed"),
+    )

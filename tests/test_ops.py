@@ -1572,6 +1572,60 @@ class TestRelational:
         assert out[0].event_id_r is None  # 60 s gap > 30 s tolerance
 
 
+class TestLineDedupWithinDoc:
+    """Intra-doc repeated-line removal (ops/lines.py
+    remove_repeated_lines_within_doc): keep-first semantics, short-line
+    floor, zero-shuffle plan."""
+
+    def test_keep_first_semantics(self, spark):
+        from ocr_search_spark.ops.lines import remove_repeated_lines_within_doc
+
+        df = spark.createDataFrame(
+            [
+                ("d1", "alpha\nbeta\nalpha\ngamma\nbeta"),
+                ("d2", "x\n\ny\n\nx"),  # empty lines survive (min_chars)
+                ("d3", None),  # null text → one empty line, nothing removed
+            ],
+            "doc_id string, text string",
+        )
+        rows = {
+            r.doc_id: r
+            for r in remove_repeated_lines_within_doc(df, "doc_id", "text").collect()
+        }
+        assert rows["d1"].text_clean == "alpha\nbeta\ngamma"
+        assert (rows["d1"].n_lines, rows["d1"].n_removed) == (5, 2)
+        # kept: [x, '', y, ''] — empties survive, repeated 'x' dropped
+        assert rows["d2"].text_clean == "x\n\ny\n"
+        assert rows["d2"].n_removed == 1  # only the repeated 'x'
+        assert rows["d3"].text_clean == "" and rows["d3"].n_removed == 0
+
+    def test_min_chars_floor(self, spark):
+        from ocr_search_spark.ops.lines import remove_repeated_lines_within_doc
+
+        df = spark.createDataFrame(
+            [("d1", "ab\nab\nlong line\nlong line")],
+            "doc_id string, text string",
+        )
+        out = remove_repeated_lines_within_doc(
+            df, "doc_id", "text", min_chars=5
+        ).collect()[0]
+        assert out.text_clean == "ab\nab\nlong line"  # short repeat kept
+
+    def test_zero_shuffle_plan(self, spark):
+        from ocr_search_spark.ops.lines import remove_repeated_lines_within_doc
+
+        df = spark.createDataFrame(
+            [("d1", "a\nb")], "doc_id string, text string"
+        )
+        plan = (
+            remove_repeated_lines_within_doc(df, "doc_id", "text")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan  # one narrow projection, no shuffle
+
+
 class TestLineDedup:
     def _df(self, spark):
         return spark.createDataFrame(
