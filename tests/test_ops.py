@@ -2839,6 +2839,42 @@ class TestIntervalJoin:
 
 
 class TestRelationalRandomized:
+    def test_interval_join_matches_naive_on_random_intervals(self, spark):
+        """Randomized (seeded) cross-check: bin-decomposed overlap join ≡
+        brute-force O(n²) — irregular durations (zero-length points,
+        intervals spanning many bins, bin-boundary-exact endpoints),
+        several keys, and every bin width must give the same pairs."""
+        import random
+
+        from ocr_search_spark.ops.relational import interval_join
+
+        rng = random.Random(7)
+        lrows, rrows = [], []
+        for i in range(120):
+            k = f"u{rng.randint(0, 4)}"
+            s = rng.randint(0, 600)
+            d = rng.choice([0, 1, 3, 17, 60, 240])  # incl. points + giants
+            (lrows if i % 2 else rrows).append((k, i, float(s), float(s + d)))
+        l = spark.createDataFrame(lrows, "k string, lid long, s double, e double")
+        r = spark.createDataFrame(rrows, "k string, rid long, s double, e double")
+        want = {
+            (a[1], b[1]): int((min(a[3], b[3]) - max(a[2], b[2])) * 1_000_000)
+            for a in lrows
+            for b in rrows
+            if a[0] == b[0] and a[2] <= b[3] and b[2] <= a[3]
+        }
+        for bin_s in (1, 7, 60, 600):
+            got = {
+                (row.lid, row.rid_r): row.overlap_us
+                for row in interval_join(
+                    l, r, on="k",
+                    left_start="s", left_end="e",
+                    right_start="s", right_end="e",
+                    bin_s=bin_s,
+                ).collect()
+            }
+            assert got == want, f"bin_s={bin_s}"
+
     def test_asof_and_range_match_naive_on_random_events(self, spark):
         """Randomized (seeded) cross-check: the union+window as-of join and
         the bucketed range join must match a brute-force O(n^2) in-memory
