@@ -324,6 +324,31 @@ def q_decontaminate(spark, sf_dir):
     ).select("doc_id")
 
 
+def q_vocab_drift(spark, sf_dir):
+    """Vocabulary distribution drift, non-English → English subcorpus:
+    per-word add-one-smoothed half-bit log-probability ratio (positive
+    = characteristically English — the crawl-drift / seed-corpus
+    feature-selection statistic), top 50 by |lr_hb|
+    (ops/text_analysis.py vocab_drift)."""
+    from ocr_search_spark.ops.text_analysis import vocab_drift
+
+    docs = _docs(spark, sf_dir)
+    out = vocab_drift(
+        docs.filter(F.col("lang") != "en"),
+        docs.filter(F.col("lang") == "en"),
+    )
+    order = [
+        F.abs(F.col("lr_hb")).desc(),
+        F.col("lr_hb").desc(),
+        F.col("w").asc(),
+    ]
+    return (
+        out.orderBy(*order)
+        .limit(50)
+        .withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
+    )
+
+
 def q_collocations(spark, sf_dir):
     """word2vec phrase mining (Mikolov 2013 §4): adjacent word pairs
     scored by (c_ab − δ)/(c_a·c_b) on the exact 2^40 lattice, δ=5,
@@ -2619,6 +2644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": q_pq_adc_topk,
         "decontaminate": q_decontaminate,
         "interval_join": q_interval_join,
+        "vocab_drift": q_vocab_drift,
         "collocations": q_collocations,
         "badwords_filter": q_badwords_filter,
         "bloom_probe": q_bloom_probe,
@@ -3787,6 +3813,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+        """,
+        "vocab_drift": f"""
+            WITH co AS (
+              SELECT w, count(*)::BIGINT AS c
+              FROM (SELECT unnest({_TOK}) AS w FROM documents WHERE lang <> 'en')
+              GROUP BY w
+            ), cn AS (
+              SELECT w, count(*)::BIGINT AS c
+              FROM (SELECT unnest({_TOK}) AS w FROM documents WHERE lang = 'en')
+              GROUP BY w
+            ), j AS (
+              SELECT coalesce(co.w, cn.w) AS w,
+                     coalesce(co.c, 0)::BIGINT AS c_old,
+                     coalesce(cn.c, 0)::BIGINT AS c_new
+              FROM co FULL JOIN cn ON co.w = cn.w
+            ), tot AS (
+              SELECT count(*)::BIGINT AS v,
+                     coalesce(sum(c_old), 0)::BIGINT AS t_old,
+                     coalesce(sum(c_new), 0)::BIGINT AS t_new
+              FROM j
+            ), scored AS (
+              SELECT w, c_old, c_new,
+                     (({_hb_wide_sql("(c_new + 1)")} - {_hb_wide_sql("(t_new + v)")})
+                      - ({_hb_wide_sql("(c_old + 1)")} - {_hb_wide_sql("(t_old + v)")}))::INT AS lr_hb
+              FROM j CROSS JOIN tot
+            )
+            SELECT w, c_old, c_new, lr_hb, rnk FROM (
+              SELECT *, row_number() OVER (
+                ORDER BY abs(lr_hb) DESC, lr_hb DESC, w) AS rnk
+              FROM scored
+            ) WHERE rnk <= 50
         """,
         "interval_join": """
             WITH l AS (

@@ -1905,3 +1905,61 @@ def collocations(
             ).alias("score_q40"),
         )
     )
+
+
+def vocab_drift(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary DISTRIBUTION drift between two corpora — the
+    token-level companion of :func:`~ocr_search_spark.ops.dedup.corpus_diff`
+    (row-level) and the sketch module's ``vocab_overlap`` (set-level):
+    per word, the add-one-smoothed log-probability ratio
+
+        ``lr_hb = [hb(c_new+1) − hb(T_new+V)] − [hb(c_old+1) − hb(T_old+V)]``
+
+    in exact half-bits (V = union vocabulary size; the nb_train
+    smoothing convention), positive = the word became more probable.
+    The same statistic drives crawl-drift monitoring, mixture-shift
+    data cards, and seed-corpus feature selection (the top movers
+    toward a reference corpus are its characteristic vocabulary).
+    Returns (w, c_old, c_new, lr_hb).
+
+    Scale shape: two map-side-combinable word counts, one word-keyed
+    full-outer join, totals as a broadcast single-row crossJoin —
+    never collected. ``_hb_wide`` keeps the lattice exact to 2^63
+    (head words at 100 TB sit at 10^11–10^12).
+    """
+    from .sketch import _hb_wide
+
+    def wc(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
+            .groupBy("w")
+            .agg(F.count("*").alias(alias))
+        )
+
+    j = (
+        wc(old, "c_old")
+        .join(wc(new, "c_new"), "w", "full_outer")
+        .select(
+            "w",
+            F.coalesce("c_old", F.lit(0)).alias("c_old"),
+            F.coalesce("c_new", F.lit(0)).alias("c_new"),
+        )
+    )
+    totals = j.agg(
+        F.count("*").alias("v"),
+        F.coalesce(F.sum("c_old"), F.lit(0)).alias("t_old"),
+        F.coalesce(F.sum("c_new"), F.lit(0)).alias("t_new"),
+    )
+    return j.crossJoin(F.broadcast(totals)).select(
+        "w",
+        "c_old",
+        "c_new",
+        (
+            (_hb_wide(F.col("c_new") + 1) - _hb_wide(F.col("t_new") + F.col("v")))
+            - (_hb_wide(F.col("c_old") + 1) - _hb_wide(F.col("t_old") + F.col("v")))
+        ).alias("lr_hb"),
+    )

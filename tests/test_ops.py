@@ -1267,6 +1267,38 @@ class TestBloomDecontaminate:
         assert "CartesianProduct" not in plan
 
 
+class TestVocabDrift:
+    """Vocabulary distribution drift (ops/text_analysis.py vocab_drift):
+    exact half-bit log-ratio vs a scalar model, sign semantics, and the
+    word-present-on-one-side-only path."""
+
+    def test_matches_scalar_model(self, spark):
+        from ocr_search_spark.ops.text_analysis import vocab_drift
+
+        old = spark.createDataFrame(
+            [(1, "common common fading fading fading")], "id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(2, "common common rising rising rising")], "id long, text string"
+        )
+        got = {r.w: (r.c_old, r.c_new, r.lr_hb) for r in vocab_drift(old, new).collect()}
+
+        def hb(x):
+            return (x * x).bit_length() - 1
+
+        v, t_old, t_new = 3, 5, 5
+        want = {
+            "common": (2, 2),
+            "fading": (3, 0),
+            "rising": (0, 3),
+        }
+        for w, (co, cn) in want.items():
+            lr = (hb(cn + 1) - hb(t_new + v)) - (hb(co + 1) - hb(t_old + v))
+            assert got[w] == (co, cn, lr), w
+        assert got["rising"][2] > 0 > got["fading"][2]
+        assert got["common"][2] == 0
+
+
 class TestCollocations:
     """word2vec phrase mining (ops/text_analysis.py collocations):
     planted-phrase recovery, exact q40 score, min_count/delta guards."""
