@@ -3890,63 +3890,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE NOT list_has_any({_TOK}, ['dup', 'verboten'])
         """,
-        "bloom_probe": f"""
-            WITH sh AS (
-              SELECT doc_id, list_distinct(list_transform(
-                  range(1, greatest(len({_TOK}) - 3, 1)),
-                  i -> array_to_string(list_slice({_TOK}, i, i + 4), ' '))) AS shingles
-              FROM documents
-            ), bench AS (
-              SELECT doc_id FROM documents ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 10
-            ), bsh AS (
-              SELECT DISTINCT unnest(shingles) AS s FROM sh
-              WHERE doc_id IN (SELECT doc_id FROM bench)
-            ), bits AS (
-              SELECT DISTINCT ('0x' || substring(md5('b' || i || ':' || s), 1, 8))::BIGINT % 16384 AS bit
-              FROM (SELECT s, unnest([0, 1, 2]) AS i FROM bsh)
-            ), doc_sh AS (
-              SELECT doc_id, unnest(shingles) AS s FROM sh
-            ), hits AS (
-              SELECT doc_id, count(*) AS n_hit FROM doc_sh
-              WHERE ('0x' || substring(md5('b0:' || s), 1, 8))::BIGINT % 16384 IN (SELECT bit FROM bits)
-                AND ('0x' || substring(md5('b1:' || s), 1, 8))::BIGINT % 16384 IN (SELECT bit FROM bits)
-                AND ('0x' || substring(md5('b2:' || s), 1, 8))::BIGINT % 16384 IN (SELECT bit FROM bits)
-              GROUP BY doc_id
-            ), totals AS (
-              SELECT doc_id, count(*) AS n_ngrams FROM doc_sh GROUP BY doc_id
-            )
-            SELECT d.doc_id AS id,
-                   coalesce(t.n_ngrams, 0) AS n_ngrams,
-                   coalesce(h.n_hit, 0) AS n_hit,
-                   coalesce(h.n_hit, 0) > 0 AS contaminated
-            FROM documents d
-            LEFT JOIN totals t ON t.doc_id = d.doc_id
-            LEFT JOIN hits h ON h.doc_id = d.doc_id
-        """,
-        "bloom_decontaminate": f"""
-            WITH sh AS (
-              SELECT doc_id, list_distinct(list_transform(
-                  range(1, greatest(len({_TOK}) - 3, 1)),
-                  i -> array_to_string(list_slice({_TOK}, i, i + 4), ' '))) AS shingles
-              FROM documents
-            ), bench AS (
-              SELECT doc_id FROM documents ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 10
-            ), bsh AS (
-              SELECT DISTINCT unnest(shingles) AS s FROM sh
-              WHERE doc_id IN (SELECT doc_id FROM bench)
-            ), bits AS (
-              SELECT DISTINCT ('0x' || substring(md5('b' || i || ':' || s), 1, 8))::BIGINT % 16384 AS bit
-              FROM (SELECT s, unnest([0, 1, 2]) AS i FROM bsh)
-            ), contam AS (
-              SELECT DISTINCT doc_id
-              FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) d
-              WHERE ('0x' || substring(md5('b0:' || s), 1, 8))::BIGINT % 16384 IN (SELECT bit FROM bits)
-                AND ('0x' || substring(md5('b1:' || s), 1, 8))::BIGINT % 16384 IN (SELECT bit FROM bits)
-                AND ('0x' || substring(md5('b2:' || s), 1, 8))::BIGINT % 16384 IN (SELECT bit FROM bits)
-            )
-            SELECT doc_id FROM documents
-            WHERE doc_id NOT IN (SELECT doc_id FROM contam)
-        """,
+        "bloom_probe": _bloom_sql("probe"),
+        "bloom_decontaminate": _bloom_sql("survivors"),
         "dedup_exact": """
             SELECT md5(text) AS fingerprint, count(*) AS n_dups, min(doc_id) AS keeper_id
             FROM documents GROUP BY md5(text)
@@ -5197,8 +5142,8 @@ def oracle_sql() -> dict[str, str]:
         "nb_select": f"""
             WITH {_nb_weights_sql()},
             s AS (
-              SELECT b.doc_id, sum(w.weight_fp)::BIGINT AS logit_fp
-              FROM b JOIN w ON w.bk = b.bk GROUP BY b.doc_id
+              SELECT fb.doc_id, sum(w.weight_fp)::BIGINT AS logit_fp
+              FROM fb JOIN w ON w.bk = fb.bk GROUP BY fb.doc_id
             ), scored AS (
               SELECT d.doc_id AS id, coalesce(s.logit_fp, 0) AS logit_fp
               FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
@@ -6223,23 +6168,12 @@ def _perceptron_sql(n_iters: int, final: str, n_buckets: int = 1 << 18) -> str:
             ) WHERE rnk <= 100
         """
     return (
-        f"""
-            WITH t AS (
-              SELECT doc_id, lang, {_TOK} AS toks FROM documents
-            ), f0 AS (
-              SELECT doc_id, lang,
-                     unnest(list_concat(toks,
-                       list_transform(range(1, greatest(len(toks), 1)),
-                         i -> toks[i] || '_' || toks[i + 1]))) AS feat
-              FROM t
-            ), bk AS (
-              SELECT doc_id, lang,
-                     ('0x' || substring(md5(feat), 1, 8))::BIGINT % {n_buckets} AS bucket
-              FROM f0
-            ), feats AS (
-              SELECT doc_id, bucket, count(*)::BIGINT AS cnt,
+        "\n            WITH "
+        + _hashed_feat_rows_sql(n_buckets)
+        + """, feats AS (
+              SELECT doc_id, bk AS bucket, count(*)::BIGINT AS cnt,
                      (CASE WHEN lang = 'en' THEN 1 ELSE -1 END)::BIGINT AS y
-              FROM bk GROUP BY doc_id, bucket, lang
+              FROM fb GROUP BY doc_id, bk, lang
               UNION ALL
               SELECT doc_id, -1::BIGINT, 1::BIGINT,
                      (CASE WHEN lang = 'en' THEN 1 ELSE -1 END)::BIGINT
@@ -6525,12 +6459,90 @@ def _cosine_near_dedup_cc_oracle_sql(
     """
 
 
+def _bloom_sql(final: str) -> str:
+    """DuckDB twin of ops.dedup.bloom_probe / bloom_decontaminate over
+    the 10-doc benchmark (shingle_k=5, m_bits=16384, k_hashes=3) — ONE
+    home for the shared sh/bench/bsh/bits chain and the all-k-bits
+    membership predicate, so the two bloom oracles cannot
+    de-synchronize (bloom_decontaminate must drop exactly the docs
+    bloom_probe flags). ``final``: 'probe' (per-doc counts) or
+    'survivors' (doc_ids the gate keeps)."""
+    member = "\n                ".join(
+        f"{'WHERE' if i == 0 else '  AND'} ('0x' || substring(md5('b{i}:' || s), 1, 8))::BIGINT"
+        f" % 16384 IN (SELECT bit FROM bits)"
+        for i in range(3)
+    )
+    prefix = f"""
+            WITH sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                  range(1, greatest(len({_TOK}) - 3, 1)),
+                  i -> array_to_string(list_slice({_TOK}, i, i + 4), ' '))) AS shingles
+              FROM documents
+            ), bench AS (
+              SELECT doc_id FROM documents ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 10
+            ), bsh AS (
+              SELECT DISTINCT unnest(shingles) AS s FROM sh
+              WHERE doc_id IN (SELECT doc_id FROM bench)
+            ), bits AS (
+              SELECT DISTINCT ('0x' || substring(md5('b' || i || ':' || s), 1, 8))::BIGINT % 16384 AS bit
+              FROM (SELECT s, unnest([0, 1, 2]) AS i FROM bsh)
+            ), doc_sh AS (
+              SELECT doc_id, unnest(shingles) AS s FROM sh
+            )"""
+    if final == "probe":
+        return prefix + f""", hits AS (
+              SELECT doc_id, count(*) AS n_hit FROM doc_sh
+                {member}
+              GROUP BY doc_id
+            ), totals AS (
+              SELECT doc_id, count(*) AS n_ngrams FROM doc_sh GROUP BY doc_id
+            )
+            SELECT d.doc_id AS id,
+                   coalesce(t.n_ngrams, 0) AS n_ngrams,
+                   coalesce(h.n_hit, 0) AS n_hit,
+                   coalesce(h.n_hit, 0) > 0 AS contaminated
+            FROM documents d
+            LEFT JOIN totals t ON t.doc_id = d.doc_id
+            LEFT JOIN hits h ON h.doc_id = d.doc_id
+        """
+    return prefix + f""", contam AS (
+              SELECT DISTINCT doc_id FROM doc_sh
+                {member}
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+        """
+
+
+def _hashed_feat_rows_sql(n_buckets: int = 1 << 18) -> str:
+    """One row per (doc_id, lang, bk) hashed unigram+'_'-bigram feature
+    occurrence — the ops.classify.hashed_features twin
+    (token_bucket_expr convention, unsalted md5). The SINGLE home of the
+    oracle-side feature-map SQL, composed by both the Naive Bayes and
+    the perceptron oracles so an edit cannot de-synchronize the two
+    classifiers' feature spaces. WITH-chain fragment (no WITH keyword)
+    ending in ``fb(doc_id, lang, bk)``."""
+    return f"""t AS (
+          SELECT doc_id, lang, {_TOK} AS toks FROM documents
+        ), f0 AS (
+          SELECT doc_id, lang,
+                 unnest(list_concat(toks,
+                   list_transform(range(1, greatest(len(toks), 1)),
+                     i -> toks[i] || '_' || toks[i + 1]))) AS feat
+          FROM t
+        ), fb AS (
+          SELECT doc_id, lang,
+                 ('0x' || substring(md5(feat), 1, 8))::BIGINT
+                   % {n_buckets} AS bk
+          FROM f0
+        )"""
+
+
 def _nb_weights_sql(n_buckets: int = 1 << 18) -> str:
     """Twin of ops.classify.nb_train on documents with pos = lang='en':
     a WITH-chain (no WITH keyword) ending in ``w(bk, weight_fp)`` —
-    hashed unigram+'_'-bigram buckets (token_bucket_expr convention,
-    unsalted md5), per-bucket class counts, add-one-smoothed half-bit
-    log-likelihood-ratio scaled by NB_HB_FP=346574."""
+    the shared hashed feature rows, per-bucket class counts, add-one-
+    smoothed half-bit log-likelihood-ratio scaled by NB_HB_FP=346574."""
     hb = "length(bin((({x}) * ({x}))::BIGINT)) - 1"
     w = (
         "346574 * (("
@@ -6543,24 +6555,11 @@ def _nb_weights_sql(n_buckets: int = 1 << 18) -> str:
         + hb.format(x=f"tn + {n_buckets}")
         + ")))"
     )
-    return f"""t AS (
-          SELECT doc_id, lang, {_TOK} AS toks FROM documents
-        ), f AS (
-          SELECT doc_id, lang,
-                 unnest(list_concat(toks,
-                   list_transform(range(1, greatest(len(toks), 1)),
-                     i -> toks[i] || '_' || toks[i + 1]))) AS feat
-          FROM t
-        ), b AS (
-          SELECT doc_id, lang,
-                 ('0x' || substring(md5(feat), 1, 8))::BIGINT
-                   % {n_buckets} AS bk
-          FROM f
-        ), per AS (
+    return _hashed_feat_rows_sql(n_buckets) + f""", per AS (
           SELECT bk,
                  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS cp,
                  sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::BIGINT AS cn
-          FROM b GROUP BY bk
+          FROM fb GROUP BY bk
         ), tot AS (
           SELECT sum(cp)::BIGINT AS tp, sum(cn)::BIGINT AS tn FROM per
         ), w AS (

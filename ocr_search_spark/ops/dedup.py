@@ -618,7 +618,11 @@ def bloom_probe(
         raise ValueError("shingle_k, k_hashes >= 1 and m_bits >= 2 required")
     from .text_analysis import _token_shingles
 
-    bits = bloom_bits(bench, bench_text_col, shingle_k, m_bits, k_hashes)
+    # materialize the bit set ONCE: each of the k semi-joins below would
+    # otherwise re-derive the whole bench tokenize/shingle/hash lineage
+    bits = bloom_bits(
+        bench, bench_text_col, shingle_k, m_bits, k_hashes
+    ).localCheckpoint()
 
     toked = df.select(F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("toks"))
     doc_sh = (
@@ -630,6 +634,10 @@ def bloom_probe(
         )
         .select("id", F.explode_outer("sh").alias("s"))
         .filter(F.col("s").isNotNull())
+        # two consumers (the n_ngrams agg and the semi-join probe chain):
+        # without a barrier the corpus tokenize+shingle — the expensive
+        # narrow stage — runs twice per query
+        .localCheckpoint()
     )
     cand = doc_sh
     for i in range(k_hashes):

@@ -175,8 +175,24 @@ def badwords_filter(
     """
     if not badwords:
         return df
+    import re as _re
+
     from ..search.analysis import tokens_expr
 
+    # entries are matched by TOKEN equality: an entry that is not itself a
+    # single token of the tokenizer alphabet ('bad word', 'bad-ass') could
+    # NEVER match and would silently neuter the gate — fail loud and point
+    # at the n-gram op that handles phrases
+    bad_entries = [
+        b for b in badwords
+        if _re.findall(r"[a-zа-яё0-9_]+", b.lower()) != [b.lower()]
+    ]
+    if bad_entries:
+        raise ValueError(
+            f"badwords_filter matches single tokens; these entries can never "
+            f"match: {bad_entries!r} — tokenize phrases yourself or use "
+            f"dedup.decontaminate (k-token shingle overlap) for phrase lists"
+        )
     bl = F.broadcast(
         df.sparkSession.createDataFrame([(b.lower(),) for b in badwords], "w string")
     )

@@ -37,6 +37,17 @@ def _norm(a):
     )
 
 
+def _nonzero(df: DataFrame, vec_col: str) -> DataFrame:
+    """Rows whose embedding norm is nonzero. Cosine is UNDEFINED for the
+    zero vector, and under Spark's default ANSI mode the division throws
+    mid-job — so every cosine consumer in this module excludes zero-norm
+    rows at entry (one cheap per-row fold; the convention sq_encode's
+    norm_q > 0 filter and the matmul candidate arm's nan-clamp already
+    follow). Real corpora DO contain zero embeddings (failed encoder
+    batches padded with zeros)."""
+    return df.filter(_norm(F.col(vec_col)) > 0)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -169,8 +180,10 @@ def ivf_assign(
       partial aggregation; plan size independent of k. The production
       shape for large cell counts.
 
-    ``auto`` picks by cell count.
+    ``auto`` picks by cell count. Zero-norm vectors are unassignable
+    (cosine undefined) and are excluded.
     """
+    df = _nonzero(df, vec_col)
     if method == "auto":
         method = "literal" if len(centroids) <= _LITERAL_CELL_LIMIT else "join"
     if method == "join":
@@ -204,6 +217,7 @@ def ivf_refine(
     """
     if not centroids:
         raise ValueError("need at least one centroid")
+    df = _nonzero(df, vec_col)  # cosine assignment undefined at norm 0
     if method == "auto":
         method = "literal" if len(centroids) <= _LITERAL_CELL_LIMIT else "join"
     dim = len(centroids[0][1])
@@ -289,7 +303,10 @@ def ivf_search(
     ``method`` threads through to :func:`ivf_assign` and the probe-list
     strategy (``literal`` expression trees vs ``join`` on a broadcast
     centroid DataFrame — bit-identical results; join is the large-k shape).
+    Zero-norm vectors are excluded on both sides (cosine undefined).
     """
+    corpus = _nonzero(corpus, vec_col)
+    queries = _nonzero(queries, vec_col)
     if method == "auto":
         method = "literal" if len(centroids) <= _LITERAL_CELL_LIMIT else "join"
     assigned = corpus.select(
@@ -361,8 +378,10 @@ def cosine_neardup_pairs_exact(
 
     Quadratic — validation/oracle scale only; the production path is
     :func:`cosine_neardup_pairs_lsh`. Returns (a_id, b_id, cos) with
-    a_id < b_id and cos ≥ threshold.
+    a_id < b_id and cos ≥ threshold. Zero-norm rows excluded (cosine
+    undefined).
     """
+    df = _nonzero(df, vec_col)
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     a, b = v.alias("a"), v.alias("b")
     pairs = a.join(b, F.col("a.id") < F.col("b.id"))
@@ -401,11 +420,16 @@ def semantic_decontaminate(
     convention as :func:`cosine_neardup_pairs_exact`) so the threshold
     decision is engine-exact.
 
-    Returns the SURVIVING pool rows, ``id_col`` only.
+    Returns the SURVIVING pool rows, ``id_col`` only. Zero-norm pool
+    vectors SURVIVE (cosine undefined — they are near nothing; the
+    guarded division yields null, which never satisfies the anti-join
+    predicate, so the pool still scans exactly ONCE); zero-norm eval
+    vectors are dropped from the broadcast side.
     """
     p = pool.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    e = eval_df.select(F.col(vec_col).alias("ev"))
-    cos = _dot(F.col("v"), F.col("ev")) / (_norm(F.col("v")) * _norm(F.col("ev")))
+    e = _nonzero(eval_df, vec_col).select(F.col(vec_col).alias("ev"))
+    denom = _norm(F.col("v")) * _norm(F.col("ev"))
+    cos = F.when(denom > 0, _dot(F.col("v"), F.col("ev")) / denom)
     return (
         p.join(F.broadcast(e), F.round(cos, 6) >= threshold, "left_anti")
         .select(F.col("id").alias(id_col))
@@ -466,7 +490,7 @@ def cosine_neardup_pairs_lsh(
             )
         )
     )
-    keyed = df.select(
+    keyed = _nonzero(df, vec_col).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.explode(band_keys).alias("band_key"),
@@ -1241,6 +1265,11 @@ def semdedup_pairs(
     v = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .withColumn("__n", _norm(F.col("v")))
+        # zero-norm rows are already absent from asg (ivf_assign drops
+        # them), but the normalization division below runs in a
+        # projection BEFORE the join would prune — filter first or ANSI
+        # sessions throw on the division
+        .filter(F.col("__n") > 0)
         .select(
             "id",
             F.transform("v", lambda e: e.cast("double") / F.col("__n")).alias(
@@ -1478,8 +1507,12 @@ def margin_candidates(
     crossJoin + higher-order-function arm — both produce the identical
     lattice. At billion-vector scale neither runs: candidates come from
     ivf_search (shared-coarse-cell pruning) and feed
-    :func:`margin_from_candidates` unchanged.
+    :func:`margin_from_candidates` unchanged. Zero-norm vectors are
+    excluded on both sides (cosine undefined) — uniformly across arms,
+    so the arms stay bit-identical on any input.
     """
+    src = _nonzero(src, vec_col)
+    tgt = _nonzero(tgt, vec_col)
     tgt_rows = (
         tgt.select(F.col(id_col), F.col(vec_col))
         .limit(broadcast_rows_max + 1)

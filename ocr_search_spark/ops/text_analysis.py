@@ -1863,9 +1863,11 @@ def collocations(
     Scale shape: one tokens projection, one zip_with-over-shifted-
     slices pair build (no per-token explode until the single
     map-side-combinable pair count), a broadcast-small unigram count
-    table joined twice (word-keyed). Guards: q40 numerators stay under
-    2^63 for pair counts < 2^23 — at a 100 TB corpus run per-shard fits
-    and sum counts first (counts are associative), or lift δ.
+    table joined twice (word-keyed). Overflow GUARDS (raise, never wrap):
+    the q40 numerator needs pair_count < 2^23 and the denominator product
+    needs both unigram counts < 2^31 — head words at a 100 TB corpus sit
+    at 10^11–10^12, past both; run the fit per shard and sum counts first
+    (counts are associative), or pre-divide counts by a common factor.
     ``min_count >= delta`` is required: it keeps every emitted numerator
     non-negative, where integer division is engine-identical (floor and
     trunc-toward-zero diverge on negatives).
@@ -1893,6 +1895,18 @@ def collocations(
         .agg(F.count("*").alias("pair_count"))
         .filter(F.col("pair_count") >= min_count)
     )
+    guard = F.when(
+        (F.col("pair_count") >= F.lit(1 << 23))
+        | (F.col("__cl") >= F.lit(1 << 31))
+        | (F.col("__cr") >= F.lit(1 << 31)),
+        F.raise_error(
+            F.lit(
+                "collocations: counts exceed the exact-BIGINT q40 range "
+                "(pair_count < 2^23, unigram counts < 2^31) — shard the "
+                "fit and sum counts, or pre-divide counts"
+            )
+        ).cast("long"),
+    )
     return (
         pairs.join(uni.select(F.col("w").alias("l"), F.col("c").alias("__cl")), "l")
         .join(uni.select(F.col("w").alias("r"), F.col("c").alias("__cr")), "r")
@@ -1900,8 +1914,11 @@ def collocations(
             "l",
             "r",
             "pair_count",
-            F.expr(
-                f"(pair_count - {int(delta)}) * 1099511627776 DIV (__cl * __cr)"
+            F.coalesce(
+                guard,
+                F.expr(
+                    f"(pair_count - {int(delta)}) * 1099511627776 DIV (__cl * __cr)"
+                ),
             ).alias("score_q40"),
         )
     )

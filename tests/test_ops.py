@@ -514,6 +514,46 @@ class TestScalarQuantization:
         # 16-dim int8 on smooth vectors: quantized top-5 barely moves
         assert sum(r.n_hits for r in rows.values()) >= 12
 
+    def test_zero_vector_corpus_survives_whole_ann_family(self, emb):
+        """Review finding (r5 continuation): a single all-zero embedding
+        row crashed every unguarded cosine consumer under ANSI mode.
+        Each op must now run — zero-norm rows excluded (cosine
+        undefined), everything else unaffected."""
+        from pyspark.sql import functions as F
+
+        from ocr_search_spark.ops.similarity import (
+            ann_recall,
+            cosine_neardup_pairs_exact,
+            cosine_neardup_pairs_lsh,
+            ivf_centroids_from_sample,
+            ivf_refine,
+            margin_mine,
+            semantic_decontaminate,
+            semdedup,
+        )
+
+        cents = ivf_centroids_from_sample(emb, k=4)
+        queries = emb.filter(F.col("vec_id") < 3)
+        assert ann_recall(emb, queries, cents, k=5).count() == 3
+        assert cosine_neardup_pairs_exact(emb, 0.999).count() >= 0
+        assert cosine_neardup_pairs_lsh(
+            emb, dim=16, threshold=0.999, n_bands=3, band_size=2
+        ).count() >= 0
+        assert semdedup(emb, cents, threshold=0.999).count() >= 1
+        # zero-norm pool rows SURVIVE decontamination (near nothing)
+        kept = {
+            r.vec_id
+            for r in semantic_decontaminate(emb, queries, 0.9999).collect()
+        }
+        assert 40 in kept
+        assert margin_mine(
+            emb.filter(F.col("vec_id") % 2 == 0),
+            emb.filter(F.col("vec_id") % 2 == 1),
+            k=2,
+            threshold_e6=-(10**9),
+        ).count() >= 1
+        assert len(ivf_refine(emb, cents, iters=1)) == 4
+
     def test_serving_plan_broadcasts_queries(self, emb, spark):
         from ocr_search_spark.ops.similarity import sq_topk
 
