@@ -104,7 +104,13 @@ def bm25_scores(
             for i in range(len(terms))
         ],
     ).select(
-        "*", (F.col("__sumdl").cast("double") / F.col("__n")).alias("__avgdl")
+        # nullif: an EMPTY stats corpus yields the agg row (n=0) and this
+        # projection still evaluates — under ANSI the bare 0/0 throws even
+        # though no scored row survives downstream
+        "*",
+        (F.col("__sumdl").cast("double") / F.nullif(F.col("__n"), F.lit(0))).alias(
+            "__avgdl"
+        ),
     )
     joined = tfd.crossJoin(F.broadcast(stats))
     parts = []
@@ -114,7 +120,14 @@ def bm25_scores(
         idf = F.log(
             1.0 + (F.col("__n") - df_t + 0.5) / (df_t + 0.5)
         )
-        denom = tf + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+        # avgdl == 0 means every stats doc tokenized empty — any candidate
+        # row then has dl = 0 too, where BM25's length norm degenerates to
+        # the b-free form (ratio 0); guarding keeps ANSI from throwing on
+        # 0/0 and is unreachable for any corpus with one token
+        dl_ratio = F.when(
+            F.col("__avgdl") > 0, F.col("__dl") / F.col("__avgdl")
+        ).otherwise(F.lit(0.0))
+        denom = tf + k1 * (1.0 - b + b * dl_ratio)
         parts.append(idf * tf * (k1 + 1.0) / denom)
     score = parts[0]
     for p in parts[1:]:

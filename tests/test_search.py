@@ -330,6 +330,26 @@ class TestRanking:
         # tf + k1*(1-b+b) = 1 + 1.2 = 2.2 -> score = ln2 * 1 * 2.2/2.2 = ln2
         assert got == {"a": round(math.log(2.0), 6)}
 
+    def test_bm25_degenerate_corpora_do_not_throw(self, spark):
+        """ANSI hardening: the corpus-stats projection evaluates its one agg
+        row even when nothing matches downstream — an empty corpus (N=0) or
+        an all-empty-text corpus (avgdl=0) hit 0/0 in the unguarded form."""
+        from ocr_search_spark.search.ranking import bm25_scores
+
+        empty = spark.createDataFrame([], "doc_id string, text string")
+        assert bm25_scores(empty, ["spark"]).count() == 0
+        blank = spark.createDataFrame(
+            [("a", ""), ("b", "  ")], "doc_id string, text string"
+        )
+        assert bm25_scores(blank, ["spark"]).count() == 0
+        # and stats_over with an all-empty stats corpus: matched docs still
+        # score (degenerate length norm), no mid-job arithmetic error
+        docs = spark.createDataFrame(
+            [("c", "spark join")], "doc_id string, text string"
+        )
+        got = bm25_scores(docs, ["spark"], stats_over=blank).collect()
+        assert [r.doc_id for r in got] == ["c"]
+
     def test_cover_density_matches_bruteforce(self, spark):
         """Randomized equivalence: window-function min-cover vs a scalar
         two-pointer brute force over 200 seeded random docs."""
