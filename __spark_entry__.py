@@ -2535,6 +2535,18 @@ def q_shard_manifest(spark, sf_dir):
     )
 
 
+def q_global_shuffle(spark, sf_dir):
+    """Deterministic global training order (ops/sampling.py
+    global_shuffle): every document gets a dense position 0..N-1 in
+    md5(salt||id) order — the final corpus-shuffle step before packing —
+    via two-level enumeration (65k hash buckets: broadcast cumulative
+    offsets + per-bucket row_number), never a one-partition global
+    sort."""
+    from ocr_search_spark.ops.sampling import global_shuffle
+
+    return global_shuffle(_docs(spark, sf_dir), "doc_id", salt="epoch0")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so every entry is certified within the driver's 50-entry
     CORRECTNESS window at least once across rounds (the sweep reports the
@@ -2714,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_spectrum": q_zipf_spectrum,
         "tokenized_pack": q_tokenized_pack,
         "pq_recall_trained": q_pq_recall_trained,
+        "global_shuffle": q_global_shuffle,
     }
 
 
@@ -5044,6 +5057,13 @@ def oracle_sql() -> dict[str, str]:
         "pq_recall_trained": _ivf_pq_recall_oracle_sql(
             cb_cte=_pq_trained_cb_cte(8, 16, 8, 2, 20)
         ),
+        "global_shuffle": """
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY md5('epoch0' || doc_id), doc_id
+                   ) - 1 AS position
+            FROM documents
+        """,
         "cosine_neardup_lsh": _cosine_neardup_lsh_oracle_sql(),
         "cosine_near_dedup": _cosine_near_dedup_oracle_sql(),
         "cosine_near_dedup_cc": _cosine_near_dedup_cc_oracle_sql(),

@@ -611,3 +611,69 @@ def shard_manifest(
         F.bit_xor(digest).alias("content_xor"),
     ]
     return df.groupBy(*shard_cols).agg(*aggs)
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+    prefix_hex: int = 4,
+) -> DataFrame:
+    """Deterministic global training order: assign every row a dense
+    position 0..N-1 in ``md5(salt || id)`` order — the final "shuffle the
+    corpus" step before sequence packing / shard writing, without an RNG
+    and without a single global sort.
+
+    A naive ``row_number() OVER (ORDER BY hash)`` collapses to ONE
+    partition at scale. This is the two-level enumeration instead:
+
+    * level 1 — bucket by the first ``prefix_hex`` hex chars of the
+      digest (65,536 buckets at the default). Per-bucket counts are a
+      map-side-combinable groupBy; the cumulative-offset window runs
+      over that ≤65k-row table only (a driver-scale sort, never the
+      corpus), and joins back via broadcast.
+    * level 2 — ``row_number`` *within* each bucket, ordered by
+      (full digest, id). md5's avalanche makes buckets uniform, so
+      per-bucket state is ~N/65k rows regardless of id skew.
+
+    ``position`` is therefore exactly ``row_number() OVER (ORDER BY
+    md5(salt||id), id) - 1`` — the oracle's serial form — but computed
+    with corpus-sized work spread over 65k independent windows. A new
+    ``salt`` draws an independent permutation (epoch reshuffles). To
+    materialise the order, ``repartitionByRange(n, "position")`` +
+    ``sortWithinPartitions("position")`` and write.
+
+    Null ids are rejected at runtime (``raise_error``): a null would
+    hash as NULL, fall to the end of every ordering differently per
+    engine, and silently break the permutation contract.
+    """
+    if not 1 <= prefix_hex <= 8:
+        raise ValueError(f"prefix_hex must be in [1, 8], got {prefix_hex}")
+    from pyspark.sql import Window
+
+    sid = F.col(id_col).cast("string")
+    sid = F.when(
+        sid.isNull(),
+        F.raise_error(
+            F.lit(f"global_shuffle: null {id_col} — ids must be non-null")
+        ).cast("string"),
+    ).otherwise(sid)
+    h = F.md5(F.concat(F.lit(salt), sid))
+    base = df.select(
+        F.col(id_col),
+        h.alias("__h"),
+        F.substring(h, 1, prefix_hex).alias("__b"),
+    )
+    counts = base.groupBy("__b").agg(F.count("*").alias("__n"))
+    w_off = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__b",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy("__b").orderBy("__h", id_col)
+    return base.join(F.broadcast(offsets), "__b").select(
+        id_col,
+        (F.col("__off") + F.row_number().over(w_in) - 1).alias("position"),
+    )

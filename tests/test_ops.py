@@ -5143,3 +5143,77 @@ class TestCorpusDataCard:
         # expand + partial aggregate before ONE exchange — not a job per cut
         assert plan.count("Exchange") == 1
         assert "Expand" in plan
+
+
+class TestGlobalShuffle:
+    """Two-level deterministic permutation vs the serial oracle."""
+
+    def test_matches_serial_row_number(self, spark):
+        import hashlib
+
+        from ocr_search_spark.ops.sampling import global_shuffle
+
+        ids = [f"doc-{i:04d}" for i in range(300)]
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+        got = {
+            r.doc_id: r.position
+            for r in global_shuffle(df, "doc_id", salt="s1").collect()
+        }
+        order = sorted(
+            ids,
+            key=lambda d: (hashlib.md5(("s1" + d).encode()).hexdigest(), d),
+        )
+        want = {d: pos for pos, d in enumerate(order)}
+        assert got == want
+
+    def test_dense_permutation_and_salt_independence(self, spark):
+        from ocr_search_spark.ops.sampling import global_shuffle
+
+        df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+        a = {
+            r.doc_id: r.position
+            for r in global_shuffle(df, "doc_id", salt="a").collect()
+        }
+        b = {
+            r.doc_id: r.position
+            for r in global_shuffle(df, "doc_id", salt="b").collect()
+        }
+        assert sorted(a.values()) == list(range(500))
+        assert sorted(b.values()) == list(range(500))
+        assert a != b  # a different salt draws a different permutation
+
+    def test_partition_invariance(self, spark):
+        from ocr_search_spark.ops.sampling import global_shuffle
+
+        df1 = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+        df8 = df1.repartition(8)
+        a = {
+            r.doc_id: r.position
+            for r in global_shuffle(df1, "doc_id").collect()
+        }
+        b = {
+            r.doc_id: r.position
+            for r in global_shuffle(df8, "doc_id").collect()
+        }
+        assert a == b
+
+    def test_null_id_raises(self, spark):
+        import pytest
+        from py4j.protocol import Py4JJavaError
+
+        from ocr_search_spark.ops.sampling import global_shuffle
+
+        df = spark.createDataFrame(
+            [("a",), (None,)], "doc_id string"
+        )
+        with pytest.raises(Exception, match="null doc_id|raise_error|RAISE_ERROR|USER_RAISED"):
+            global_shuffle(df, "doc_id").collect()
+
+    def test_prefix_hex_validated(self, spark):
+        import pytest
+
+        from ocr_search_spark.ops.sampling import global_shuffle
+
+        df = spark.range(1).withColumnRenamed("id", "doc_id")
+        with pytest.raises(ValueError):
+            global_shuffle(df, "doc_id", prefix_hex=0)
