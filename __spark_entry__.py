@@ -1931,6 +1931,20 @@ def q_lm_bits(spark, sf_dir):
     return scored
 
 
+def q_kn_bits(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM scores (ops/lm.py kn_lm +
+    kn_score): the KenLM smoothing family ccnet's real perplexity
+    filter uses — type-count continuation probabilities, absolute
+    discount 3/4, integer-exact on the 4*cp*(B+V) lattice, distributed
+    model joins (nothing but two scalars broadcasts)."""
+    from ocr_search_spark.ops.lm import kn_lm, kn_score
+    from ocr_search_spark.ops.sampling import deterministic_sample
+
+    d = _docs(spark, sf_dir)
+    ref = deterministic_sample(d, 0.30, salt="lm")
+    return kn_score(d, kn_lm(ref))
+
+
 def q_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail: per-language perplexity terciles of the
     LM score — the quality split a web-crawl mixing recipe keys on."""
@@ -2727,6 +2741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenized_pack": q_tokenized_pack,
         "pq_recall_trained": q_pq_recall_trained,
         "global_shuffle": q_global_shuffle,
+        "kn_bits": q_kn_bits,
     }
 
 
@@ -5063,6 +5078,68 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY md5('epoch0' || doc_id), doc_id
                    ) - 1 AS position
             FROM documents
+        """,
+        "kn_bits": f"""
+            WITH ref AS (
+              SELECT doc_id, {_TOK} AS t FROM documents
+              WHERE ('0x' || substring(md5('lm' || doc_id), 1, 8))::BIGINT
+                    % 10000 < 3000
+            ), ref_grams AS (
+              SELECT g.w1 AS w1, g.w2 AS w2
+              FROM (
+                SELECT unnest(list_transform(range(2, len(t) + 1),
+                              i -> {{'w1': t[i-1], 'w2': t[i]}})) AS g
+                FROM ref
+              )
+            ), c_gram AS (
+              SELECT w1, w2, count(*) AS c_gram FROM ref_grams GROUP BY 1, 2
+            ), c_prefix AS (
+              SELECT w1, sum(c_gram)::BIGINT AS c_prefix,
+                     count(*) AS n1p
+              FROM c_gram GROUP BY 1
+            ), cont AS (
+              SELECT w2, count(*) AS n1c FROM c_gram GROUP BY 1
+            ), scal AS (
+              SELECT (SELECT count(*) FROM c_gram)
+                     + (SELECT count(DISTINCT tk)
+                        FROM (SELECT unnest(t) AS tk FROM ref)) AS bv
+            ), doc_grams AS (
+              SELECT doc_id, g.w1 AS w1, g.w2 AS w2
+              FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(2, len(t) + 1),
+                              i -> {{'w1': t[i-1], 'w2': t[i]}})) AS g
+                FROM (SELECT doc_id, {_TOK} AS t FROM documents)
+              )
+            ), scored AS (
+              SELECT doc_id,
+                     length(bin(
+                       (CASE WHEN cp.c_prefix IS NULL THEN bv
+                             ELSE 4 * cp.c_prefix * bv END)
+                       // (CASE WHEN cp.c_prefix IS NULL
+                                THEN coalesce(ct.n1c, 0) + 1
+                                ELSE (CASE WHEN cg.c_gram IS NULL THEN 0
+                                           ELSE 4 * cg.c_gram - 3 END) * bv
+                                     + 3 * cp.n1p * (coalesce(ct.n1c, 0) + 1)
+                           END)
+                     )) - 1 AS bits
+              FROM doc_grams dg
+              LEFT JOIN c_gram cg USING (w1, w2)
+              LEFT JOIN c_prefix cp USING (w1)
+              LEFT JOIN cont ct USING (w2)
+              , scal
+            ), per_doc AS (
+              SELECT doc_id, count(*) AS n_grams,
+                     sum(bits)::BIGINT AS bits_total
+              FROM scored GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(n_grams, 0) AS n_grams,
+                   coalesce(bits_total, 0) AS bits_total,
+                   CASE WHEN coalesce(n_grams, 0) = 0 THEN NULL
+                        ELSE (bits_total * 1000) // n_grams END
+                     AS bits_per_kilotoken
+            FROM documents d LEFT JOIN per_doc USING (doc_id)
         """,
         "cosine_neardup_lsh": _cosine_neardup_lsh_oracle_sql(),
         "cosine_near_dedup": _cosine_near_dedup_oracle_sql(),

@@ -178,3 +178,136 @@ def ccnet_buckets(
             ),
         )
     )
+
+
+def kn_lm(df: DataFrame, text_col: str = "text") -> dict[str, DataFrame]:
+    """Interpolated Kneser-Ney bigram sufficient statistics (the KenLM
+    smoothing family ccnet's real filter uses, upgrading ``ngram_lm``'s
+    add-one model).
+
+    KN replaces raw continuation frequency with *type* counts: how many
+    distinct contexts a word completes (``n1c``), how many distinct words
+    a context precedes (``n1p``), plus the usual gram/prefix counts.
+    Returns four DataFrames keyed for distributed scoring joins:
+
+    * ``gram``    (w1, w2, c_gram)        — bigram token counts
+    * ``prefix``  (w1, c_prefix, n1p)     — context totals + fan-out types
+    * ``cont``    (w2, n1c)               — continuation fan-in types
+    * ``scalars`` (b, v)                  — distinct bigram types B and
+      distinct unigram types V (single row, broadcast at score time)
+
+    All four are map-side-combinable aggregations over the exploded
+    bigram stream; ``prefix`` and ``cont`` derive from ``gram`` (one
+    corpus explode feeds everything). Shuffle volume is the distinct-gram
+    table, never the token stream.
+    """
+    grams = df.select(F.explode(_bigrams(text_col)).alias("g")).select(
+        "g.w1", "g.w2"
+    )
+    gram = grams.groupBy("w1", "w2").agg(F.count("*").alias("c_gram"))
+    prefix = gram.groupBy("w1").agg(
+        F.sum("c_gram").alias("c_prefix"), F.count("*").alias("n1p")
+    )
+    cont = gram.groupBy("w2").agg(F.count("*").alias("n1c"))
+    b = gram.agg(F.count("*").alias("b"))
+    v = (
+        df.select(F.explode(tokens_expr(text_col)).alias("t"))
+        .agg(F.count_distinct("t").alias("v"))
+    )
+    scalars = b.crossJoin(v)
+    return {"gram": gram, "prefix": prefix, "cont": cont, "scalars": scalars}
+
+
+def kn_score(
+    df: DataFrame,
+    model: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against an interpolated Kneser-Ney bigram LM,
+    integer-exact so the DuckDB oracle matches hash-exactly.
+
+    With absolute discount D = 3/4 (Chen & Goodman's canonical value,
+    kept rational so everything stays on the integer lattice after
+    multiplying through by ``4 * c_prefix * (B + V)``):
+
+        P(w2|w1) = max(c - 3/4, 0)/cp  +  (3/4)(n1p/cp) * (n1c + 1)/(B + V)
+
+    The continuation distribution is add-one smoothed over B + V (so it
+    sums to < 1 and unseen words stay scoreable); an unseen *context*
+    backs off entirely to the smoothed continuation probability. Per
+    scored bigram the surprise is ``floor(log2(den // num))`` whole bits
+    via the bin-length identity — the same discipline as ``lm_score``,
+    and P <= 1 guarantees ``den // num >= 1``.
+
+    Integer envelope: ``den = 4 * c_prefix * (B + V)`` must stay under
+    2^63. A one-row runtime guard (max prefix count from the model's own
+    stats) raises loudly at ~2^60 instead of silently wrapping — at that
+    point shard the reference LM (score per shard, sum bits), the
+    standard KenLM-at-scale move.
+
+    Scale shape: the LM stays DISTRIBUTED — three equi joins keyed by
+    (w1,w2), w1, w2 against the model tables; only the two-scalar row
+    broadcasts. Zipf-hot grams are AQE skew-join territory (session
+    enables AQE). No UDFs; everything whole-stage-codegen'd.
+
+    Output: (id_col, n_grams, bits_total, bits_per_kilotoken) — same
+    shape as ``lm_score`` so ``ccnet_buckets`` composes unchanged.
+    """
+    guard = model["scalars"].crossJoin(
+        model["prefix"].agg(F.max("c_prefix").alias("max_cp"))
+    )
+    scalars = guard.select(
+        F.when(
+            (F.length(F.bin(F.col("max_cp"))) + 2)
+            + F.length(F.bin(F.col("b") + F.col("v")))
+            > 63,
+            F.raise_error(
+                F.lit(
+                    "kn_score: 4*c_prefix*(B+V) would exceed 2^63 — "
+                    "shard the reference LM"
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("b") + F.col("v"))
+        .alias("bv")
+    )
+    grams = df.select(
+        F.col(id_col), F.explode(_bigrams(text_col)).alias("g")
+    ).select(id_col, "g.w1", "g.w2")
+    num = F.expr(
+        "CASE WHEN c_prefix IS NULL THEN coalesce(n1c, 0L) + 1L "
+        "ELSE (CASE WHEN c_gram IS NULL THEN 0L ELSE 4L * c_gram - 3L END)"
+        "     * bv + 3L * n1p * (coalesce(n1c, 0L) + 1L) END"
+    )
+    den = F.expr(
+        "CASE WHEN c_prefix IS NULL THEN bv ELSE 4L * c_prefix * bv END"
+    )
+    scored = (
+        grams.join(model["gram"], ["w1", "w2"], "left")
+        .join(model["prefix"], "w1", "left")
+        .join(model["cont"], "w2", "left")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn("__num", num)
+        .withColumn("__den", den)
+        .select(
+            id_col,
+            (F.length(F.bin(F.expr("__den DIV __num"))) - 1).alias("bits"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"), F.sum("bits").alias("bits_total")
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("bits_total", F.lit(0)).alias("bits_total"),
+            F.expr(
+                "CASE WHEN coalesce(n_grams, 0) = 0 THEN NULL "
+                "ELSE (bits_total * 1000) DIV n_grams END"
+            ).alias("bits_per_kilotoken"),
+        )
+    )

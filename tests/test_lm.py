@@ -153,3 +153,114 @@ class TestFloorLog2Identity:
         )
         for r in df.collect():
             assert r["bits"] == r["id"].bit_length() - 1
+
+
+def _scalar_kn(ref_texts: list[str]):
+    """Scalar twin of kn_lm sufficient statistics."""
+    c_gram: dict[tuple[str, str], int] = {}
+    vocab: set[str] = set()
+    for text in ref_texts:
+        toks = _toks(text)
+        vocab.update(toks)
+        for w1, w2 in zip(toks, toks[1:]):
+            c_gram[(w1, w2)] = c_gram.get((w1, w2), 0) + 1
+    c_prefix: dict[str, int] = {}
+    n1p: dict[str, int] = {}
+    n1c: dict[str, int] = {}
+    for (w1, w2), c in c_gram.items():
+        c_prefix[w1] = c_prefix.get(w1, 0) + c
+        n1p[w1] = n1p.get(w1, 0) + 1
+        n1c[w2] = n1c.get(w2, 0) + 1
+    return c_gram, c_prefix, n1p, n1c, len(c_gram), len(vocab)
+
+
+def _scalar_kn_score(text: str, model):
+    """Scalar twin of kn_score for one document."""
+    c_gram, c_prefix, n1p, n1c, b, v = model
+    bv = b + v
+    toks = _toks(text)
+    bits_total = 0
+    n_grams = 0
+    for w1, w2 in zip(toks, toks[1:]):
+        n_grams += 1
+        cp = c_prefix.get(w1)
+        if cp is None:
+            num = n1c.get(w2, 0) + 1
+            den = bv
+        else:
+            c = c_gram.get((w1, w2))
+            disc = 0 if c is None else 4 * c - 3
+            num = disc * bv + 3 * n1p[w1] * (n1c.get(w2, 0) + 1)
+            den = 4 * cp * bv
+        bits_total += (den // num).bit_length() - 1
+    bpk = None if n_grams == 0 else (bits_total * 1000) // n_grams
+    return n_grams, bits_total, bpk
+
+
+class TestKneserNey:
+    DOCS = REF + [
+        "completely unseen context words here",
+        "the quick brown fox jumps over the lazy dog",
+        "fox the dog quick",
+        "",
+        "one",
+    ]
+
+    def _spark_scores(self, spark, ref_texts, doc_texts):
+        from ocr_search_spark.ops.lm import kn_lm, kn_score
+
+        ref = spark.createDataFrame([(t,) for t in ref_texts], "text string")
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(doc_texts)],
+            "doc_id long, text string",
+        )
+        out = kn_score(docs, kn_lm(ref))
+        return {
+            r.doc_id: (r.n_grams, r.bits_total, r.bits_per_kilotoken)
+            for r in out.collect()
+        }
+
+    def test_matches_scalar_model(self, spark):
+        got = self._spark_scores(spark, REF, self.DOCS)
+        model = _scalar_kn(REF)
+        for i, text in enumerate(self.DOCS):
+            assert got[i] == _scalar_kn_score(text, model), (i, text)
+
+    def test_probability_is_proper(self):
+        """Scalar sanity: P sums to <= 1 per seen context, each P <= 1."""
+        model = _scalar_kn(REF)
+        c_gram, c_prefix, n1p, n1c, b, v = model
+        from fractions import Fraction
+
+        for w1, cp in c_prefix.items():
+            total = Fraction(0)
+            words = {w2 for (a, w2) in c_gram if a == w1} | set(n1c)
+            for w2 in words:
+                c = c_gram.get((w1, w2), 0)
+                p = Fraction(max(4 * c - 3, 0), 4 * cp) + Fraction(
+                    3 * n1p[w1] * (n1c.get(w2, 0) + 1), 4 * cp * (b + v)
+                )
+                assert p <= 1
+                total += p
+            assert total <= 1
+
+    def test_seen_text_scores_fewer_bits_than_gibberish(self, spark):
+        got = self._spark_scores(
+            spark,
+            REF,
+            ["the quick brown fox jumps", "zzq qqz xyzzy plugh"],
+        )
+        assert got[0][2] < got[1][2]
+
+    def test_overflow_guard_raises(self, spark):
+        from ocr_search_spark.ops.lm import kn_lm, kn_score
+
+        ref = spark.createDataFrame([("a b",)], "text string")
+        model = kn_lm(ref)
+        # poison the scalars so 4*max_cp*(B+V) would overflow
+        model["scalars"] = model["scalars"].select(
+            (F.col("b") + F.lit(2**61)).alias("b"), "v"
+        )
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(Exception, match="exceed 2\\^63|shard the reference"):
+            kn_score(docs, model).collect()
