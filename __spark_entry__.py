@@ -288,12 +288,29 @@ def q_minhash(spark, sf_dir):
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Near-dup candidate pairs by exact 3-token-shingle Jaccard ≥ 0.3."""
-    from ocr_search_spark.ops.dedup import jaccard_pairs_exact
+    """Near-dup pairs by exact 3-token-shingle Jaccard ≥ 0.3 — computed
+    via the inverted shingle index (ops/dedup.py jaccard_pairs_index):
+    only pairs sharing ≥1 shingle materialise, linear in postings, never
+    the n² grid (row-identical to the quadratic reference form)."""
+    from ocr_search_spark.ops.dedup import jaccard_pairs_index
 
-    return jaccard_pairs_exact(
+    return jaccard_pairs_index(
         _docs(spark, sf_dir), "doc_id", "text", threshold=0.3
     ).withColumnRenamed("union", "union_sz")
+
+
+def q_neardup_recall(spark, sf_dir):
+    """Measured recall of MinHash-LSH near-dedup vs exact inverted-index
+    Jaccard ground truth at the same threshold (ops/dedup.py
+    neardup_recall) — the text-side sibling of ann_recall; precision is
+    1 by construction (exact verify), so one semi-join count yields
+    recall in basis points."""
+    from ocr_search_spark.ops.dedup import neardup_recall
+
+    return neardup_recall(
+        _docs(spark, sf_dir), "doc_id", "text",
+        threshold=0.3, n_hashes=8, band_size=2,
+    )
 
 
 def q_near_dedup_survivors(spark, sf_dir):
@@ -2549,6 +2566,20 @@ def q_shard_manifest(spark, sf_dir):
     )
 
 
+def q_length_buckets(spark, sf_dir):
+    """Length-bucketed batching (ops/sampling.py length_buckets):
+    power-of-two token-length buckets + deterministic fixed-size batch
+    ordinals within each bucket — the padding-waste killer for batched
+    tokenization/inference; one per-bucket window shuffle."""
+    from ocr_search_spark.ops.sampling import length_buckets
+    from ocr_search_spark.search.analysis import tokens_expr
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(tokens_expr("text")).alias("n_tokens")
+    )
+    return length_buckets(d, "doc_id", "n_tokens", batch_size=32)
+
+
 def q_global_shuffle(spark, sf_dir):
     """Deterministic global training order (ops/sampling.py
     global_shuffle): every document gets a dense position 0..N-1 in
@@ -2742,6 +2773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall_trained": q_pq_recall_trained,
         "global_shuffle": q_global_shuffle,
         "kn_bits": q_kn_bits,
+        "neardup_recall": q_neardup_recall,
+        "length_buckets": q_length_buckets,
     }
 
 
@@ -5140,6 +5173,49 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (bits_total * 1000) // n_grams END
                      AS bits_per_kilotoken
             FROM documents d LEFT JOIN per_doc USING (doc_id)
+        """,
+        "length_buckets": f"""
+            WITH t AS (
+              SELECT doc_id, len({_TOK})::BIGINT AS tokens FROM documents
+            ), b AS (
+              SELECT doc_id, tokens,
+                     CASE WHEN tokens <= 0 THEN 0
+                          ELSE length(bin(tokens)) - 1 END AS bucket
+              FROM t
+            )
+            SELECT doc_id, tokens, bucket,
+                   (row_number() OVER (
+                        PARTITION BY bucket ORDER BY doc_id) - 1) // 32
+                     AS batch_idx
+            FROM b
+        """,
+        "neardup_recall": f"""
+            WITH sh AS (
+              SELECT doc_id, {_SHINGLES3} AS shingles FROM documents
+            ), true_pairs AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+                AND len(list_intersect(a.shingles, b.shingles))
+                    >= len(list_distinct(list_concat(a.shingles, b.shingles))) * 0.3
+            ), sig AS (
+              SELECT doc_id AS id, {_SIG8} FROM sh
+            ), bands AS (
+              {_bands8_sql("sig")}
+            ), cand AS (
+              SELECT DISTINCT a.id AS a_id, b.id AS b_id
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+            ), found AS (
+              SELECT t.a_id FROM true_pairs t
+              JOIN cand c ON t.a_id = c.a_id AND t.b_id = c.b_id
+            )
+            SELECT (SELECT count(*) FROM true_pairs) AS n_true,
+                   (SELECT count(*) FROM found) AS n_found,
+                   CASE WHEN (SELECT count(*) FROM true_pairs) = 0 THEN NULL
+                        ELSE ((SELECT count(*) FROM found) * 10000)
+                             // (SELECT count(*) FROM true_pairs) END
+                     AS recall_bp
         """,
         "cosine_neardup_lsh": _cosine_neardup_lsh_oracle_sql(),
         "cosine_near_dedup": _cosine_near_dedup_oracle_sql(),

@@ -988,3 +988,116 @@ def simhash_near_dedup(
     )
     losers = pairs.select(F.col("b_id").alias("__loser")).distinct()
     return df.join(losers, F.col(id_col) == F.col("__loser"), "left_anti")
+
+
+def jaccard_pairs_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ threshold via the inverted
+    shingle index — the scale-correct form of
+    :func:`jaccard_pairs_exact` (which cross-joins; validation only).
+
+    The classic IR identity: two documents' shingle-set intersection is
+    the number of posting lists they co-occur in, so a posting self-join
+    ``(shingle → id)`` × ``(shingle → id)`` with a per-pair count gives
+    ``inter`` exactly — only pairs sharing ≥1 shingle ever materialise,
+    not the n² grid. ``union = |A| + |B| - inter`` from a broadcast-able
+    per-doc size table. Same output columns as ``jaccard_pairs_exact``
+    (a_id < b_id, inter, union) and provably the same rows: pairs with
+    zero shared shingles can't pass any threshold > 0.
+
+    Scale shape: shuffles are keyed by shingle (posting build) then by
+    pair (the count groupBy) — corpus-sized but linear in postings, not
+    quadratic in docs. Hot boilerplate shingles make skewed posting
+    lists AND quadratic per-list pair blowup; ``threshold`` > 0 means a
+    shingle shared by d docs contributes d(d-1)/2 rows, so at corpus
+    scale run exact dedup + within-doc line dedup upstream first (they
+    remove the mass duplication that makes lists hot) and let AQE split
+    the skewed pair-count partitions. Requires ``threshold > 0`` —
+    at 0 the exact semantics genuinely need the cross join.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = _with_shingles(df, id_col, text_col, shingle_k)
+    # carry |A| through the explode (one long per posting row) so union
+    # needs no post-aggregation joins back to a per-doc size table —
+    # the pair table shuffles exactly once (the groupBy)
+    postings = sh.select(
+        "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
+    )
+    a, b = postings.alias("pa"), postings.alias("pb")
+    return (
+        a.join(
+            b,
+            (F.col("pa.s") == F.col("pb.s"))
+            & (F.col("pa.id") < F.col("pb.id")),
+        )
+        .groupBy(F.col("pa.id").alias("a_id"), F.col("pb.id").alias("b_id"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.first(F.col("pa.n_sh")).alias("__na"),
+            F.first(F.col("pb.n_sh")).alias("__nb"),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "inter",
+            (F.col("__na") + F.col("__nb") - F.col("inter")).alias("union"),
+        )
+        .filter(F.col("inter") >= F.col("union") * threshold)
+    )
+
+
+def neardup_recall(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Measured recall of the MinHash-LSH near-dedup pipeline against
+    exact ground truth — the "measure, don't guess" audit for the dedup
+    family (the sibling of ``ann_recall`` for the text side).
+
+    Ground truth is every pair with exact shingle-Jaccard ≥ threshold
+    (:func:`jaccard_pairs_index`); the pipeline under test is
+    :func:`verified_near_dup_pairs` with the same threshold, whose
+    output is by construction a SUBSET of the truth (LSH proposes,
+    exact Jaccard disposes — precision is always 1), so recall is one
+    left-semi count, no pair diffing.
+
+    Single-row output (n_true, n_found, recall_pct_x100): recall in
+    basis points by integer division — deterministic, engine-exact.
+    Run it on a deterministic sample slice per crawl batch to pick
+    (n_hashes, band_size) empirically; the band-probability curve
+    1-(1-s^r)^b tells you where recall SHOULD be, this measures it.
+    """
+    true_pairs = jaccard_pairs_index(
+        df, id_col, text_col, threshold, shingle_k
+    ).select("a_id", "b_id")
+    found = verified_near_dup_pairs(
+        df,
+        id_col,
+        text_col,
+        threshold=threshold,
+        n_hashes=n_hashes,
+        band_size=band_size,
+        shingle_k=shingle_k,
+    )
+    hit = true_pairs.join(found, ["a_id", "b_id"], "left_semi")
+    n_true = true_pairs.agg(F.count("*").alias("n_true"))
+    n_found = hit.agg(F.count("*").alias("n_found"))
+    return n_true.crossJoin(n_found).select(
+        "n_true",
+        "n_found",
+        F.expr(
+            "CASE WHEN n_true = 0 THEN NULL "
+            "ELSE (n_found * 10000) DIV n_true END"
+        ).alias("recall_bp"),
+    )

@@ -5217,3 +5217,100 @@ class TestGlobalShuffle:
         df = spark.range(1).withColumnRenamed("id", "doc_id")
         with pytest.raises(ValueError):
             global_shuffle(df, "doc_id", prefix_hex=0)
+
+
+class TestJaccardIndexAndRecall:
+    """Inverted-index exact Jaccard == quadratic reference; recall audit."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        import pathlib
+
+        texts = []
+        base = pathlib.Path("/root/testdata/sf0.001/documents.parquet")
+        df = spark.read.parquet(str(base)).select("doc_id", "text").limit(200)
+        return df
+
+    def test_index_matches_quadratic(self, corpus):
+        from ocr_search_spark.ops.dedup import (
+            jaccard_pairs_exact,
+            jaccard_pairs_index,
+        )
+
+        for thr in (0.3, 0.7):
+            quad = {
+                (r.a_id, r.b_id, r.inter, r["union"])
+                for r in jaccard_pairs_exact(
+                    corpus, "doc_id", "text", threshold=thr
+                ).collect()
+            }
+            idx = {
+                (r.a_id, r.b_id, r.inter, r["union"])
+                for r in jaccard_pairs_index(
+                    corpus, "doc_id", "text", threshold=thr
+                ).collect()
+            }
+            assert idx == quad
+
+    def test_threshold_zero_rejected(self, corpus):
+        from ocr_search_spark.ops.dedup import jaccard_pairs_index
+
+        with pytest.raises(ValueError):
+            jaccard_pairs_index(corpus, "doc_id", "text", threshold=0.0)
+
+    def test_recall_audit(self, corpus):
+        from ocr_search_spark.ops.dedup import neardup_recall
+
+        row = neardup_recall(
+            corpus, "doc_id", "text", threshold=0.3, n_hashes=8, band_size=2
+        ).collect()[0]
+        assert row.n_found <= row.n_true
+        if row.n_true:
+            assert 0 <= row.recall_bp <= 10000
+            assert row.recall_bp == (row.n_found * 10000) // row.n_true
+        else:
+            assert row.recall_bp is None
+
+    def test_recall_perfect_on_exact_dups(self, spark):
+        from ocr_search_spark.ops.dedup import neardup_recall
+
+        rows = [(f"d{i}", "identical text body of this document here") for i in range(4)] + [
+            ("x", "совершенно другой текст без общих слов вообще")
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        row = neardup_recall(df, "doc_id", "text", threshold=0.5).collect()[0]
+        assert row.n_true == 6  # C(4,2) identical pairs
+        assert row.n_found == 6 and row.recall_bp == 10000
+
+
+class TestLengthBuckets:
+    def test_bucket_and_batch_semantics(self, spark):
+        from ocr_search_spark.ops.sampling import length_buckets
+
+        rows = [(f"d{i:03d}", n) for i, n in enumerate(
+            [0, 1, 2, 3, 7, 8, 100, 120, 130, 140, 150, None]
+        )]
+        df = spark.createDataFrame(rows, "doc_id string, n_tokens int")
+        got = {
+            r.doc_id: (r.tokens, r.bucket, r.batch_idx)
+            for r in length_buckets(df, batch_size=2).collect()
+        }
+        assert got["d000"] == (0, 0, 0)   # zero tokens -> bucket 0
+        assert got["d011"] == (0, 0, 1)   # null -> 0 tokens, bucket 0
+        assert got["d001"][1] == 0        # floor(log2(1)) = 0
+        assert got["d002"][1] == 1 and got["d003"][1] == 1
+        assert got["d004"][1] == 2 and got["d005"][1] == 3
+        assert all(got[f"d{i:03d}"][1] == 6 for i in range(6, 8))   # 100,120
+        assert all(got[f"d{i:03d}"][1] == 7 for i in range(8, 11))  # >=128
+        # within-bucket batches of 2 in doc_id order
+        assert [got[f"d{i:03d}"][2] for i in range(6, 8)] == [0, 0]
+        assert [got[f"d{i:03d}"][2] for i in range(8, 11)] == [0, 0, 1]
+
+    def test_batch_size_validated(self, spark):
+        from ocr_search_spark.ops.sampling import length_buckets
+
+        df = spark.createDataFrame([("a", 1)], "doc_id string, n_tokens int")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            length_buckets(df, batch_size=0)
