@@ -677,3 +677,51 @@ def global_shuffle(
         id_col,
         (F.col("__off") + F.row_number().over(w_in) - 1).alias("position"),
     )
+
+
+def length_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_count_col: str = "n_tokens",
+    batch_size: int = 32,
+) -> DataFrame:
+    """Length-bucketed batching: group rows into power-of-two token-length
+    buckets, then deterministic fixed-size batches within each bucket —
+    the standard padding-waste killer for batched tokenization/inference
+    (sequences in a batch pad to the batch max, so batching 10-token rows
+    with 10k-token rows wastes ~99.9% of the compute).
+
+    ``bucket`` is ``floor(log2(n))`` via the bin-length identity (0- and
+    null-token rows land in bucket 0 rather than vanishing); ``batch_idx``
+    is the row's ordinal within its bucket (ordered by ``id_col`` for
+    determinism) integer-divided by ``batch_size``. (bucket, batch_idx)
+    is the batch key; every batch holds ≤ ``batch_size`` rows whose
+    lengths are within 2× of each other.
+
+    One shuffle (the per-bucket window); ~60 buckets regardless of corpus
+    size, so per-bucket partitions are corpus-sized — for 10^12-row
+    corpora sub-bucket the window by a hash group (the ``pack_shards``
+    pattern) or feed shards independently; at that scale batches don't
+    need global ordinals, only unique keys.
+
+    Output: (id_col, tokens, bucket, batch_idx).
+    """
+    if batch_size <= 0:
+        raise ValueError(f"batch_size must be positive, got {batch_size}")
+    from pyspark.sql import Window
+
+    n = F.coalesce(F.col(token_count_col).cast("long"), F.lit(0))
+    bucket = F.when(n <= 0, F.lit(0)).otherwise(
+        F.length(F.bin(n)) - 1
+    )
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    return (
+        df.select(F.col(id_col), n.alias("tokens"), bucket.alias("bucket"))
+        .withColumn("__ord", (F.row_number().over(w) - 1).cast("long"))
+        .select(
+            id_col,
+            "tokens",
+            "bucket",
+            F.expr(f"__ord DIV {int(batch_size)}").alias("batch_idx"),
+        )
+    )
