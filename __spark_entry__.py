@@ -2136,6 +2136,18 @@ def q_extract_spans(spark, sf_dir):
     return explode_spans(extract_documents(docs))
 
 
+def q_caption_pairs(spark, sf_dir):
+    """Media↔caption pairing over the interleaved extracted span table
+    (ops/multimodal.py caption_pairs): each image span gets its nearest
+    non-blank text span by span order (tie → preceding) — the
+    LAION/OBELICS-style multimodal training-pair builder; one per-doc
+    window pass, no self-join. Oracle: the same argmin in SQL over the
+    scalar-reference golden spans."""
+    from ocr_search_spark.ops.multimodal import caption_pairs
+
+    return caption_pairs(q_extract_spans(spark, sf_dir))
+
+
 def q_extract_kind_stats(spark, sf_dir):
     """Per-kind extraction metrics (audit-table feed)."""
     flat = q_extract_spans(spark, sf_dir)
@@ -2775,6 +2787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_bits": q_kn_bits,
         "neardup_recall": q_neardup_recall,
         "length_buckets": q_length_buckets,
+        "caption_pairs": q_caption_pairs,
     }
 
 
@@ -5268,6 +5281,31 @@ def oracle_sql() -> dict[str, str]:
         "html_main_content": f"""
             SELECT doc_id, main_text
             FROM read_parquet('{_golden_main_content_parquet()}')
+        """,
+        "caption_pairs": f"""
+            WITH g AS (
+              SELECT doc_id, kind, text, media_ref, "order"
+              FROM read_parquet('{_golden_spans_parquet()}')
+            ), media AS (
+              SELECT doc_id, media_ref, "order" AS media_order
+              FROM g WHERE kind = 'image'
+            ), caps AS (
+              SELECT doc_id, "order" AS c_ord, text
+              FROM g WHERE kind <> 'image' AND length(trim(text)) > 0
+            ), best AS (
+              SELECT m.doc_id, m.media_order, c.c_ord, c.text,
+                     row_number() OVER (
+                       PARTITION BY m.doc_id, m.media_order
+                       ORDER BY abs(c.c_ord - m.media_order), c.c_ord
+                     ) AS rn
+              FROM media m JOIN caps c USING (doc_id)
+            )
+            SELECT m.doc_id, m.media_ref, m.media_order,
+                   b.c_ord AS caption_order, b.text AS caption,
+                   abs(b.c_ord - m.media_order) AS distance
+            FROM media m
+            LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+              ON b.doc_id = m.doc_id AND b.media_order = m.media_order
         """,
         "extract_kind_stats": f"""
             SELECT kind, count(*) AS n_spans,

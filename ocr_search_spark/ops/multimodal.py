@@ -235,3 +235,68 @@ def media_exact_dedup(media: DataFrame) -> DataFrame:
         .groupBy("fingerprint")
         .agg(F.count("*").alias("n_dups"), F.min("media_ref").alias("keeper_ref"))
     )
+
+
+def caption_pairs(
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    media_kind: str = "image",
+    order_col: str = "order",
+) -> DataFrame:
+    """Pair every media span with its nearest text span — the
+    LAION/OBELICS-style caption-candidate builder over an interleaved
+    text+media document: in a web page or PDF, the text physically
+    adjacent to an image is the best zero-shot caption, and
+    image-caption pairs are the raw material of multimodal training.
+
+    Input is the flat extracted span table (doc_id, kind, text,
+    media_ref, order). A span is a caption candidate if it is not media
+    and its extracted text is non-blank. For each media span the nearest
+    candidate by span order wins; on an exact distance tie the PRECEDING
+    span wins (captions lead their figure more often than they trail it
+    — and the rule must be deterministic for the oracle).
+
+    Plan: one per-document window pass, no self-join — ``last(...,
+    ignorenulls)`` over the preceding frame and ``first(...,
+    ignorenulls)`` over the following frame give each row its nearest
+    candidate on both sides in a single sort; documents are independent,
+    so the shuffle is the doc-keyed window and skew is bounded by
+    max spans per doc (the giant-PDF salt upstream already bounds that).
+
+    Output: (id_col, media_ref, media_order, caption_order, caption,
+    distance) — caption NULL when the document has no text spans.
+    """
+    from pyspark.sql import Window, functions as F
+
+    o = F.col(order_col)
+    is_cap = (F.col("kind") != media_kind) & (
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    cand = F.when(
+        is_cap, F.struct(o.alias("o"), F.col("text").alias("t"))
+    )
+    w = Window.partitionBy(id_col).orderBy(order_col)
+    prev = F.last(cand, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nxt = F.first(cand, ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    chosen = (
+        F.when(prev.isNull(), nxt)
+        .when(nxt.isNull(), prev)
+        .when(o - prev["o"] <= nxt["o"] - o, prev)
+        .otherwise(nxt)
+    )
+    return (
+        spans.withColumn("__c", chosen)
+        .filter(F.col("kind") == media_kind)
+        .select(
+            F.col(id_col),
+            F.col("media_ref"),
+            o.alias("media_order"),
+            F.col("__c")["o"].alias("caption_order"),
+            F.col("__c")["t"].alias("caption"),
+            F.abs(F.col("__c")["o"] - o).alias("distance"),
+        )
+    )

@@ -5314,3 +5314,80 @@ class TestLengthBuckets:
 
         with _pytest.raises(ValueError):
             length_buckets(df, batch_size=0)
+
+
+class TestCaptionPairs:
+    ROWS = [
+        # doc A: text, image, text  -> tie (dist 1 both sides) -> preceding
+        ("A", "txt", "before text", None, 0),
+        ("A", "image", "", "m://a1", 1),
+        ("A", "txt", "after text", None, 2),
+        # doc B: image leads, only following text
+        ("B", "image", "", "m://b1", 0),
+        ("B", "html", "  ", None, 1),        # blank -> not a candidate
+        ("B", "txt", "caption b", None, 2),
+        # doc C: no text at all
+        ("C", "image", "", "m://c1", 0),
+        ("C", "image", "", "m://c2", 1),
+        # doc D: nearest wins over first
+        ("D", "txt", "far", None, 0),
+        ("D", "txt", "near", None, 3),
+        ("D", "image", "", "m://d1", 4),
+    ]
+
+    def _flat(self, spark):
+        return spark.createDataFrame(
+            self.ROWS,
+            "doc_id string, kind string, text string, media_ref string, order int",
+        )
+
+    def test_semantics(self, spark):
+        from ocr_search_spark.ops.multimodal import caption_pairs
+
+        got = {
+            (r.doc_id, r.media_ref): (r.caption_order, r.caption, r.distance)
+            for r in caption_pairs(self._flat(spark)).collect()
+        }
+        assert got[("A", "m://a1")] == (0, "before text", 1)  # tie -> prev
+        assert got[("B", "m://b1")] == (2, "caption b", 2)    # blank skipped
+        assert got[("C", "m://c1")] == (None, None, None)
+        assert got[("C", "m://c2")] == (None, None, None)
+        assert got[("D", "m://d1")] == (3, "near", 1)
+
+    def test_matches_scalar_twin_on_corpus(self, spark):
+        from ocr_search_spark.corpus import build_document, load_base_texts
+        from ocr_search_spark.corpus import corpus_df
+        from ocr_search_spark.kernels.reference_impl import (
+            extract_document_spans,
+        )
+        from ocr_search_spark.ops.multimodal import caption_pairs
+        from ocr_search_spark.pipeline import explode_spans, extract_documents
+
+        flat = explode_spans(
+            extract_documents(corpus_df(spark, "/root/testdata/sf0.001", n_docs=80))
+        )
+        got = {
+            (r.doc_id, r.media_order): (r.caption_order, r.caption)
+            for r in caption_pairs(flat).collect()
+        }
+        base = load_base_texts("/root/testdata/sf0.001")
+        want = {}
+        for i in range(80):
+            doc = build_document(i, base)
+            spans = extract_document_spans(doc["spans"])
+            caps = [
+                (s["order"], s["text"])
+                for s in spans
+                if s["kind"] != "image" and s["text"].strip()
+            ]
+            for s in spans:
+                if s["kind"] != "image":
+                    continue
+                if not caps:
+                    want[(doc["doc_id"], s["order"])] = (None, None)
+                    continue
+                best = min(
+                    caps, key=lambda c: (abs(c[0] - s["order"]), c[0])
+                )
+                want[(doc["doc_id"], s["order"])] = best
+        assert got == want
