@@ -2148,6 +2148,21 @@ def q_caption_pairs(spark, sf_dir):
     return caption_pairs(q_extract_spans(spark, sf_dir))
 
 
+def q_html_links(spark, sf_dir):
+    """Out-link extraction from raw interleaved HTML spans
+    (ops/graph.py html_links): whole-anchor regexp_extract_all +
+    posexplode, JVM-side end to end — the web-graph edge front end for
+    domain_link_edges/pagerank. Oracle: golden parquet from the Python
+    `re` scalar twin (independent regex engine)."""
+    from ocr_search_spark.corpus import corpus_df
+    from ocr_search_spark.ops.graph import html_links
+
+    n = {"sf0.001": 1000, "sf0.01": 2000, "sf0.1": 100000}.get(
+        sf_dir.rstrip("/").rsplit("/", 1)[-1], 1000
+    )
+    return html_links(corpus_df(spark, sf_dir, n_docs=n))
+
+
 def q_extract_kind_stats(spark, sf_dir):
     """Per-kind extraction metrics (audit-table feed)."""
     flat = q_extract_spans(spark, sf_dir)
@@ -2788,6 +2803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_recall": q_neardup_recall,
         "length_buckets": q_length_buckets,
         "caption_pairs": q_caption_pairs,
+        "html_links": q_html_links,
     }
 
 
@@ -5307,6 +5323,10 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
               ON b.doc_id = m.doc_id AND b.media_order = m.media_order
         """,
+        "html_links": f"""
+            SELECT doc_id, span_offset, link_order, href, anchor
+            FROM read_parquet('{_golden_links_parquet()}')
+        """,
         "extract_kind_stats": f"""
             SELECT kind, count(*) AS n_spans,
                    CAST(sum(length(text)) AS BIGINT) AS total_chars
@@ -6065,6 +6085,58 @@ def _golden_main_content_parquet(sf_dir: str = "/root/testdata/sf0.01") -> str:
     tmp = out + ".tmp"
     pq.write_table(table, tmp)
     os.replace(tmp, out)
+    return out
+
+
+def _golden_links_parquet(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Golden (doc_id, span_offset, link_order, href, anchor) table for
+    q_html_links, built by a Python `re` scalar twin over the same
+    deterministic corpus — independent of the JVM regex path the Spark
+    query runs. Same cache-key scheme as the other goldens."""
+    import hashlib
+    import os
+    import re as _re
+
+    import ocr_search_spark.corpus as _corpus
+    import ocr_search_spark.ops.graph as _graph
+
+    h = hashlib.md5()
+    for mod in (_corpus, _graph):
+        with open(mod.__file__, "rb") as fh:
+            h.update(fh.read())
+    out = f"/root/repo/.data/golden_links_sf0.01_{h.hexdigest()[:10]}.parquet"
+    if os.path.exists(out):
+        return out
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_search_spark.corpus import build_document, load_base_texts
+
+    pat = _re.compile(r'<a\s[^>]*href="[^"]*"[^>]*>[^<]*</a>')
+    base = load_base_texts(sf_dir)
+    ids, offs, orders, hrefs, anchors = [], [], [], [], []
+    for i in range(2000):  # must match q_html_links's n at sf0.01
+        doc = build_document(i, base)
+        for sp in doc["spans"]:
+            if sp["kind"] != "html":
+                continue
+            for order, m in enumerate(pat.findall(sp["text"])):
+                ids.append(doc["doc_id"])
+                offs.append(sp["offset"])
+                orders.append(order)
+                hrefs.append(_re.search(r'href="([^"]*)"', m).group(1))
+                anchors.append(_re.search(r">([^<]*)</a>", m).group(1))
+    table = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.string()),
+            "span_offset": pa.array(offs, pa.int32()),
+            "link_order": pa.array(orders, pa.int32()),
+            "href": pa.array(hrefs, pa.string()),
+            "anchor": pa.array(anchors, pa.string()),
+        }
+    )
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    pq.write_table(table, out)
     return out
 
 

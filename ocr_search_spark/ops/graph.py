@@ -131,3 +131,47 @@ def domain_link_edges(
         )
         .filter(F.col("src") != F.col("dst"))
     )
+
+
+#: one full anchor tag: href attribute + text content (no nested tags)
+_ANCHOR_TAG_RE = r'<a\\s[^>]*href="[^"]*"[^>]*>[^<]*</a>'
+
+
+def html_links(
+    docs: DataFrame, id_col: str = "doc_id", spans_col: str = "spans"
+) -> DataFrame:
+    """Out-link extraction from the RAW interleaved HTML spans — the
+    web-graph edge front end (``domain_link_edges``/``pagerank`` consume
+    what this emits, and anchor text is the classic relevance signal the
+    link-graph training recipes keep).
+
+    Vectorized and JVM-side end to end: explode spans → keep html kind →
+    ``regexp_extract_all`` whole anchor tags → ``posexplode`` to one row
+    per link (``link_order`` is the in-document link sequence) → two
+    projection-only ``regexp_extract`` pulls for href and anchor text.
+    Only tags with a double-quoted href and tag-free anchor body match —
+    boilerplate-grade extraction, the same contract as the scalar twin
+    that generates the oracle golden (Python ``re`` vs Java regex:
+    independent engines, identical language subset).
+
+    Output: (id_col, span_offset, link_order, href, anchor) —
+    ``link_order`` restarts per span; (id, span_offset, link_order) is
+    the unique link key.
+    """
+    html = docs.select(
+        F.col(id_col), F.explode(spans_col).alias("sp")
+    ).filter(F.col("sp.kind") == "html")
+    tags = html.select(
+        F.col(id_col),
+        F.col("sp.offset").alias("span_offset"),
+        F.posexplode(
+            F.expr(f"regexp_extract_all(sp.text, '{_ANCHOR_TAG_RE}', 0)")
+        ).alias("link_order", "tag"),
+    )
+    return tags.select(
+        F.col(id_col),
+        "span_offset",
+        "link_order",
+        F.regexp_extract("tag", 'href="([^"]*)"', 1).alias("href"),
+        F.regexp_extract("tag", '>([^<]*)</a>', 1).alias("anchor"),
+    )

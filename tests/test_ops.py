@@ -5391,3 +5391,60 @@ class TestCaptionPairs:
                 )
                 want[(doc["doc_id"], s["order"])] = best
         assert got == want
+
+
+class TestHtmlLinks:
+    def test_extracts_href_anchor_in_order(self, spark):
+        from ocr_search_spark.ops.graph import html_links
+
+        spans = [
+            ("A", [("html", '<p>x</p><a href="/one">First</a> mid '
+                            '<a class="z" href="/two" rel="no">Second</a>'
+                            '<a href="/skip"><b>nested</b></a>', None, 0),
+                   ("txt", "no links here", None, 1)]),
+            ("B", [("txt", '<a href="/not-html">n</a>', None, 0)]),
+        ]
+        df = spark.createDataFrame(
+            spans,
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+        )
+        rows = sorted(
+            (r.doc_id, r.span_offset, r.link_order, r.href, r.anchor)
+            for r in html_links(df).collect()
+        )
+        # nested-tag anchor is excluded (tag-free body contract);
+        # txt spans never contribute
+        assert rows == [
+            ("A", 0, 0, "/one", "First"),
+            ("A", 0, 1, "/two", "Second"),
+        ]
+
+    def test_matches_python_re_twin_on_corpus(self, spark):
+        import re
+
+        from ocr_search_spark.corpus import (
+            build_document,
+            corpus_df,
+            load_base_texts,
+        )
+        from ocr_search_spark.ops.graph import html_links
+
+        docs = corpus_df(spark, "/root/testdata/sf0.001", n_docs=120)
+        got = sorted(
+            (r.doc_id, r.span_offset, r.link_order, r.href, r.anchor)
+            for r in html_links(docs).collect()
+        )
+        pat = re.compile(r'<a\s[^>]*href="[^"]*"[^>]*>[^<]*</a>')
+        want = []
+        base = load_base_texts("/root/testdata/sf0.001")
+        for i in range(120):
+            d = build_document(i, base)
+            for s in d["spans"]:
+                if s["kind"] != "html":
+                    continue
+                for order, m in enumerate(pat.findall(s["text"])):
+                    href = re.search(r'href="([^"]*)"', m).group(1)
+                    anchor = re.search(r">([^<]*)</a>", m).group(1)
+                    want.append((d["doc_id"], s["offset"], order, href, anchor))
+        assert got == sorted(want)
