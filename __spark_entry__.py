@@ -2163,6 +2163,17 @@ def q_html_links(spark, sf_dir):
     return html_links(corpus_df(spark, sf_dir, n_docs=n))
 
 
+def q_interleave_profile(spark, sf_dir):
+    """Per-doc multimodal interleave data card (ops/multimodal.py
+    interleave_profile): text/media span counts, media ratio in basis
+    points, and the longest consecutive media run (gaps-and-islands via
+    two row_numbers sharing ONE doc-keyed shuffle) — the OBELICS-style
+    gate signals for interleaved training docs."""
+    from ocr_search_spark.ops.multimodal import interleave_profile
+
+    return interleave_profile(q_extract_spans(spark, sf_dir))
+
+
 def q_extract_kind_stats(spark, sf_dir):
     """Per-kind extraction metrics (audit-table feed)."""
     flat = q_extract_spans(spark, sf_dir)
@@ -2804,6 +2815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": q_length_buckets,
         "caption_pairs": q_caption_pairs,
         "html_links": q_html_links,
+        "interleave_profile": q_interleave_profile,
     }
 
 
@@ -5326,6 +5338,33 @@ def oracle_sql() -> dict[str, str]:
         "html_links": f"""
             SELECT doc_id, span_offset, link_order, href, anchor
             FROM read_parquet('{_golden_links_parquet()}')
+        """,
+        "interleave_profile": f"""
+            WITH g AS (
+              SELECT doc_id, "order",
+                     CASE WHEN kind = 'image' THEN 1 ELSE 0 END AS m
+              FROM read_parquet('{_golden_spans_parquet()}')
+            ), i AS (
+              SELECT doc_id, m,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY "order")
+                   - row_number() OVER (PARTITION BY doc_id, m
+                                        ORDER BY "order") AS island
+              FROM g
+            ), runs AS (
+              SELECT doc_id, max(run)::BIGINT AS max_media_run
+              FROM (
+                SELECT doc_id, island, count(*) AS run
+                FROM i WHERE m = 1 GROUP BY 1, 2
+              ) GROUP BY 1
+            ), c AS (
+              SELECT doc_id, sum(1 - m)::BIGINT AS n_text,
+                     sum(m)::BIGINT AS n_media
+              FROM g GROUP BY 1
+            )
+            SELECT c.doc_id, n_text, n_media,
+                   (n_media * 10000) // (n_text + n_media) AS media_ratio_bp,
+                   coalesce(max_media_run, 0) AS max_media_run
+            FROM c LEFT JOIN runs USING (doc_id)
         """,
         "extract_kind_stats": f"""
             SELECT kind, count(*) AS n_spans,

@@ -300,3 +300,67 @@ def caption_pairs(
             F.abs(F.col("__c")["o"] - o).alias("distance"),
         )
     )
+
+
+def interleave_profile(
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    media_kind: str = "image",
+    order_col: str = "order",
+) -> DataFrame:
+    """Per-document interleave statistics over the extracted span table —
+    the data-card row an OBELICS-style multimodal corpus gates on:
+    (n_text, n_media, media_ratio_bp, max_media_run). Docs whose media
+    ratio is extreme (all-image galleries, imageless walls of text) or
+    that carry long uninterrupted image runs (carousels) are poor
+    interleaved-training material — this emits the signals, the mixing
+    recipe applies the thresholds.
+
+    ``max_media_run`` is the classic gaps-and-islands length: island id
+    = ordinal-in-doc minus ordinal-within-kind (two window row_numbers
+    over the same doc-keyed sort — ONE shuffle, the second window reuses
+    the first's partitioning), then the longest media island per doc.
+    ``media_ratio_bp`` is media spans per ten-thousand spans, integer
+    division — engine-exact.
+
+    Output: (id_col, n_text, n_media, media_ratio_bp, max_media_run) —
+    max_media_run 0 when the doc has no media spans.
+    """
+    from pyspark.sql import Window, functions as F
+
+    is_media = (F.col("kind") == media_kind).cast("int")
+    w_all = Window.partitionBy(id_col).orderBy(order_col)
+    w_kind = Window.partitionBy(id_col, "__m").orderBy(order_col)
+    marked = spans.select(
+        F.col(id_col), F.col(order_col), is_media.alias("__m")
+    )
+    islands = marked.select(
+        F.col(id_col),
+        "__m",
+        (
+            F.row_number().over(w_all) - F.row_number().over(w_kind)
+        ).alias("__island"),
+    )
+    runs = (
+        islands.filter(F.col("__m") == 1)
+        .groupBy(id_col, "__island")
+        .agg(F.count("*").alias("__run"))
+        .groupBy(id_col)
+        .agg(F.max("__run").alias("max_media_run"))
+    )
+    counts = marked.groupBy(id_col).agg(
+        F.sum(F.lit(1) - F.col("__m")).alias("n_text"),
+        F.sum("__m").alias("n_media"),
+    )
+    return (
+        counts.join(runs, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_text",
+            "n_media",
+            F.expr("(n_media * 10000) DIV (n_text + n_media)").alias(
+                "media_ratio_bp"
+            ),
+            F.coalesce("max_media_run", F.lit(0)).alias("max_media_run"),
+        )
+    )

@@ -5448,3 +5448,43 @@ class TestHtmlLinks:
                     anchor = re.search(r">([^<]*)</a>", m).group(1)
                     want.append((d["doc_id"], s["offset"], order, href, anchor))
         assert got == sorted(want)
+
+
+class TestInterleaveProfile:
+    def test_islands_and_ratios(self, spark):
+        from ocr_search_spark.ops.multimodal import interleave_profile
+
+        rows = []
+        # doc A: t i i i t i  -> max run 3, 4 media / 6 spans
+        for o, k in enumerate(["txt", "image", "image", "image", "txt", "image"]):
+            rows.append(("A", k, o))
+        # doc B: all text
+        for o in range(3):
+            rows.append(("B", "pdf", o))
+        # doc C: all media
+        for o in range(2):
+            rows.append(("C", "image", o))
+        df = spark.createDataFrame(rows, "doc_id string, kind string, order int")
+        got = {
+            r.doc_id: (r.n_text, r.n_media, r.media_ratio_bp, r.max_media_run)
+            for r in interleave_profile(df).collect()
+        }
+        assert got["A"] == (2, 4, 6666, 3)
+        assert got["B"] == (3, 0, 0, 0)
+        assert got["C"] == (0, 2, 10000, 2)
+
+    def test_single_window_shuffle(self, spark):
+        from ocr_search_spark.ops.multimodal import interleave_profile
+
+        df = spark.createDataFrame(
+            [("A", "txt", 0)], "doc_id string, kind string, order int"
+        )
+        plan = (
+            interleave_profile(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the kind-keyed window must reuse the doc-keyed sort's exchange:
+        # exchanges = windows(1 shared) + runs agg + counts agg + join
+        assert plan.count("Window") == 2
