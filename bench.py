@@ -205,6 +205,8 @@ def main() -> None:
         "wordpiece_train",
         "wordpiece_encode",
         "unigram_segment",
+        "kn_bits",
+        "neardup_recall",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then
