@@ -299,6 +299,18 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     ).withColumnRenamed("union", "union_sz")
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Directional shingle-containment pairs ≥ 0.8 (ops/dedup.py
+    containment_pairs): the subset/quotation duplication Jaccard misses
+    — same single-shuffle inverted-posting machinery, all-integer
+    basis-point filter."""
+    from ocr_search_spark.ops.dedup import containment_pairs
+
+    return containment_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", threshold_bp=8000
+    )
+
+
 def q_neardup_recall(spark, sf_dir):
     """Measured recall of MinHash-LSH near-dedup vs exact inverted-index
     Jaccard ground truth at the same threshold (ops/dedup.py
@@ -2816,6 +2828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_pairs": q_caption_pairs,
         "html_links": q_html_links,
         "interleave_profile": q_interleave_profile,
+        "containment_pairs": q_containment_pairs,
     }
 
 
@@ -5229,6 +5242,21 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY bucket ORDER BY doc_id) - 1) // 32
                      AS batch_idx
             FROM b
+        """,
+        "containment_pairs": f"""
+            WITH sh AS (
+              SELECT doc_id, {_SHINGLES3} AS s FROM documents
+            ), p AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     len(list_intersect(a.s, b.s)) AS inter,
+                     len(a.s) AS n_a, len(b.s) AS n_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(a.s) > 0 AND len(b.s) > 0
+            )
+            SELECT a_id, b_id, inter, n_a, n_b,
+                   (inter * 10000) // least(n_a, n_b) AS containment_bp
+            FROM p
+            WHERE inter * 10000 >= 8000 * least(n_a, n_b)
         """,
         "neardup_recall": f"""
             WITH sh AS (

@@ -1101,3 +1101,66 @@ def neardup_recall(
             "ELSE (n_found * 10000) DIV n_true END"
         ).alias("recall_bp"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_bp: int = 8000,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Directional shingle containment ≥ threshold: pairs where the
+    SMALLER document's shingle set is mostly inside the larger one's —
+    the subset/quotation duplication Jaccard structurally misses (a
+    paragraph quoted inside a 100× longer page has Jaccard ≈ 0.01 but
+    containment ≈ 1.0; the suffix-array dedup literature's motivating
+    case, and what makes boilerplate wrappers around copied bodies
+    survive Jaccard-threshold dedup).
+
+    Same inverted-posting machinery as :func:`jaccard_pairs_index`
+    (inter = co-occurrence count, sizes carried through the explode, the
+    pair table shuffles once); the filter is
+    ``inter * 10000 >= threshold_bp * least(|A|, |B|)`` — all-integer,
+    engine-exact. Zero-shingle docs can't pair (no postings), matching
+    the convention that empty docs are upstream exact-dedup's problem.
+
+    Output: (a_id, b_id, inter, n_a, n_b, containment_bp) with
+    containment_bp = basis-point containment of the smaller set.
+    """
+    if not 0 < threshold_bp <= 10000:
+        raise ValueError(
+            f"threshold_bp must be in (0, 10000], got {threshold_bp}"
+        )
+    sh = _with_shingles(df, id_col, text_col, shingle_k)
+    postings = sh.select(
+        "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
+    )
+    a, b = postings.alias("pa"), postings.alias("pb")
+    return (
+        a.join(
+            b,
+            (F.col("pa.s") == F.col("pb.s"))
+            & (F.col("pa.id") < F.col("pb.id")),
+        )
+        .groupBy(F.col("pa.id").alias("a_id"), F.col("pb.id").alias("b_id"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.first(F.col("pa.n_sh")).alias("n_a"),
+            F.first(F.col("pb.n_sh")).alias("n_b"),
+        )
+        .filter(
+            F.col("inter") * 10000
+            >= F.lit(int(threshold_bp)) * F.least("n_a", "n_b")
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "inter",
+            "n_a",
+            "n_b",
+            F.expr("(inter * 10000) DIV least(n_a, n_b)").alias(
+                "containment_bp"
+            ),
+        )
+    )

@@ -5488,3 +5488,65 @@ class TestInterleaveProfile:
         # the kind-keyed window must reuse the doc-keyed sort's exchange:
         # exchanges = windows(1 shared) + runs agg + counts agg + join
         assert plan.count("Window") == 2
+
+
+class TestContainmentPairs:
+    def test_quote_inside_long_doc(self, spark):
+        from ocr_search_spark.ops.dedup import containment_pairs
+
+        quote = "the quick brown fox jumps over the lazy dog tonight"
+        filler = " ".join(f"word{i} token{i} item{i}" for i in range(60))
+        rows = [
+            ("short", quote),
+            ("long", filler + " " + quote + " " + filler[::-1].replace("  ", " ")),
+            ("other", "совсем другой текст без общих слов вообще здесь"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        got = {
+            (r.a_id, r.b_id): r.containment_bp
+            for r in containment_pairs(df, "doc_id", "text", 8000).collect()
+        }
+        # every shingle of the quote appears in the long doc
+        assert got.get(("long", "short")) == 10000 or got.get(("short", "long")) == 10000
+        assert not any("other" in k for k in got)
+
+    def test_matches_scalar_twin(self, spark):
+        from ocr_search_spark.ops.dedup import containment_pairs
+
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text")
+            .limit(150)
+        )
+        got = {
+            (r.a_id, r.b_id): (r.inter, r.n_a, r.n_b, r.containment_bp)
+            for r in containment_pairs(docs, "doc_id", "text", 5000).collect()
+        }
+        import re
+
+        tok = re.compile(r"[^a-zа-яё0-9_]+")
+        rows = docs.collect()
+
+        def sh(t):
+            toks = [x for x in tok.split(t.lower()) if x]
+            return {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            } if len(toks) >= 3 else set()
+
+        sets = {r.doc_id: sh(r.text) for r in rows}
+        want = {}
+        ids = sorted(sets)
+        for i, ai in enumerate(ids):
+            for bi in ids[i + 1 :]:
+                A, B = sets[ai], sets[bi]
+                if not A or not B:
+                    continue
+                inter = len(A & B)
+                if inter * 10000 >= 5000 * min(len(A), len(B)):
+                    want[(ai, bi)] = (
+                        inter,
+                        len(A),
+                        len(B),
+                        (inter * 10000) // min(len(A), len(B)),
+                    )
+        assert got == want
