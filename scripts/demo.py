@@ -114,6 +114,23 @@ def main() -> None:
         2, truncate=False
     )
 
+    print("== multimodal: caption pairing + interleave data card (r5 cont.)")
+    from ocr_search_spark.ops.multimodal import caption_pairs, interleave_profile
+    from ocr_search_spark.pipeline import explode_spans
+
+    flat = explode_spans(committed_spans(spark, workdir, "demo"))
+    caps = caption_pairs(flat)
+    n_media = caps.count()
+    n_captioned = caps.filter(F.col("caption").isNotNull()).count()
+    print(f"media spans={n_media}  captioned={n_captioned}")
+    caps.filter(F.col("caption").isNotNull()).select(
+        "doc_id", "media_ref", "distance",
+        F.substring("caption", 1, 50).alias("caption_head"),
+    ).orderBy("doc_id", "media_order").show(3, truncate=False)
+    interleave_profile(flat).orderBy(
+        F.col("max_media_run").desc(), "doc_id"
+    ).show(3)
+
     print("== train/val/test split (deterministic hash ranges)")
     hash_split(content, {"train": 0.8, "val": 0.1, "test": 0.1}).groupBy(
         "split"
