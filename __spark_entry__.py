@@ -2094,6 +2094,44 @@ def q_bm25(spark, sf_dir):
     return bm25_scores(_docs(spark, sf_dir), FTS_TERMS)
 
 
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval by reciprocal-rank fusion (search/ranking.py
+    rrf_fuse): the lexical arm ranks the BM25 scores for the Q1 terms
+    (top-50), the semantic arm ranks embedding-cosine neighbors of
+    query vector 0 (top-50, vec_id ≡ doc_id at oracle scale), and RRF
+    with k0=60 fuses the two incommensurable scorers in exact BIGINT
+    reciprocal-rank arithmetic — the modern generalization of the
+    reference's GREATEST(rank, sim) two-signal sort (app/search.py:81).
+    Both arms are lattice-rounded with deterministic tie-breaks, so the
+    fused top-25 is engine-reproducible."""
+    from pyspark.sql.window import Window
+
+    from ocr_search_spark.ops.similarity import cosine_topk
+    from ocr_search_spark.search.ranking import bm25_scores, rrf_fuse
+
+    # distributed top-k first (TakeOrderedAndProject — per-partition heaps,
+    # no global sort), THEN the global rank window over the 50 survivors:
+    # the single-partition window is bounded at k rows regardless of how
+    # many documents matched
+    lex = (
+        bm25_scores(_docs(spark, sf_dir), FTS_TERMS)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(50)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+            ),
+        )
+        .select("doc_id", "rank")
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sem = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=50).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rnk").alias("rank")
+    )
+    return rrf_fuse([lex, sem], id_col="doc_id", k0=60, topk=25)
+
+
 def q_rank_cd(spark, sf_dir):
     """Cover-density proximity rank (ts_rank_cd analogue, search.py:77):
     best window covering all query terms, n_terms/min_cover."""
@@ -2829,6 +2867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_links": q_html_links,
         "interleave_profile": q_interleave_profile,
         "containment_pairs": q_containment_pairs,
+        "hybrid_search": q_hybrid_search,
     }
 
 
@@ -5729,6 +5768,59 @@ def oracle_sql() -> dict[str, str]:
               JOIN nrm nb ON nb.id = s.b
             )
             SELECT a, b, dot, sim, rnk FROM ranked WHERE rnk <= 3
+        """,
+        "hybrid_search": f"""
+            WITH tfd AS (
+              SELECT doc_id, len({_TOK}) AS dl,
+                     len(list_filter({_TOK}, t -> t = 'spark')) AS tf0,
+                     len(list_filter({_TOK}, t -> t = 'join')) AS tf1
+              FROM documents
+            ), stats AS (
+              SELECT count(*) AS n, sum(dl) AS sumdl,
+                     sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                     sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+              FROM tfd
+            ), bm AS (
+              SELECT doc_id,
+                     round(
+                       ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+                         / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / (sumdl * 1.0 / n)))
+                     + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+                         / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / (sumdl * 1.0 / n))),
+                     6) AS bm25
+              FROM tfd, stats
+              WHERE tf0 > 0 OR tf1 > 0
+            ), lex AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+              FROM bm QUALIFY rank <= 50
+            ), q AS (
+              SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+            ), cos AS (
+              SELECT e.vec_id AS doc_id,
+                     round(
+                       list_sum(list_transform(range(1, 65),
+                         i -> e.embedding[i]::DOUBLE * q.qvec[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(range(1, 65),
+                            i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+                        * sqrt(list_sum(list_transform(range(1, 65),
+                            i -> q.qvec[i]::DOUBLE * q.qvec[i]::DOUBLE)))),
+                     6) AS cs
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id <> 0
+            ), sem AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY cs DESC, doc_id) AS rank
+              FROM cos QUALIFY rank <= 50
+            ), u AS (
+              SELECT doc_id, rank FROM lex
+              UNION ALL SELECT doc_id, rank FROM sem
+            )
+            SELECT doc_id,
+                   sum(1000000000 // (60 + rank))::BIGINT AS rrf,
+                   count(*) AS n_arms
+            FROM u GROUP BY doc_id
+            ORDER BY rrf DESC, doc_id LIMIT 25
         """,
     }
 

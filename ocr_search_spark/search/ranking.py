@@ -318,3 +318,64 @@ def tfidf_related_topk(
         .filter(F.col("rnk") <= int(k))
         .select("a", "b", "dot", sim.alias("sim"), "rnk")
     )
+
+
+def rrf_fuse(
+    arms: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    scale: int = 1_000_000_000,
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked retrieval arms (Cormack et al.,
+    SIGIR 2009) — the standard way modern search stacks combine a lexical
+    arm (BM25, reference Q6 `app/search.py:77`) with a semantic arm
+    (embedding cosine), generalizing the reference's
+    ``GREATEST(rank, sim)`` two-signal sort (`app/search.py:81`, SURVEY
+    Q8) to any number of incommensurable scorers without score
+    calibration.
+
+    Each arm is a DataFrame carrying ``(id_col, rank_col)`` with 1-based
+    ranks. A document's fused score is::
+
+        rrf = sum over arms of  scale DIV (k0 + rank)
+
+    computed in exact BIGINT arithmetic (``scale=1e9`` keeps ~7
+    significant digits past the k0 offset; Spark ``DIV`` ≡ DuckDB ``//``,
+    the convention verified by the lattice ops), so the fused ordering is
+    engine-reproducible — no float summation order to disagree on.
+    ``k0=60`` is the published default.
+
+    Returns ``(id_col, rrf, n_arms)`` with deterministic
+    ``(rrf DESC, id)`` ordering, optionally truncated to ``topk``.
+
+    Scale: arms arrive already truncated to their own top-N (cheap
+    TakeOrderedAndProject on each arm), so the fusion input is
+    O(arms × N) rows regardless of corpus size; the groupBy is a
+    kilobyte-scale shuffle. The expensive work stays inside the arms,
+    which each keep their own single-pass / broadcast plans.
+    """
+    if not arms:
+        raise ValueError("rrf_fuse needs at least one arm")
+    if k0 < 0 or scale <= 0:
+        raise ValueError("k0 must be >= 0 and scale positive")
+    contrib = F.expr(f"{int(scale)} div ({int(k0)} + cast(__rank as bigint))")
+    parts = [
+        a.select(F.col(id_col), F.col(rank_col).alias("__rank")) for a in arms
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = (
+        u.select(id_col, contrib.alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("rrf"),
+            F.count("*").alias("n_arms"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col(id_col))
+    )
+    if topk is not None:
+        fused = fused.limit(int(topk))
+    return fused

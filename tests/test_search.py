@@ -579,3 +579,63 @@ class TestTfidfRelated:
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with pytest.raises(ValueError):
             tfidf_related_topk(df, max_df_frac=0.0)
+
+
+class TestRrfFuse:
+    """Reciprocal-rank fusion (search/ranking.py rrf_fuse)."""
+
+    def _arm(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id string, rank int")
+
+    def test_matches_scalar_model(self, spark):
+        """Two arms with overlapping membership: exact integer parity
+        against the scalar RRF model (sum of scale // (k0 + rank))."""
+        from ocr_search_spark.search.ranking import rrf_fuse
+
+        lex = [("a", 1), ("b", 2), ("c", 3)]
+        sem = [("b", 1), ("d", 2), ("a", 3)]
+        got = {
+            r.doc_id: (r.rrf, r.n_arms)
+            for r in rrf_fuse(
+                [self._arm(spark, lex), self._arm(spark, sem)]
+            ).collect()
+        }
+        exp: dict[str, list[int]] = {}
+        for arm in (lex, sem):
+            for d, rank in arm:
+                e = exp.setdefault(d, [0, 0])
+                e[0] += 1_000_000_000 // (60 + rank)
+                e[1] += 1
+        assert got == {d: tuple(v) for d, v in exp.items()}
+
+    def test_both_arms_rank1_beats_single_arm(self, spark):
+        """A doc at rank 1 in both arms outranks any single-arm doc, and
+        ordering is (rrf DESC, id) with topk honored."""
+        from ocr_search_spark.search.ranking import rrf_fuse
+
+        lex = [("x", 1), ("a", 2)]
+        sem = [("x", 1), ("b", 2)]
+        rows = rrf_fuse(
+            [self._arm(spark, lex), self._arm(spark, sem)], topk=2
+        ).collect()
+        assert [r.doc_id for r in rows] == ["x", "a"]
+        assert rows[0].n_arms == 2
+        # equal-rrf tie ("a" and "b" both rank-2 singles) broke on doc_id
+        assert rows[1].doc_id == "a"
+
+    def test_single_arm_is_reciprocal_ranks(self, spark):
+        from ocr_search_spark.search.ranking import rrf_fuse
+
+        rows = rrf_fuse([self._arm(spark, [("a", 1), ("b", 10)])]).collect()
+        got = {r.doc_id: r.rrf for r in rows}
+        assert got == {"a": 1_000_000_000 // 61, "b": 1_000_000_000 // 70}
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from ocr_search_spark.search.ranking import rrf_fuse
+
+        with _pytest.raises(ValueError):
+            rrf_fuse([])
+        with _pytest.raises(ValueError):
+            rrf_fuse([self._arm(spark, [("a", 1)])], k0=-1)
