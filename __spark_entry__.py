@@ -2132,6 +2132,26 @@ def q_hybrid_search(spark, sf_dir):
     return rrf_fuse([lex, sem], id_col="doc_id", k0=60, topk=25)
 
 
+def q_mmr_rerank(spark, sf_dir):
+    """Diversified head reranking: MMR (ops/similarity.py mmr_select)
+    over the cosine top-50 pool for query vector 0 — greedy top-10
+    trading relevance (λ=0.7) against redundancy to the already-selected
+    set, every per-step score exact BIGINT on the e6 lattice with a
+    deterministic (score, id) tie-break. The pool arrives pre-truncated
+    by the distributed arm (cosine_topk's TakeOrderedAndProject shape),
+    so the pairwise-sim crossJoin and each greedy step are O(50) rows
+    regardless of corpus size."""
+    from ocr_search_spark.ops.similarity import cosine_topk, mmr_select
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pool = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=50)
+    cands = pool.select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.round(F.col("cos") * 1_000_000).cast("long").alias("rel_e6"),
+    ).join(emb.select("vec_id", "embedding"), "vec_id")
+    return mmr_select(cands, k=10, lambda_bp=7000)
+
+
 def q_rank_cd(spark, sf_dir):
     """Cover-density proximity rank (ts_rank_cd analogue, search.py:77):
     best window covering all query terms, n_terms/min_cover."""
@@ -2868,6 +2888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_profile": q_interleave_profile,
         "containment_pairs": q_containment_pairs,
         "hybrid_search": q_hybrid_search,
+        "mmr_rerank": q_mmr_rerank,
     }
 
 
@@ -5822,6 +5843,7 @@ def oracle_sql() -> dict[str, str]:
             FROM u GROUP BY doc_id
             ORDER BY rrf DESC, doc_id LIMIT 25
         """,
+        "mmr_rerank": _mmr_oracle_sql(),
     }
 
 
@@ -7282,3 +7304,75 @@ def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 8) -> str:
         bit_exprs.append(f"(CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END)")
     bucket = " || ".join(bit_exprs)
     return f"SELECT vec_id AS id, {bucket} AS bucket FROM embeddings"
+
+
+def _mmr_oracle_sql(
+    k: int = 10, lam: int = 7000, pool_k: int = 50, dim: int = 64
+) -> str:
+    """Unrolled greedy-MMR twin of ops.similarity.mmr_select: k chained
+    (m{i}, s{i}, sel{i}) CTE triples — max-sim-to-selected, BIGINT-score
+    argmax, cumulative selected set — over the cosine top-``pool_k`` pool
+    for query vector 0. MATERIALIZED CTEs: sel{i} is referenced three
+    times by round i+1 and DuckDB would otherwise re-inline the whole
+    prefix chain each time (the wordpiece_encode lesson)."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"round(list_sum(list_transform(range(1, {dim + 1}),"
+            f" i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+            f" / (sqrt(list_sum(list_transform(range(1, {dim + 1}),"
+            f" i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
+            f" * sqrt(list_sum(list_transform(range(1, {dim + 1}),"
+            f" i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))), 6)"
+        )
+
+    parts = [
+        f"""
+        WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        cosq AS (
+          SELECT e.vec_id, {cos("e.embedding", "q.qvec")} AS cs
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+        ),
+        pool AS MATERIALIZED (
+          SELECT vec_id, round(cs * 1000000)::BIGINT AS rel_e6
+          FROM cosq ORDER BY cs DESC, vec_id LIMIT {pool_k}
+        ),
+        pv AS MATERIALIZED (
+          SELECT p.vec_id, p.rel_e6, e.embedding
+          FROM pool p JOIN embeddings e USING (vec_id)
+        ),
+        sims AS MATERIALIZED (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 round({cos("a.embedding", "b.embedding")} * 1000000)::BIGINT
+                   AS sim_e6
+          FROM pv a JOIN pv b ON a.vec_id <> b.vec_id
+        ),
+        sel1 AS MATERIALIZED (
+          SELECT vec_id, rel_e6, 1 AS pick_order FROM pv
+          ORDER BY rel_e6 DESC, vec_id LIMIT 1
+        )"""
+    ]
+    for i in range(2, int(k) + 1):
+        parts.append(
+            f""",
+        m{i} AS (
+          SELECT p.vec_id, p.rel_e6, max(s.sim_e6) AS ms
+          FROM pv p
+          JOIN sims s ON s.a_id = p.vec_id
+          JOIN sel{i - 1} t ON t.vec_id = s.b_id
+          WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+          GROUP BY p.vec_id, p.rel_e6
+        ),
+        s{i} AS (
+          SELECT vec_id, rel_e6, {i} AS pick_order FROM m{i}
+          ORDER BY {lam} * rel_e6 - {10000 - lam} * ms DESC, vec_id LIMIT 1
+        ),
+        sel{i} AS MATERIALIZED (
+          SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM s{i}
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT vec_id, rel_e6, pick_order FROM sel{int(k)}"""
+    )
+    return "".join(parts)

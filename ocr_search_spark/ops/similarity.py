@@ -1797,3 +1797,108 @@ def sq_recall(
     recall_ppm), floored integer ppm)."""
     approx = sq_topk(corpus, queries, k, id_col, vec_col)
     return _recall_vs_exact(approx, corpus, queries, k, id_col, vec_col)
+
+
+def mmr_select(
+    cands: DataFrame,
+    k: int = 10,
+    lambda_bp: int = 7000,
+    id_col: str = "vec_id",
+    rel_col: str = "rel_e6",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily select ``k`` results from a candidate pool,
+    each step picking the candidate maximizing::
+
+        lambda_bp * relevance  -  (10000 - lambda_bp) * max_sim_to_selected
+
+    — relevance traded against redundancy, the standard diversified-head
+    reranker that follows a retrieval arm (``cosine_topk`` / ``rrf_fuse``).
+
+    ``cands`` carries ``(id_col, rel_col, vec_col)`` where ``rel_col`` is
+    an e6-lattice BIGINT relevance (e.g. ``round(cos * 1e6)``). Pairwise
+    similarities are computed ONCE on the same e6 lattice
+    (``round(round(cos, 6) * 1e6)``), and every per-step score is exact
+    BIGINT arithmetic with a ``(score DESC, id)`` tie-break, so the
+    selected set and order are engine-reproducible. Zero-norm vectors are
+    excluded at entry (cosine undefined — the module convention).
+
+    Returns ``(id_col, rel_col, pick_order)`` with ``pick_order`` 1-based;
+    fewer than ``k`` rows when the pool is smaller than ``k``.
+
+    Scale: MMR is a HEAD operator — the pool arrives pre-truncated to the
+    arm's top-N (TakeOrderedAndProject upstream), so the pairwise-sim
+    crossJoin is N² over a few dozen rows and each greedy step is one
+    tiny job over ≤N rows, independent of corpus size. The k-step loop is
+    unrolled with an eager ``localCheckpoint`` per step (the bpe_train /
+    wordpiece_encode plan-depth convention) — plan stays flat, lineage
+    bounded. All heavy lifting (scoring the corpus, truncating to the
+    pool) stays in the distributed arms upstream.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k!r}")
+    if not 0 <= int(lambda_bp) <= 10000:
+        raise ValueError(
+            f"lambda_bp must be in [0, 10000] basis points, got {lambda_bp!r}"
+        )
+    lam = int(lambda_bp)
+    pool = (
+        _nonzero(cands, vec_col)
+        .select(
+            F.col(id_col),
+            F.col(rel_col).cast("long").alias(rel_col),
+            F.col(vec_col).alias("__v"),
+            _norm(F.col(vec_col)).alias("__n"),
+        )
+        .localCheckpoint()
+    )
+    b = pool.select(
+        F.col(id_col).alias("__b"),
+        F.col("__v").alias("__bv"),
+        F.col("__n").alias("__bn"),
+    )
+    cos = _dot(F.col("__v"), F.col("__bv")) / (F.col("__n") * F.col("__bn"))
+    sims = (
+        pool.crossJoin(F.broadcast(b))
+        .filter(F.col(id_col) != F.col("__b"))
+        .select(
+            F.col(id_col).alias("__a"),
+            "__b",
+            F.round(F.round(cos, 6) * 1_000_000)
+            .cast("long")
+            .alias("__sim_e6"),
+        )
+        .localCheckpoint()
+    )
+    sel = (
+        pool.orderBy(F.col(rel_col).desc(), F.col(id_col))
+        .limit(1)
+        .select(id_col, F.lit(1).alias("pick_order"))
+        .localCheckpoint()
+    )
+    for step in range(2, int(k) + 1):
+        rem = pool.join(sel.select(id_col), id_col, "left_anti")
+        ms = (
+            rem.join(sims, rem[id_col] == sims["__a"])
+            .join(
+                sel.select(F.col(id_col).alias("__sel_b")),
+                F.col("__b") == F.col("__sel_b"),
+            )
+            .groupBy(rem[id_col].alias(id_col), rel_col)
+            .agg(F.max("__sim_e6").alias("__ms"))
+        )
+        score = F.lit(lam) * F.col(rel_col) - F.lit(10000 - lam) * F.col(
+            "__ms"
+        )
+        pick = (
+            ms.orderBy(score.desc(), F.col(id_col))
+            .limit(1)
+            .select(id_col, F.lit(step).alias("pick_order"))
+        )
+        sel = sel.unionByName(pick).localCheckpoint()
+    return (
+        sel.join(pool.select(id_col, rel_col), id_col)
+        .select(id_col, rel_col, "pick_order")
+        .orderBy("pick_order")
+    )

@@ -5550,3 +5550,113 @@ class TestContainmentPairs:
                         (inter * 10000) // min(len(A), len(B)),
                     )
         assert got == want
+
+
+class TestMmrSelect:
+    """MMR diversified reranking (ops/similarity.py mmr_select)."""
+
+    def _pool(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id bigint, rel_e6 bigint, embedding array<float>"
+        )
+
+    @staticmethod
+    def _scalar_mmr(rows, k, lam):
+        """Reference greedy MMR on the same e6 lattice."""
+        import math
+
+        def cos_e6(a, b):
+            dot = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return round(round(dot / (na * nb), 6) * 1_000_000)
+
+        by_id = {i: v for i, _, v in rows}
+        pool = {i: (r, v) for i, r, v in rows}
+        sel: list[int] = []
+        while pool and len(sel) < k:
+            if not sel:
+                pick = max(pool, key=lambda i: (pool[i][0], -i))
+            else:
+                def score(i):
+                    ms = max(
+                        cos_e6(pool[i][1], by_id[s]) for s in sel
+                    )
+                    return lam * pool[i][0] - (10000 - lam) * ms
+
+                pick = max(pool, key=lambda i: (score(i), -i))
+            sel.append(pick)
+            pool = {i: rv for i, rv in pool.items() if i != pick}
+        return sel
+
+    def test_matches_scalar_model(self, spark):
+        """8 deterministic vectors: exact pick-order parity with the
+        scalar greedy model at an interior lambda."""
+        import math
+
+        rows = []
+        for i in range(8):
+            ang = 2.0 * math.pi * (i % 4) / 4.0 + 0.1 * (i // 4)
+            rows.append(
+                (i, 900_000 - 37_000 * i, [math.cos(ang), math.sin(ang), 0.25])
+            )
+        from ocr_search_spark.ops.similarity import mmr_select
+
+        got = [
+            r.vec_id
+            for r in mmr_select(
+                self._pool(spark, rows), k=5, lambda_bp=7000
+            ).collect()
+        ]
+        assert got == self._scalar_mmr(rows, 5, 7000)
+
+    def test_lambda_10000_is_pure_relevance(self, spark):
+        from ocr_search_spark.ops.similarity import mmr_select
+
+        rows = [
+            (1, 100, [1.0, 0.0]),
+            (2, 300, [1.0, 0.01]),
+            (3, 200, [0.0, 1.0]),
+        ]
+        got = [
+            r.vec_id
+            for r in mmr_select(
+                self._pool(spark, rows), k=3, lambda_bp=10000
+            ).collect()
+        ]
+        assert got == [2, 3, 1]
+
+    def test_diversity_beats_redundancy_at_low_lambda(self, spark):
+        """Two near-identical top-relevance vectors: at low lambda the
+        orthogonal (less relevant) vector is picked second."""
+        from ocr_search_spark.ops.similarity import mmr_select
+
+        rows = [
+            (1, 1_000_000, [1.0, 0.0]),
+            (2, 999_999, [1.0, 0.001]),   # near-dup of 1
+            (3, 500_000, [0.0, 1.0]),     # orthogonal
+        ]
+        got = [
+            r.vec_id
+            for r in mmr_select(
+                self._pool(spark, rows), k=2, lambda_bp=1000
+            ).collect()
+        ]
+        assert got == [1, 3]
+
+    def test_small_pool_and_validation(self, spark):
+        import pytest as _pytest
+
+        from ocr_search_spark.ops.similarity import mmr_select
+
+        rows = [(1, 10, [1.0, 0.0]), (2, 20, [0.0, 1.0])]
+        out = mmr_select(self._pool(spark, rows), k=10).collect()
+        assert [r.vec_id for r in out] == [2, 1]
+        assert [r.pick_order for r in out] == [1, 2]
+        # zero vector excluded at entry
+        rows0 = rows + [(3, 99, [0.0, 0.0])]
+        assert len(mmr_select(self._pool(spark, rows0), k=10).collect()) == 2
+        with _pytest.raises(ValueError):
+            mmr_select(self._pool(spark, rows), k=0)
+        with _pytest.raises(ValueError):
+            mmr_select(self._pool(spark, rows), lambda_bp=10001)
