@@ -2152,6 +2152,20 @@ def q_mmr_rerank(spark, sf_dir):
     return mmr_select(cands, k=10, lambda_bp=7000)
 
 
+def q_prf_terms(spark, sf_dir):
+    """RM3-style pseudo-relevance-feedback expansion (search/ranking.py
+    prf_expansion_terms): BM25 top-10 feedback docs for the Q1 terms →
+    relevance-model term weights Σ_d (tf·bm25_e6·1000 DIV dl) in exact
+    BIGINT → top-5 expansion candidates, original terms excluded. Only
+    the 10 feedback docs are re-tokenized — corpus-wide cost is the one
+    BM25 pass."""
+    from ocr_search_spark.search.ranking import prf_expansion_terms
+
+    return prf_expansion_terms(
+        _docs(spark, sf_dir), FTS_TERMS, fb_docs=10, fb_terms=5
+    )
+
+
 def q_rank_cd(spark, sf_dir):
     """Cover-density proximity rank (ts_rank_cd analogue, search.py:77):
     best window covering all query terms, n_terms/min_cover."""
@@ -2889,6 +2903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "hybrid_search": q_hybrid_search,
         "mmr_rerank": q_mmr_rerank,
+        "prf_terms": q_prf_terms,
     }
 
 
@@ -5844,6 +5859,44 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rrf DESC, doc_id LIMIT 25
         """,
         "mmr_rerank": _mmr_oracle_sql(),
+        "prf_terms": f"""
+            WITH tfd AS (
+              SELECT doc_id, {_TOK} AS toks, len({_TOK}) AS dl,
+                     len(list_filter({_TOK}, t -> t = 'spark')) AS tf0,
+                     len(list_filter({_TOK}, t -> t = 'join')) AS tf1
+              FROM documents
+            ), stats AS (
+              SELECT count(*) AS n, sum(dl) AS sumdl,
+                     sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                     sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+              FROM tfd
+            ), bm AS (
+              SELECT doc_id,
+                     round(
+                       ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+                         / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / (sumdl * 1.0 / n)))
+                     + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+                         / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / (sumdl * 1.0 / n))),
+                     6) AS bm25
+              FROM tfd, stats
+              WHERE tf0 > 0 OR tf1 > 0
+            ), top AS (
+              SELECT doc_id, round(bm25 * 1000000)::BIGINT AS s_e6
+              FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10
+            ), toks AS (
+              SELECT t.doc_id, top.s_e6, t.dl, unnest(t.toks) AS term
+              FROM tfd t JOIN top USING (doc_id)
+              WHERE t.dl > 0
+            ), tf AS (
+              SELECT doc_id, s_e6, dl, term, count(*) AS tf
+              FROM toks GROUP BY doc_id, s_e6, dl, term
+            )
+            SELECT term, sum((tf * s_e6 * 1000) // dl)::BIGINT AS weight
+            FROM tf
+            WHERE term NOT IN ('spark', 'join')
+            GROUP BY term
+            ORDER BY weight DESC, term LIMIT 5
+        """,
     }
 
 

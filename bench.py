@@ -207,6 +207,8 @@ def main() -> None:
         "unigram_segment",
         "kn_bits",
         "neardup_recall",
+        "hybrid_search",
+        "mmr_rerank",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

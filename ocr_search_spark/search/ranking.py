@@ -379,3 +379,74 @@ def rrf_fuse(
     if topk is not None:
         fused = fused.limit(int(topk))
     return fused
+
+
+def prf_expansion_terms(
+    docs: DataFrame,
+    terms: list[str],
+    fb_docs: int = 10,
+    fb_terms: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (the RM3 family,
+    Lavrenko & Croft relevance models): take the BM25 top ``fb_docs``
+    for the original ``terms``, estimate which OTHER terms characterize
+    that feedback set, and return the top ``fb_terms`` expansion
+    candidates — the classic recall-recovery step in front of a second
+    retrieval pass.
+
+    Term weight is the relevance-model estimate
+    ``p(w|R) ∝ Σ_d  p(w|d) · score(d)`` computed exactly::
+
+        weight = Σ_d  (tf(w, d) * bm25_e6(d) * 1000) DIV dl(d)
+
+    — per-document contributions in BIGINT (bm25 on the e6 lattice ×
+    1000 before the integer division keeps 3 guard digits), summed
+    exactly, so the selected expansion set is engine-reproducible.
+    Original query terms are excluded. Ties break on the term string.
+
+    Returns ``(term, weight)``, ``weight`` descending.
+
+    Scale: a head operator — only the ``fb_docs`` feedback documents
+    (found via the distributed BM25 arm + TakeOrderedAndProject) are
+    re-tokenized, so the explode is O(fb_docs × doc_len) rows regardless
+    of corpus size; the corpus-wide work is the same single BM25 pass a
+    plain query costs.
+    """
+    if fb_docs < 1 or fb_terms < 1:
+        raise ValueError("fb_docs and fb_terms must be >= 1")
+    top = (
+        bm25_scores(docs, terms, id_col=id_col, text_col=text_col)
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(int(fb_docs))
+        .select(
+            id_col,
+            F.round(F.col("bm25") * 1_000_000).cast("long").alias("__s_e6"),
+        )
+    )
+    fb = docs.join(F.broadcast(top), id_col).select(
+        id_col, "__s_e6", tokens_expr(text_col).alias("__toks")
+    )
+    tf = (
+        fb.select(
+            id_col,
+            "__s_e6",
+            F.size("__toks").alias("__dl"),
+            F.explode("__toks").alias("term"),
+        )
+        .groupBy(id_col, "__s_e6", "__dl", "term")
+        .agg(F.count("*").alias("__tf"))
+    )
+    return (
+        tf.filter(~F.col("term").isin(list(terms)))
+        .filter(F.col("__dl") > 0)
+        .select(
+            "term",
+            F.expr("__tf * __s_e6 * 1000 div __dl").alias("__c"),
+        )
+        .groupBy("term")
+        .agg(F.sum("__c").alias("weight"))
+        .orderBy(F.col("weight").desc(), F.col("term"))
+        .limit(int(fb_terms))
+    )

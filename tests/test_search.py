@@ -639,3 +639,64 @@ class TestRrfFuse:
             rrf_fuse([])
         with _pytest.raises(ValueError):
             rrf_fuse([self._arm(spark, [("a", 1)])], k0=-1)
+
+
+class TestPrfExpansion:
+    """RM3-style pseudo-relevance feedback (ranking.prf_expansion_terms)."""
+
+    def test_matches_scalar_model(self, spark):
+        """4-doc corpus: exact parity with a scalar relevance-model
+        computation (BM25 top-2 feedback docs, integer contributions)."""
+        import math
+
+        from ocr_search_spark.search.ranking import (
+            bm25_scores,
+            prf_expansion_terms,
+        )
+
+        rows = [
+            ("a", "spark alpha alpha beta"),
+            ("b", "spark spark gamma"),
+            ("c", "delta delta delta"),
+            ("d", "spark beta"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id string, text string")
+        got = [
+            (r.term, r.weight)
+            for r in prf_expansion_terms(
+                docs, ["spark"], fb_docs=2, fb_terms=10
+            ).collect()
+        ]
+        # scalar model: BM25 scores (already parity-tested), top-2 docs,
+        # contribution (tf * round(bm25*1e6) * 1000) // dl per doc
+        bm = {
+            r.doc_id: r.bm25 for r in bm25_scores(docs, ["spark"]).collect()
+        }
+        top2 = sorted(bm, key=lambda d: (-bm[d], d))[:2]
+        toks = {d: t.split() for d, t in rows}
+        w: dict[str, int] = {}
+        for d in top2:
+            s_e6 = round(bm[d] * 1_000_000)
+            dl = len(toks[d])
+            for term in set(toks[d]) - {"spark"}:
+                tf = toks[d].count(term)
+                w[term] = w.get(term, 0) + (tf * s_e6 * 1000) // dl
+        exp = sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert got == exp
+        assert all(t != "spark" for t, _ in got)
+
+    def test_limits_and_validation(self, spark):
+        import pytest as _pytest
+
+        from ocr_search_spark.search.ranking import prf_expansion_terms
+
+        docs = spark.createDataFrame(
+            [("a", "spark x y z"), ("b", "spark x")],
+            "doc_id string, text string",
+        )
+        out = prf_expansion_terms(docs, ["spark"], fb_docs=5, fb_terms=2)
+        assert out.count() == 2  # fb_terms truncation
+        with _pytest.raises(ValueError):
+            prf_expansion_terms(docs, ["spark"], fb_docs=0)
+        with _pytest.raises(ValueError):
+            prf_expansion_terms(docs, ["spark"], fb_terms=0)
