@@ -2152,6 +2152,69 @@ def q_mmr_rerank(spark, sf_dir):
     return mmr_select(cands, k=10, lambda_bp=7000)
 
 
+def q_ltr_features(spark, sf_dir):
+    """Learning-to-rank feature assembly: one row per BM25-matched doc
+    carrying the standard LTR feature set — bm25, cover-density
+    proximity (0.0 when not all terms present), pg_trgm-style trigram
+    Jaccard to the query string, token count, and embedding cosine to
+    query vector 0 (0.0 when the doc has no embedding) — the feature
+    export in front of a LambdaMART/GBDT ranker. Every float is a
+    round-6 lattice value computed identically by both engines; the
+    joins are (broadcast-small matched set) ⋈ attributes, no new wide
+    shuffle beyond the arms' own plans."""
+    from ocr_search_spark.ops.similarity import _dot, _norm
+    from ocr_search_spark.search.analysis import with_search_columns
+    from ocr_search_spark.search.ranking import bm25_scores, cover_density_rank
+
+    d = _docs(spark, sf_dir)
+    base = bm25_scores(d, FTS_TERMS)
+    cd = cover_density_rank(d, FTS_TERMS).select("doc_id", "rank_cd")
+    q = TRIGRAM_QUERY.lower()
+    q_grams = sorted({q[i : i + 3] for i in range(len(q) - 2)})
+    q_lit = F.array(*[F.lit(g) for g in q_grams])
+    attrs = with_search_columns(d, "text", grams=True).select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.round(
+            F.when(
+                F.size(F.array_union("grams", q_lit)) > 0,
+                F.size(F.array_intersect("grams", q_lit))
+                / F.size(F.array_union("grams", q_lit)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("tri_sim"),
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__qv")
+    )
+    cosd = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                _dot(F.col("embedding"), F.col("__qv"))
+                / (_norm(F.col("embedding")) * _norm(F.col("__qv"))),
+                6,
+            ).alias("cos"),
+        )
+    )
+    return (
+        base.join(attrs, "doc_id")
+        .join(cd, "doc_id", "left")
+        .join(cosd, "doc_id", "left")
+        .select(
+            "doc_id",
+            "bm25",
+            F.coalesce("rank_cd", F.lit(0.0)).alias("rank_cd"),
+            "tri_sim",
+            "n_tokens",
+            F.coalesce("cos", F.lit(0.0)).alias("cos"),
+        )
+    )
+
+
 def q_prf_terms(spark, sf_dir):
     """RM3-style pseudo-relevance-feedback expansion (search/ranking.py
     prf_expansion_terms): BM25 top-10 feedback docs for the Q1 terms →
@@ -2904,6 +2967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "mmr_rerank": q_mmr_rerank,
         "prf_terms": q_prf_terms,
+        "ltr_features": q_ltr_features,
     }
 
 
@@ -5859,6 +5923,81 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rrf DESC, doc_id LIMIT 25
         """,
         "mmr_rerank": _mmr_oracle_sql(),
+        "ltr_features": f"""
+            WITH tfd AS (
+              SELECT doc_id, len({_TOK}) AS dl,
+                     len(list_filter({_TOK}, t -> t = 'spark')) AS tf0,
+                     len(list_filter({_TOK}, t -> t = 'join')) AS tf1
+              FROM documents
+            ), stats AS (
+              SELECT count(*) AS n, sum(dl) AS sumdl,
+                     sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                     sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+              FROM tfd
+            ), bm AS (
+              SELECT doc_id,
+                     round(
+                       ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+                         / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / (sumdl * 1.0 / n)))
+                     + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+                         / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / (sumdl * 1.0 / n))),
+                     6) AS bm25
+              FROM tfd, stats
+              WHERE tf0 > 0 OR tf1 > 0
+            ), toked AS (
+              SELECT doc_id, {_TOK} AS toks FROM documents
+            ), pos0 AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       list_transform(range(1, len(toks) + 1),
+                                      i -> struct_pack(p := i - 1, term := toks[i])),
+                       s -> s.term IN ('join', 'spark'))) AS s
+              FROM toked
+            ), pos AS (
+              SELECT doc_id, s.p AS p, s.term AS term FROM pos0
+            ), covered AS (
+              SELECT doc_id, p,
+                     max(CASE WHEN term = 'join' THEN p END) OVER w AS l0,
+                     max(CASE WHEN term = 'spark' THEN p END) OVER w AS l1
+              FROM pos
+              WINDOW w AS (PARTITION BY doc_id ORDER BY p
+                           ROWS UNBOUNDED PRECEDING)
+            ), cd AS (
+              SELECT doc_id,
+                     round(2.0 / min(p - least(l0, l1) + 1), 6) AS rank_cd
+              FROM covered
+              WHERE l0 IS NOT NULL AND l1 IS NOT NULL
+              GROUP BY doc_id
+            ), attrs AS (
+              SELECT doc_id, len({_TOK}) AS n_tokens,
+                     CASE WHEN len(list_distinct(list_concat({grams}, {q_grams_sql}))) > 0
+                          THEN round(len(list_intersect({grams}, {q_grams_sql})) * 1.0
+                               / len(list_distinct(list_concat({grams}, {q_grams_sql}))), 6)
+                          ELSE 0.0 END AS tri_sim
+              FROM documents
+            ), q AS (
+              SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+            ), cosd AS (
+              SELECT e.vec_id AS doc_id,
+                     round(
+                       list_sum(list_transform(range(1, 65),
+                         i -> e.embedding[i]::DOUBLE * q.qvec[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(range(1, 65),
+                            i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+                        * sqrt(list_sum(list_transform(range(1, 65),
+                            i -> q.qvec[i]::DOUBLE * q.qvec[i]::DOUBLE)))),
+                     6) AS cos
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+            )
+            SELECT b.doc_id, b.bm25,
+                   coalesce(cd.rank_cd, 0.0) AS rank_cd,
+                   a.tri_sim, a.n_tokens,
+                   coalesce(cosd.cos, 0.0) AS cos
+            FROM bm b
+            JOIN attrs a USING (doc_id)
+            LEFT JOIN cd USING (doc_id)
+            LEFT JOIN cosd USING (doc_id)
+        """,
         "prf_terms": f"""
             WITH tfd AS (
               SELECT doc_id, {_TOK} AS toks, len({_TOK}) AS dl,

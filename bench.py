@@ -209,6 +209,8 @@ def main() -> None:
         "neardup_recall",
         "hybrid_search",
         "mmr_rerank",
+        "prf_terms",
+        "ltr_features",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then
