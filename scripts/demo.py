@@ -331,6 +331,53 @@ def main() -> None:
         "cluster_id", "size", "inertia"
     ).orderBy("cluster_id").show()
 
+    print("== retrieval head: PRF expansion -> RRF fusion -> MMR diversify (r5 close)")
+    from pyspark.sql.window import Window
+
+    from ocr_search_spark.ops.similarity import mmr_select
+    from ocr_search_spark.search.ranking import (
+        bm25_scores,
+        cover_density_rank,
+        prf_expansion_terms,
+        rrf_fuse,
+    )
+
+    cdocs = content.select("doc_id", F.col("content").alias("text"))
+    print("-- PRF: RM3 expansion terms from the BM25 top-10 feedback set")
+    prf_expansion_terms(cdocs, ["spark", "join"], fb_docs=10, fb_terms=5).show()
+    lex = (
+        bm25_scores(cdocs, ["spark", "join"])
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("bm25").desc(), "doc_id")),
+        )
+        .select("doc_id", "rank")
+    )
+    prox = (
+        cover_density_rank(cdocs, ["spark", "join"])
+        .orderBy(F.col("rank_cd").desc(), "doc_id")
+        .limit(20)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("rank_cd").desc(), "doc_id")
+            ),
+        )
+        .select("doc_id", "rank")
+    )
+    fused = rrf_fuse([lex, prox], id_col="doc_id", topk=10)
+    print("-- RRF: BM25 arm + cover-density arm, fused top-10")
+    fused.show(4)
+    pool = fused.join(
+        vecs.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    ).select("doc_id", F.col("rrf").alias("rel_e6"), "embedding")
+    print("-- MMR: diversified top-5 over the fused pool (lambda=0.7)")
+    mmr_select(
+        pool, k=5, lambda_bp=7000, id_col="doc_id", rel_col="rel_e6"
+    ).show()
+
     print("== re-ingest: checkpoint ledger skips committed groups")
     print(store.ingest(docs, run_group="demo"))
 
