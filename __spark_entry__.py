@@ -2152,6 +2152,43 @@ def q_mmr_rerank(spark, sf_dir):
     return mmr_select(cands, k=10, lambda_bp=7000)
 
 
+def q_ndcg_eval(spark, sf_dir):
+    """Retrieval evaluation: NDCG@10 of the brute-force cosine ranking
+    for query vectors 0–4, with binary same-label relevance from the
+    embeddings table (search/ranking.py ndcg_at_k) — the graded sibling
+    of ann_recall. Position discounts are precomputed BIGINT literals
+    (round(1e9/log2(i+1))), both DCG sums exact integer arithmetic,
+    ndcg_ppm = dcg·1e6 DIV idcg — engine-reproducible end to end."""
+    from ocr_search_spark.ops.similarity import cosine_topk
+    from ocr_search_spark.search.ranking import ndcg_at_k
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qset = emb.filter(F.col("vec_id") < 5)
+    ranked = cosine_topk(emb, qset, k=10).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rnk").alias("rank"),
+    )
+    rels = (
+        emb.select(F.col("vec_id").alias("doc_id"), "label")
+        .crossJoin(
+            F.broadcast(
+                qset.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("__ql"),
+                )
+            )
+        )
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("label") == F.col("__ql")).cast("int").alias("rel"),
+        )
+    )
+    return ndcg_at_k(ranked, rels, k=10).orderBy("query_id")
+
+
 def q_ltr_features(spark, sf_dir):
     """Learning-to-rank feature assembly: one row per BM25-matched doc
     carrying the standard LTR feature set — bm25, cover-density
@@ -2968,6 +3005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "prf_terms": q_prf_terms,
         "ltr_features": q_ltr_features,
+        "ndcg_eval": q_ndcg_eval,
     }
 
 
@@ -5923,6 +5961,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rrf DESC, doc_id LIMIT 25
         """,
         "mmr_rerank": _mmr_oracle_sql(),
+        "ndcg_eval": _ndcg_oracle_sql(),
         "ltr_features": f"""
             WITH tfd AS (
               SELECT doc_id, len({_TOK}) AS dl,
@@ -7568,3 +7607,73 @@ def _mmr_oracle_sql(
         SELECT vec_id, rel_e6, pick_order FROM sel{int(k)}"""
     )
     return "".join(parts)
+
+
+def _ndcg_oracle_sql(k: int = 10, dim: int = 64) -> str:
+    """NDCG@k twin of search.ranking.ndcg_at_k over the cosine top-k
+    ranking for query vectors 0-4 with binary same-label relevance. The
+    position-discount weights are THE SAME BIGINT literals the Spark
+    side uses (ranking._ndcg_weights), so both engines sum identical
+    integers."""
+    from ocr_search_spark.search.ranking import _ndcg_weights
+
+    w_rows = ", ".join(
+        f"({i + 1}, {wt})" for i, wt in enumerate(_ndcg_weights(int(k)))
+    )
+    return f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+          FROM embeddings WHERE vec_id < 5
+        ),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS doc_id,
+                 round(
+                   list_sum(list_transform(range(1, {dim + 1}),
+                     i -> e.embedding[i]::DOUBLE * q.qvec[i]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(range(1, {dim + 1}),
+                        i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+                    * sqrt(list_sum(list_transform(range(1, {dim + 1}),
+                        i -> q.qvec[i]::DOUBLE * q.qvec[i]::DOUBLE)))),
+                 6) AS cos
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> q.query_id
+        ),
+        ranked AS (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, doc_id) AS rnk
+          FROM scored QUALIFY rnk <= {int(k)}
+        ),
+        w(i, wt) AS (VALUES {w_rows}),
+        rels AS (
+          SELECT q.query_id, e.vec_id AS doc_id,
+                 CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS rel
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> q.query_id
+        ),
+        dcg AS (
+          SELECT r.query_id,
+                 sum(coalesce(rel, 0)::BIGINT * wt)::BIGINT AS dcg
+          FROM ranked r
+          JOIN w ON w.i = r.rnk
+          LEFT JOIN rels USING (query_id, doc_id)
+          GROUP BY r.query_id
+        ),
+        ideal AS (
+          SELECT query_id, sum(rel::BIGINT * wt)::BIGINT AS idcg
+          FROM (
+            SELECT query_id, rel, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rel DESC, doc_id) AS rr
+            FROM rels WHERE rel > 0
+          ) JOIN w ON w.i = rr
+          WHERE rr <= {int(k)}
+          GROUP BY query_id
+        )
+        SELECT d.query_id, d.dcg,
+               coalesce(i.idcg, 0)::BIGINT AS idcg,
+               (CASE WHEN coalesce(i.idcg, 0) > 0
+                     THEN (d.dcg * 1000000) // i.idcg
+                     ELSE 0 END)::BIGINT AS ndcg_ppm
+        FROM dcg d LEFT JOIN ideal i USING (query_id)
+    """

@@ -211,6 +211,7 @@ def main() -> None:
         "mmr_rerank",
         "prf_terms",
         "ltr_features",
+        "ndcg_eval",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

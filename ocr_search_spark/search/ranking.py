@@ -450,3 +450,99 @@ def prf_expansion_terms(
         .orderBy(F.col("weight").desc(), F.col("term"))
         .limit(int(fb_terms))
     )
+
+
+def _ndcg_weights(k: int) -> list[int]:
+    """Position-discount weights ``round(1e9 / log2(i + 1))`` for i=1..k,
+    precomputed driver-side to BIGINT literals so DCG sums are exact
+    integer arithmetic — no float summation order for engines to
+    disagree on."""
+    import math
+
+    return [round(1_000_000_000 / math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    rels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """NDCG@k per query — the standard graded ranking-quality metric,
+    the retrieval-side sibling of ``ann_recall``/``neardup_recall``.
+
+    ``ranked`` carries ``(query_col, doc_col, rank_col)`` with 1-based
+    ranks from the system under evaluation; ``rels`` carries
+    ``(query_col, doc_col, rel_col)`` integer graded relevance (absent
+    pairs count as 0). Linear gain::
+
+        DCG  = Σ_{i<=k}  rel(doc at rank i) * W[i]
+        IDCG = Σ_{i<=k}  rel(i-th best doc) * W[i]
+        W[i] = round(1e9 / log2(i + 1))   (precomputed BIGINT literal)
+
+    so both sums are exact BIGINT and ``ndcg_ppm = DCG * 1e6 DIV IDCG``
+    is engine-reproducible. The ideal ordering ties on ``(rel DESC,
+    doc)``. Queries with no relevant documents report ``ndcg_ppm = 0``.
+
+    Returns ``(query_col, dcg, idcg, ndcg_ppm)``.
+
+    Scale: the DCG side touches only the system's top-k rows per query;
+    the IDCG side is one ``(rel DESC, doc)`` row_number window per query
+    over the relevance table, truncated at k — both shuffle by query key
+    only, no corpus-wide pass beyond what built the inputs.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k!r}")
+    w = _ndcg_weights(int(k))
+    wexpr = F.element_at(
+        F.array(*[F.lit(x) for x in w]), F.col(rank_col).cast("int")
+    )
+    dcg = (
+        ranked.filter(F.col(rank_col) <= int(k))
+        .join(rels, [query_col, doc_col], "left")
+        .select(
+            query_col,
+            (F.coalesce(F.col(rel_col), F.lit(0)).cast("long") * wexpr).alias(
+                "__g"
+            ),
+        )
+        .groupBy(query_col)
+        .agg(F.sum("__g").alias("dcg"))
+    )
+    iwin = Window.partitionBy(query_col).orderBy(
+        F.col(rel_col).desc(), F.col(doc_col)
+    )
+    ideal = (
+        rels.filter(F.col(rel_col) > 0)
+        .withColumn("__r", F.row_number().over(iwin))
+        .filter(F.col("__r") <= int(k))
+        .select(
+            query_col,
+            (
+                F.col(rel_col).cast("long")
+                * F.element_at(F.array(*[F.lit(x) for x in w]), F.col("__r"))
+            ).alias("__g"),
+        )
+        .groupBy(query_col)
+        .agg(F.sum("__g").alias("idcg"))
+    )
+    return (
+        dcg.join(ideal, query_col, "left")
+        .select(
+            query_col,
+            "dcg",
+            F.coalesce("idcg", F.lit(0)).alias("idcg"),
+            F.when(
+                F.col("idcg") > 0,
+                F.expr("dcg * 1000000 div idcg"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("ndcg_ppm"),
+        )
+    )

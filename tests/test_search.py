@@ -700,3 +700,67 @@ class TestPrfExpansion:
             prf_expansion_terms(docs, ["spark"], fb_docs=0)
         with _pytest.raises(ValueError):
             prf_expansion_terms(docs, ["spark"], fb_terms=0)
+
+
+class TestNdcgAtK:
+    """NDCG@k evaluation (ranking.ndcg_at_k)."""
+
+    def _dfs(self, spark, ranked, rels):
+        r = spark.createDataFrame(
+            ranked, "query_id bigint, doc_id bigint, rank int"
+        )
+        g = spark.createDataFrame(
+            rels, "query_id bigint, doc_id bigint, rel int"
+        )
+        return r, g
+
+    def test_matches_scalar_model(self, spark):
+        import math
+
+        from ocr_search_spark.search.ranking import _ndcg_weights, ndcg_at_k
+
+        ranked = [(1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4)]
+        rels = [(1, 11, 2), (1, 12, 1), (1, 99, 3), (1, 10, 0)]
+        r, g = self._dfs(spark, ranked, rels)
+        row = ndcg_at_k(r, g, k=3).collect()[0]
+        w = _ndcg_weights(3)
+        # system: ranks 1..3 -> rels 0, 2, 1
+        dcg = 0 * w[0] + 2 * w[1] + 1 * w[2]
+        # ideal: rels sorted desc -> 3, 2, 1
+        idcg = 3 * w[0] + 2 * w[1] + 1 * w[2]
+        assert (row.dcg, row.idcg, row.ndcg_ppm) == (
+            dcg,
+            idcg,
+            dcg * 1_000_000 // idcg,
+        )
+
+    def test_perfect_ranking_is_1e6(self, spark):
+        from ocr_search_spark.search.ranking import ndcg_at_k
+
+        ranked = [(1, 10, 1), (1, 11, 2)]
+        rels = [(1, 10, 2), (1, 11, 1)]
+        r, g = self._dfs(spark, ranked, rels)
+        assert ndcg_at_k(r, g, k=2).collect()[0].ndcg_ppm == 1_000_000
+
+    def test_no_relevant_docs_reports_zero(self, spark):
+        from ocr_search_spark.search.ranking import ndcg_at_k
+
+        ranked = [(1, 10, 1)]
+        rels = [(1, 10, 0)]
+        r, g = self._dfs(spark, ranked, rels)
+        row = ndcg_at_k(r, g, k=5).collect()[0]
+        assert (row.dcg, row.idcg, row.ndcg_ppm) == (0, 0, 0)
+
+    def test_k_truncation_and_validation(self, spark):
+        import pytest as _pytest
+
+        from ocr_search_spark.search.ranking import _ndcg_weights, ndcg_at_k
+
+        # a relevant doc at rank 3 contributes nothing at k=2
+        ranked = [(1, 10, 1), (1, 11, 2), (1, 12, 3)]
+        rels = [(1, 12, 1)]
+        r, g = self._dfs(spark, ranked, rels)
+        row = ndcg_at_k(r, g, k=2).collect()[0]
+        assert row.dcg == 0 and row.idcg == _ndcg_weights(1)[0]
+        with _pytest.raises(ValueError):
+            ndcg_at_k(r, g, k=0)
