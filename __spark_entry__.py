@@ -2152,6 +2152,15 @@ def q_mmr_rerank(spark, sf_dir):
     return mmr_select(cands, k=10, lambda_bp=7000)
 
 
+def q_ql_scores(spark, sf_dir):
+    """Dirichlet-smoothed query-likelihood ranking (search/ranking.py
+    ql_scores, μ=2000) for the Q1 terms — the language-model scorer
+    beside BM25, same single-pass + broadcast-scalar-stats plan."""
+    from ocr_search_spark.search.ranking import ql_scores
+
+    return ql_scores(_docs(spark, sf_dir), FTS_TERMS, mu=2000.0)
+
+
 def q_ndcg_eval(spark, sf_dir):
     """Retrieval evaluation: NDCG@10 of the brute-force cosine ranking
     for query vectors 0–4, with binary same-label relevance from the
@@ -3006,6 +3015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prf_terms": q_prf_terms,
         "ltr_features": q_ltr_features,
         "ndcg_eval": q_ndcg_eval,
+        "ql_scores": q_ql_scores,
     }
 
 
@@ -5962,6 +5972,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mmr_rerank": _mmr_oracle_sql(),
         "ndcg_eval": _ndcg_oracle_sql(),
+        "ql_scores": f"""
+            WITH tfd AS (
+              SELECT doc_id, len({_TOK}) AS dl,
+                     len(list_filter({_TOK}, t -> t = 'spark')) AS tf0,
+                     len(list_filter({_TOK}, t -> t = 'join')) AS tf1
+              FROM documents
+            ), stats AS (
+              SELECT sum(dl) AS ctot, sum(tf0) AS cf0, sum(tf1) AS cf1
+              FROM tfd
+            )
+            SELECT doc_id,
+                   round(
+                     (CASE WHEN tf0::DOUBLE + 2000.0 *
+                            (CASE WHEN coalesce(ctot, 0) > 0
+                                  THEN cf0::DOUBLE / ctot ELSE 0.0 END) > 0
+                           THEN ln((tf0::DOUBLE + 2000.0 *
+                            (CASE WHEN coalesce(ctot, 0) > 0
+                                  THEN cf0::DOUBLE / ctot ELSE 0.0 END))
+                                / (dl::DOUBLE + 2000.0))
+                           ELSE 0.0 END)
+                   + (CASE WHEN tf1::DOUBLE + 2000.0 *
+                            (CASE WHEN coalesce(ctot, 0) > 0
+                                  THEN cf1::DOUBLE / ctot ELSE 0.0 END) > 0
+                           THEN ln((tf1::DOUBLE + 2000.0 *
+                            (CASE WHEN coalesce(ctot, 0) > 0
+                                  THEN cf1::DOUBLE / ctot ELSE 0.0 END))
+                                / (dl::DOUBLE + 2000.0))
+                           ELSE 0.0 END),
+                   6) AS ql
+            FROM tfd, stats
+            WHERE tf0 > 0 OR tf1 > 0
+        """,
         "ltr_features": f"""
             WITH tfd AS (
               SELECT doc_id, len({_TOK}) AS dl,

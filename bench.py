@@ -212,6 +212,7 @@ def main() -> None:
         "prf_terms",
         "ltr_features",
         "ndcg_eval",
+        "ql_scores",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

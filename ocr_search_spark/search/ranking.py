@@ -546,3 +546,90 @@ def ndcg_at_k(
             .alias("ndcg_ppm"),
         )
     )
+
+
+def ql_scores(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mu: float = 2000.0,
+    round_to: int | None = 6,
+    stats_over: DataFrame | None = None,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood scores (Zhai & Lafferty) —
+    the language-model ranking next to :func:`bm25_scores`, sharing its
+    plan shape: one materialized-token scan for per-doc tf/dl, a
+    single-row corpus-stats aggregate (total tokens, per-term collection
+    frequency) broadcast back with a literal cross join.
+
+    ``score(d) = Σ_t  ln( (tf_t + μ·cf_t/|C|) / (dl + μ) )``
+
+    Returns ``(id_col, ql)`` for documents containing at least one
+    query term (the :func:`bm25_scores` matched-only contract —
+    smoothing defines scores for all docs, but unmatched docs rank by
+    length alone, which no search result page wants). ``round_to``
+    rounds the double so external oracles hash bit-identically. A term
+    with zero collection frequency contributes ``ln(μ·0 + tf)/(dl+μ)``
+    only through its tf; if both are zero the term is skipped via a
+    guard (ln(0) is -inf and under ANSI the cast would poison the row).
+
+    Scale: identical to BM25 — one pass over the corpus plus a scalar
+    aggregate; no explode, no wide shuffle; the filter and projection
+    push into the scan.
+    """
+    if not terms:
+        raise ValueError("ql_scores needs at least one term")
+    toked = docs.select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+    tf_cols = [
+        _term_count(F.col("__toks"), t).alias(f"__tf{i}")
+        for i, t in enumerate(terms)
+    ]
+    tfd = toked.select(id_col, F.size("__toks").alias("__dl"), *tf_cols)
+    if stats_over is not None:
+        stoked = stats_over.select(tokens_expr(text_col).alias("__toks"))
+        stats_src = stoked.select(
+            F.size("__toks").alias("__dl"),
+            *[
+                _term_count(F.col("__toks"), t).alias(f"__tf{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+    else:
+        stats_src = tfd
+    stats = stats_src.agg(
+        F.sum("__dl").alias("__ctot"),
+        *[
+            F.sum(f"__tf{i}").alias(f"__cf{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = tfd.crossJoin(F.broadcast(stats))
+    mu_l = F.lit(float(mu))
+    parts = []
+    for i in range(len(terms)):
+        tf = F.col(f"__tf{i}").cast("double")
+        # collection probability; empty corpus (ctot null/0) -> 0.0
+        pc = F.when(
+            F.coalesce(F.col("__ctot"), F.lit(0)) > 0,
+            F.col(f"__cf{i}").cast("double") / F.col("__ctot"),
+        ).otherwise(F.lit(0.0))
+        num = tf + mu_l * pc
+        # guard ln(0): a term absent from doc AND collection contributes 0
+        parts.append(
+            F.when(
+                num > 0,
+                F.log(num / (F.col("__dl").cast("double") + mu_l)),
+            ).otherwise(F.lit(0.0))
+        )
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+    if round_to is not None:
+        score = F.round(score, round_to)
+    matched = None
+    for i in range(len(terms)):
+        c = F.col(f"__tf{i}") > 0
+        matched = c if matched is None else (matched | c)
+    return joined.filter(matched).select(F.col(id_col), score.alias("ql"))

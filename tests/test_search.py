@@ -764,3 +764,71 @@ class TestNdcgAtK:
         assert row.dcg == 0 and row.idcg == _ndcg_weights(1)[0]
         with _pytest.raises(ValueError):
             ndcg_at_k(r, g, k=0)
+
+
+class TestQlScores:
+    """Dirichlet query likelihood (ranking.ql_scores)."""
+
+    def test_hand_value(self, spark):
+        """2-doc corpus, mu=4: score computed by hand."""
+        import math
+
+        from ocr_search_spark.search.ranking import ql_scores
+
+        docs = spark.createDataFrame(
+            [("a", "w spark w w"), ("b", "w w w w")],
+            "doc_id string, text string",
+        )
+        got = {
+            r.doc_id: r.ql
+            for r in ql_scores(docs, ["spark"], mu=4.0).collect()
+        }
+        # ctot=8, cf=1 -> pc=1/8; doc a: tf=1, dl=4
+        exp = round(math.log((1 + 4.0 * (1 / 8)) / (4 + 4.0)), 6)
+        assert got == {"a": exp}
+
+    def test_ranks_tf_and_length(self, spark):
+        """More term occurrences rank higher; same tf but longer doc
+        ranks lower (the Dirichlet length normalization)."""
+        from ocr_search_spark.search.ranking import ql_scores
+
+        docs = spark.createDataFrame(
+            [
+                ("short", "spark w"),
+                ("long", "spark w w w w w w w"),
+                ("double", "spark spark w"),
+            ],
+            "doc_id string, text string",
+        )
+        got = {
+            r.doc_id: r.ql for r in ql_scores(docs, ["spark"]).collect()
+        }
+        assert got["double"] > got["short"] > got["long"]
+
+    def test_degenerate_corpora_do_not_throw(self, spark):
+        from ocr_search_spark.search.ranking import ql_scores
+
+        empty = spark.createDataFrame([], "doc_id string, text string")
+        assert ql_scores(empty, ["spark"]).count() == 0
+        blank = spark.createDataFrame(
+            [("a", ""), ("b", " ")], "doc_id string, text string"
+        )
+        assert ql_scores(blank, ["spark"]).count() == 0
+        # matched doc scored against an all-empty stats corpus: pc=0,
+        # tf>0 keeps the log argument positive — no -inf, no ANSI error
+        docs = spark.createDataFrame(
+            [("c", "spark join")], "doc_id string, text string"
+        )
+        rows = ql_scores(docs, ["spark"], stats_over=blank).collect()
+        assert len(rows) == 1
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from ocr_search_spark.search.ranking import ql_scores
+
+        docs = spark.createDataFrame(
+            [("a", "x")], "doc_id string, text string"
+        )
+        with _pytest.raises(ValueError):
+            ql_scores(docs, [])
