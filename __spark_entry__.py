@@ -2152,6 +2152,33 @@ def q_mmr_rerank(spark, sf_dir):
     return mmr_select(cands, k=10, lambda_bp=7000)
 
 
+def q_prf_search(spark, sf_dir):
+    """The full PRF retrieval loop: RM3 expansion terms from the BM25
+    top-10 feedback set (prf_terms), unioned with the original Q1 terms
+    as a TERM TABLE, re-scored by the data-driven BM25
+    (search/ranking.py bm25_scores_terms_df — terms as broadcast rows,
+    per-term contributions on the e6 BIGINT lattice so the dynamic-term
+    sum stays engine-exact), top-20 by (bm25_e6 DESC, doc_id). The
+    second pass is one token explode ⋈ broadcast(7 terms) — no
+    recompile, no driver round-trip for the term set."""
+    from ocr_search_spark.search.ranking import (
+        bm25_scores_terms_df,
+        prf_expansion_terms,
+    )
+
+    d = _docs(spark, sf_dir)
+    exp = prf_expansion_terms(d, FTS_TERMS, fb_docs=10, fb_terms=5).select(
+        "term"
+    )
+    orig = spark.createDataFrame([(t,) for t in FTS_TERMS], "term string")
+    terms = exp.unionByName(orig)
+    return (
+        bm25_scores_terms_df(d, terms)
+        .orderBy(F.col("bm25_e6").desc(), "doc_id")
+        .limit(20)
+    )
+
+
 def q_ql_scores(spark, sf_dir):
     """Dirichlet-smoothed query-likelihood ranking (search/ranking.py
     ql_scores, μ=2000) for the Q1 terms — the language-model scorer
@@ -3016,6 +3043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_features": q_ltr_features,
         "ndcg_eval": q_ndcg_eval,
         "ql_scores": q_ql_scores,
+        "prf_search": q_prf_search,
     }
 
 
@@ -5972,6 +6000,74 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mmr_rerank": _mmr_oracle_sql(),
         "ndcg_eval": _ndcg_oracle_sql(),
+        "prf_search": f"""
+            WITH tfd AS (
+              SELECT doc_id, {_TOK} AS toks, len({_TOK}) AS dl,
+                     len(list_filter({_TOK}, t -> t = 'spark')) AS tf0,
+                     len(list_filter({_TOK}, t -> t = 'join')) AS tf1
+              FROM documents
+            ), stats0 AS (
+              SELECT count(*) AS n, sum(dl) AS sumdl,
+                     sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                     sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+              FROM tfd
+            ), bm AS (
+              SELECT doc_id,
+                     round(
+                       ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+                         / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / (sumdl * 1.0 / n)))
+                     + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+                         / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / (sumdl * 1.0 / n))),
+                     6) AS bm25
+              FROM tfd, stats0
+              WHERE tf0 > 0 OR tf1 > 0
+            ), top AS (
+              SELECT doc_id, round(bm25 * 1000000)::BIGINT AS s_e6
+              FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10
+            ), fbtoks AS (
+              SELECT t.doc_id, top.s_e6, t.dl, unnest(t.toks) AS term
+              FROM tfd t JOIN top USING (doc_id)
+              WHERE t.dl > 0
+            ), fbtf AS (
+              SELECT doc_id, s_e6, dl, term, count(*) AS tf
+              FROM fbtoks GROUP BY doc_id, s_e6, dl, term
+            ), expn AS (
+              SELECT term
+              FROM (
+                SELECT term, sum((tf * s_e6 * 1000) // dl) AS weight
+                FROM fbtf
+                WHERE term NOT IN ('spark', 'join')
+                GROUP BY term
+                ORDER BY weight DESC, term LIMIT 5
+              )
+            ), terms AS (
+              SELECT term FROM expn
+              UNION
+              SELECT unnest(['spark', 'join']) AS term
+            ), hits AS (
+              SELECT t.doc_id, u.term, count(*) AS tf
+              FROM (SELECT doc_id, unnest(toks) AS term FROM tfd) u
+              JOIN tfd t ON t.doc_id = u.doc_id
+              JOIN terms USING (term)
+              GROUP BY t.doc_id, u.term
+            ), stats AS (
+              SELECT count(*) AS n, sum(dl) AS sumdl FROM tfd
+            ), dfreq AS (
+              SELECT term, count(DISTINCT doc_id) AS dft
+              FROM hits GROUP BY term
+            )
+            SELECT h.doc_id,
+                   sum(round(
+                     ln(1 + (n - dft + 0.5) / (dft + 0.5)) * h.tf * 2.2
+                       / (h.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / (sumdl * 1.0 / n)))
+                     * 1000000)::BIGINT)::BIGINT AS bm25_e6,
+                   count(*) AS n_terms_hit
+            FROM hits h
+            JOIN tfd t USING (doc_id)
+            JOIN dfreq USING (term), stats
+            GROUP BY h.doc_id
+            ORDER BY bm25_e6 DESC, h.doc_id LIMIT 20
+        """,
         "ql_scores": f"""
             WITH tfd AS (
               SELECT doc_id, len({_TOK}) AS dl,

@@ -213,6 +213,7 @@ def main() -> None:
         "ltr_features",
         "ndcg_eval",
         "ql_scores",
+        "prf_search",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

@@ -633,3 +633,82 @@ def ql_scores(
         c = F.col(f"__tf{i}") > 0
         matched = c if matched is None else (matched | c)
     return joined.filter(matched).select(F.col(id_col), score.alias("ql"))
+
+
+def bm25_scores_terms_df(
+    docs: DataFrame,
+    terms_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    term_col: str = "term",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 with the query terms as DATA (a broadcast term table)
+    instead of compiled-in literals — the shape :func:`bm25_scores`
+    cannot take when the term set is dynamic (PRF expansion output, a
+    batch of thousands of queries, a mined keyword table). Same scoring
+    math (Lucene-form IDF, k1/b saturation + length norm).
+
+    Because terms are rows, the per-document score is a groupBy SUM over
+    per-(doc, term) contributions — and a float sum's order varies with
+    partitioning and engine. Each contribution is therefore rounded to
+    the e6 lattice FIRST (``round(score_t * 1e6)`` BIGINT) and the sum
+    is exact integer arithmetic: the output ``bm25_e6`` is
+    engine-reproducible. (The static-terms form sums fixed columns in
+    fixed order and can stay in doubles; this is the price of dynamic
+    terms, and 1e-6 resolution is far below any ranking-relevant score
+    gap.)
+
+    Returns ``(id_col, bm25_e6, n_terms_hit)`` for documents matching at
+    least one term.
+
+    Scale: tokens explode once (|tokens| rows), the term table
+    broadcasts, per-term df/corpus stats are one small aggregate; the
+    only wide shuffle is the final groupBy(id) — same class as any
+    postings build. No per-row Python anywhere.
+    """
+    toked = docs.select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+    dl = toked.select(id_col, F.size("__toks").alias("__dl"))
+    terms = terms_df.select(F.col(term_col).alias("__term")).distinct()
+    hits = (
+        toked.select(id_col, F.explode("__toks").alias("__term"))
+        .join(F.broadcast(terms), "__term")
+        .groupBy(id_col, "__term")
+        .agg(F.count("*").alias("__tf"))
+    )
+    # corpus stats: N + avgdl (one row), df per term (|terms| rows)
+    stats = dl.agg(
+        F.count("*").alias("__n"), F.sum("__dl").alias("__sumdl")
+    )
+    dfreq = hits.groupBy("__term").agg(
+        F.countDistinct(id_col).alias("__df")
+    )
+    scored = (
+        hits.join(dl, id_col)
+        .join(F.broadcast(dfreq), "__term")
+        .crossJoin(F.broadcast(stats))
+    )
+    tf = F.col("__tf").cast("double")
+    df_t = F.col("__df").cast("double")
+    idf = F.log(1.0 + (F.col("__n") - df_t + 0.5) / (df_t + 0.5))
+    avgdl = F.col("__sumdl").cast("double") / F.nullif(
+        F.col("__n"), F.lit(0)
+    )
+    denom_norm = F.when(
+        F.coalesce(avgdl, F.lit(0.0)) > 0,
+        1.0 - b + b * F.col("__dl").cast("double") / avgdl,
+    ).otherwise(F.lit(1.0 - b))
+    score_t = idf * tf * (k1 + 1.0) / (tf + k1 * denom_norm)
+    return (
+        scored.select(
+            id_col,
+            F.round(score_t * 1_000_000).cast("long").alias("__c"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("bm25_e6"),
+            F.count("*").alias("n_terms_hit"),
+        )
+    )

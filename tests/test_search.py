@@ -832,3 +832,92 @@ class TestQlScores:
         )
         with _pytest.raises(ValueError):
             ql_scores(docs, [])
+
+
+class TestBm25TermsDf:
+    """Data-driven BM25 (ranking.bm25_scores_terms_df)."""
+
+    @staticmethod
+    def _scalar(rows, terms, k1=1.2, b=0.75):
+        import math
+
+        toks = {d: t.split() for d, t in rows}
+        n = len(rows)
+        sumdl = sum(len(t) for t in toks.values())
+        avgdl = sumdl / n
+        out = {}
+        for d, t in toks.items():
+            dl = len(t)
+            total, hit = 0, 0
+            for term in set(t) & set(terms):
+                tf = t.count(term)
+                dft = sum(1 for tt in toks.values() if term in tt)
+                idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+                denom_norm = 1.0 - b + b * dl / avgdl
+                s = idf * tf * (k1 + 1.0) / (tf + k1 * denom_norm)
+                total += round(s * 1_000_000)
+                hit += 1
+            if hit:
+                out[d] = (total, hit)
+        return out
+
+    def test_matches_scalar_model(self, spark):
+        from ocr_search_spark.search.ranking import bm25_scores_terms_df
+
+        rows = [
+            ("a", "spark alpha alpha beta"),
+            ("b", "spark spark join gamma"),
+            ("c", "delta delta delta"),
+            ("d", "join beta"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id string, text string")
+        terms = spark.createDataFrame(
+            [("spark",), ("join",), ("beta",)], "term string"
+        )
+        got = {
+            r.doc_id: (r.bm25_e6, r.n_terms_hit)
+            for r in bm25_scores_terms_df(docs, terms).collect()
+        }
+        assert got == self._scalar(rows, ["spark", "join", "beta"])
+        assert "c" not in got  # no term hit -> absent
+
+    def test_duplicate_terms_deduped(self, spark):
+        from ocr_search_spark.search.ranking import bm25_scores_terms_df
+
+        docs = spark.createDataFrame(
+            [("a", "spark x"), ("b", "y z")], "doc_id string, text string"
+        )
+        t1 = spark.createDataFrame([("spark",)], "term string")
+        t2 = spark.createDataFrame(
+            [("spark",), ("spark",)], "term string"
+        )
+        one = bm25_scores_terms_df(docs, t1).collect()
+        two = bm25_scores_terms_df(docs, t2).collect()
+        assert [(r.doc_id, r.bm25_e6) for r in one] == [
+            (r.doc_id, r.bm25_e6) for r in two
+        ]
+
+    def test_agrees_with_static_bm25(self, spark):
+        """Single-term query: the dynamic e6-lattice score equals the
+        static form's round-6 score to within one e6 ulp."""
+        from ocr_search_spark.search.ranking import (
+            bm25_scores,
+            bm25_scores_terms_df,
+        )
+
+        docs = spark.createDataFrame(
+            [("a", "spark w w"), ("b", "w spark spark w"), ("c", "w w")],
+            "doc_id string, text string",
+        )
+        static = {
+            r.doc_id: round(r.bm25 * 1_000_000)
+            for r in bm25_scores(docs, ["spark"]).collect()
+        }
+        dyn = {
+            r.doc_id: r.bm25_e6
+            for r in bm25_scores_terms_df(
+                docs, spark.createDataFrame([("spark",)], "term string")
+            ).collect()
+        }
+        assert set(static) == set(dyn)
+        assert all(abs(static[d] - dyn[d]) <= 1 for d in static)
