@@ -490,3 +490,61 @@ class TestR5LateOpPlans:
         assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestRetrievalHeadPlans:
+    """Round-5-close retrieval head: the scale claims must be visible in
+    the physical plan."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(f"d{i}", f"spark join w{i} w{i % 3}") for i in range(40)],
+            "doc_id string, text string",
+        )
+
+    def test_terms_df_bm25_broadcasts_term_table(self, spark):
+        """The dynamic term table must broadcast — a sort-merge join on
+        __term would shuffle the whole exploded token stream by term."""
+        from ocr_search_spark.search.ranking import bm25_scores_terms_df
+
+        terms = spark.createDataFrame(
+            [("spark",), ("join",)], "term string"
+        )
+        plan = plan_of(bm25_scores_terms_df(self._docs(spark), terms))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_rrf_fuse_has_no_join(self, spark):
+        """Fusion is union + groupBy over pre-truncated arms — any Join
+        node would mean an accidental arm correlation."""
+        from ocr_search_spark.search.ranking import rrf_fuse
+
+        a = spark.createDataFrame([("a", 1), ("b", 2)], "doc_id string, rank int")
+        b = spark.createDataFrame([("b", 1)], "doc_id string, rank int")
+        plan = plan_of(rrf_fuse([a, b]))
+        assert "Join" not in plan
+        assert "Union" in plan
+
+    def test_hybrid_lexical_arm_is_top_k(self, spark):
+        """The lexical arm's truncation must compile to
+        TakeOrderedAndProject (distributed per-partition heaps), not a
+        global Sort feeding the rank window."""
+        from ocr_search_spark.search.ranking import bm25_scores
+
+        lex = (
+            bm25_scores(self._docs(spark), ["spark", "join"])
+            .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+            .limit(50)
+        )
+        assert "TakeOrderedAndProject" in plan_of(lex)
+
+    def test_prf_feedback_join_broadcasts(self, spark):
+        """Only the fb_docs feedback rows are re-tokenized: the top-k
+        side must broadcast into the docs join."""
+        from ocr_search_spark.search.ranking import prf_expansion_terms
+
+        plan = plan_of(
+            prf_expansion_terms(self._docs(spark), ["spark"], fb_docs=5)
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
