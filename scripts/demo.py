@@ -344,7 +344,20 @@ def main() -> None:
 
     cdocs = content.select("doc_id", F.col("content").alias("text"))
     print("-- PRF: RM3 expansion terms from the BM25 top-10 feedback set")
-    prf_expansion_terms(cdocs, ["spark", "join"], fb_docs=10, fb_terms=5).show()
+    exp_terms = prf_expansion_terms(
+        cdocs, ["spark", "join"], fb_docs=10, fb_terms=5
+    )
+    exp_terms.show()
+    print("-- PRF second pass: original + expansion terms as a term TABLE,")
+    print("   re-scored by data-driven BM25 (e6-lattice contributions)")
+    from ocr_search_spark.search.ranking import bm25_scores_terms_df
+
+    all_terms = exp_terms.select("term").unionByName(
+        spark.createDataFrame([("spark",), ("join",)], "term string")
+    )
+    bm25_scores_terms_df(cdocs, all_terms).orderBy(
+        F.col("bm25_e6").desc(), "doc_id"
+    ).show(3)
     lex = (
         bm25_scores(cdocs, ["spark", "join"])
         .orderBy(F.col("bm25").desc(), "doc_id")
