@@ -2329,6 +2329,27 @@ def q_sessionize(spark, sf_dir):
     return sessionize_batch(_events(spark, sf_dir), gap_minutes=30)
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered funnel view → click → purchase (ops/events.py funnel):
+    greedy-earliest completion per user under strict timestamp order;
+    per-step user counts and exact basis-point conversion. Each step is
+    one keyed aggregation against a monotonically shrinking per-user
+    frontier — no windows over the raw stream."""
+    from ocr_search_spark.ops.events import funnel
+
+    return funnel(_events(spark, sf_dir), ["view", "click", "purchase"])
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix (ops/events.py cohort_retention): users
+    bucketed by first-activity day, counted at each active day offset —
+    two keyed shuffles (per-user min, per-(user, day) distinct), output
+    O(days²) rows regardless of event count."""
+    from ocr_search_spark.ops.events import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir))
+
+
 def q_events_hourly(spark, sf_dir):
     """Batch windowed aggregation: per-type hourly counts."""
     e = _events(spark, sf_dir)
@@ -3044,6 +3065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_eval": q_ndcg_eval,
         "ql_scores": q_ql_scores,
         "prf_search": q_prf_search,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -6000,6 +6023,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mmr_rerank": _mmr_oracle_sql(),
         "ndcg_eval": _ndcg_oracle_sql(),
+        "funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
+              WHERE e.event_type = 'click' GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id
+            ), c AS (
+              SELECT 1 AS step, 'view' AS event_type,
+                     (SELECT count(*) FROM s1) AS users
+              UNION ALL
+              SELECT 2, 'click', (SELECT count(*) FROM s2)
+              UNION ALL
+              SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+            )
+            SELECT step, event_type, users::BIGINT AS users,
+                   (CASE WHEN (SELECT count(*) FROM s1) > 0
+                         THEN users * 10000 // (SELECT count(*) FROM s1)
+                         ELSE 0 END)::BIGINT AS conversion_bp
+            FROM c
+        """,
+        "cohort_retention": """
+            WITH frst AS (
+              SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+              FROM events GROUP BY user_id
+            ), active AS (
+              SELECT DISTINCT user_id, date_trunc('day', ts) AS dy
+              FROM events
+            )
+            SELECT f.cohort_day,
+                   date_diff('day', f.cohort_day, a.dy)::BIGINT AS day_offset,
+                   count(DISTINCT a.user_id)::BIGINT AS users
+            FROM active a JOIN frst f USING (user_id)
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
         "prf_search": f"""
             WITH tfd AS (
               SELECT doc_id, {_TOK} AS toks, len({_TOK}) AS dl,

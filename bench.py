@@ -214,6 +214,8 @@ def main() -> None:
         "ndcg_eval",
         "ql_scores",
         "prf_search",
+        "funnel",
+        "cohort_retention",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

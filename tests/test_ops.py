@@ -5660,3 +5660,119 @@ class TestMmrSelect:
             mmr_select(self._pool(spark, rows), k=0)
         with _pytest.raises(ValueError):
             mmr_select(self._pool(spark, rows), lambda_bp=10001)
+
+
+class TestFunnelAndCohort:
+    """Sequential event analytics (ops/events.py)."""
+
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id bigint, ts timestamp, event_type string"
+        )
+
+    def test_funnel_order_is_enforced(self, spark):
+        from datetime import datetime as dt
+
+        from ocr_search_spark.ops.events import funnel
+
+        rows = [
+            # u1 completes in order
+            (1, dt(2024, 1, 1, 0), "view"),
+            (1, dt(2024, 1, 1, 1), "click"),
+            (1, dt(2024, 1, 1, 2), "purchase"),
+            # u2 clicked BEFORE viewing -> stops at view
+            (2, dt(2024, 1, 1, 0), "click"),
+            (2, dt(2024, 1, 1, 1), "view"),
+            # u3 view+click only
+            (3, dt(2024, 1, 1, 0), "view"),
+            (3, dt(2024, 1, 1, 1), "click"),
+            # u4 never viewed -> not even step 1
+            (4, dt(2024, 1, 1, 0), "purchase"),
+        ]
+        out = {
+            r.event_type: (r.users, r.conversion_bp)
+            for r in funnel(
+                self._events(spark, rows), ["view", "click", "purchase"]
+            ).collect()
+        }
+        assert out == {
+            "view": (3, 10000),
+            "click": (2, 6666),
+            "purchase": (1, 3333),
+        }
+
+    def test_funnel_greedy_earliest_is_complete(self, spark):
+        """A later step-1 event would also work, but greedy earliest
+        must still find the completion (earliest prefix only widens the
+        suffix window)."""
+        from datetime import datetime as dt
+
+        from ocr_search_spark.ops.events import funnel
+
+        rows = [
+            (1, dt(2024, 1, 1, 0), "view"),   # earliest view
+            (1, dt(2024, 1, 1, 5), "view"),
+            (1, dt(2024, 1, 1, 6), "click"),  # after BOTH views
+        ]
+        out = {
+            r.event_type: r.users
+            for r in funnel(
+                self._events(spark, rows), ["view", "click"]
+            ).collect()
+        }
+        assert out == {"view": 1, "click": 1}
+
+    def test_funnel_empty_first_step_and_validation(self, spark):
+        from datetime import datetime as dt
+
+        import pytest as _pytest
+
+        from ocr_search_spark.ops.events import funnel
+
+        rows = [(1, dt(2024, 1, 1), "click")]
+        out = funnel(
+            self._events(spark, rows), ["view", "click"]
+        ).collect()
+        assert [(r.users, r.conversion_bp) for r in out] == [(0, 0), (0, 0)]
+        with _pytest.raises(ValueError):
+            funnel(self._events(spark, rows), [])
+        with _pytest.raises(ValueError):
+            funnel(self._events(spark, rows), ["view", "view"])
+
+    def test_cohort_matrix(self, spark):
+        from datetime import datetime as dt
+
+        from ocr_search_spark.ops.events import cohort_retention
+
+        rows = [
+            (1, dt(2024, 1, 1, 9), "view"),
+            (1, dt(2024, 1, 2, 9), "view"),
+            (1, dt(2024, 1, 2, 15), "click"),   # same day, counted once
+            (2, dt(2024, 1, 1, 5), "view"),
+            (3, dt(2024, 1, 2, 5), "view"),
+            (3, dt(2024, 1, 4, 5), "view"),
+        ]
+        out = {
+            (str(r.cohort_day), r.day_offset): r.users
+            for r in cohort_retention(self._events(spark, rows)).collect()
+        }
+        assert out == {
+            ("2024-01-01 00:00:00", 0): 2,
+            ("2024-01-01 00:00:00", 1): 1,
+            ("2024-01-02 00:00:00", 0): 1,
+            ("2024-01-02 00:00:00", 2): 1,
+        }
+
+    def test_cohort_max_offset_truncates(self, spark):
+        from datetime import datetime as dt
+
+        from ocr_search_spark.ops.events import cohort_retention
+
+        rows = [
+            (1, dt(2024, 1, 1), "view"),
+            (1, dt(2024, 1, 9), "view"),
+        ]
+        out = cohort_retention(
+            self._events(spark, rows), max_offset_days=5
+        ).collect()
+        assert [r.day_offset for r in out] == [0]
