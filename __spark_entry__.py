@@ -2329,6 +2329,20 @@ def q_sessionize(spark, sf_dir):
     return sessionize_batch(_events(spark, sf_dir), gap_minutes=30)
 
 
+def q_length_percentiles(spark, sf_dir):
+    """Exact discrete p50/p90/p99 of document length per language
+    (ops/text_analysis.py group_percentiles) — the distribution row of a
+    data card; value at rank ceil(p·n/100), always an actual data value,
+    integer-exact. Production twin at petabyte scale is
+    percentile_approx (t-digest); this exact form is its validation
+    twin, the jaccard-exact/minhash pairing."""
+    from ocr_search_spark.ops.text_analysis import group_percentiles
+
+    return group_percentiles(
+        _docs(spark, sf_dir), "lang", "n_chars", ps=[50, 90, 99]
+    )
+
+
 def q_funnel(spark, sf_dir):
     """Ordered funnel view → click → purchase (ops/events.py funnel):
     greedy-earliest completion per user under strict timestamp order;
@@ -3067,6 +3081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prf_search": q_prf_search,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
+        "length_percentiles": q_length_percentiles,
     }
 
 
@@ -6023,6 +6038,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mmr_rerank": _mmr_oracle_sql(),
         "ndcg_eval": _ndcg_oracle_sql(),
+        "length_percentiles": """
+            WITH ranked AS (
+              SELECT lang, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM documents WHERE n_chars IS NOT NULL
+            ), t AS (
+              SELECT lang, n_chars AS value, rn, n,
+                     unnest([struct_pack(p := 50, r := (50 * n + 99) // 100),
+                             struct_pack(p := 90, r := (90 * n + 99) // 100),
+                             struct_pack(p := 99, r := (99 * n + 99) // 100)])
+                       AS tgt
+              FROM ranked
+            )
+            SELECT lang, tgt.p AS p, value
+            FROM t WHERE tgt.r = rn
+            ORDER BY lang, p
+        """,
         "funnel": """
             WITH s1 AS (
               SELECT user_id, min(ts) AS t FROM events

@@ -216,6 +216,7 @@ def main() -> None:
         "prf_search",
         "funnel",
         "cohort_retention",
+        "length_percentiles",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

@@ -1980,3 +1980,67 @@ def vocab_drift(
             - (_hb_wide(F.col("c_old") + 1) - _hb_wide(F.col("t_old") + F.col("v")))
         ).alias("lr_hb"),
     )
+
+
+def group_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: list[int] = [50, 90, 99],
+) -> DataFrame:
+    """EXACT discrete percentiles per group — the distribution row of a
+    data card (length p50/p90/p99 by language, tokens per doc by source).
+
+    Percentile p is the value at rank ``ceil(p * n / 100)`` (1-based) in
+    the group's ascending value order — the "lower" discrete percentile,
+    always an actual data value, integer-exact and engine-reproducible
+    (no interpolation floats). Null values are excluded; a group that is
+    entirely null disappears (no percentile is defined over nothing).
+
+    Returns ``(group_col, p, value)`` ordered by (group, p).
+
+    Scale: one hash shuffle by group + a per-group sort (the analytic
+    window). Exact per-group percentiles fundamentally need the sorted
+    order; this is the oracle-able exact form — at petabyte scale with
+    few groups prefer ``percentile_approx`` (t-digest, mergeable
+    map-side) and keep this as its validation twin, the same
+    exact-vs-approx pairing as jaccard_pairs_exact / minhash-LSH.
+    """
+    from pyspark.sql import Window
+
+    ps = sorted(set(int(p) for p in ps))
+    if not ps or ps[0] < 1 or ps[-1] > 100:
+        raise ValueError(f"percentiles must be ints in [1, 100], got {ps!r}")
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    ranked = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(group_col, value_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "__n", F.count("*").over(Window.partitionBy(group_col))
+        )
+    )
+    # one pass: each row explodes its (p, target-rank) pairs and keeps
+    # the ones whose rank it occupies — rank = ceil(p*n/100) computed in
+    # integers as (p*n + 99) div 100; a tiny group can legitimately
+    # satisfy several percentiles with one row
+    targets = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("p"),
+                F.expr(f"({p} * __n + 99) div 100").alias("r"),
+            )
+            for p in ps
+        ]
+    )
+    return (
+        ranked.select(
+            group_col,
+            F.col(value_col).alias("value"),
+            "__rn",
+            F.explode(targets).alias("__t"),
+        )
+        .filter(F.col("__t.r") == F.col("__rn"))
+        .select(group_col, F.col("__t.p").alias("p"), "value")
+        .orderBy(group_col, "p")
+    )

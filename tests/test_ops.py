@@ -5776,3 +5776,51 @@ class TestFunnelAndCohort:
             self._events(spark, rows), max_offset_days=5
         ).collect()
         assert [r.day_offset for r in out] == [0]
+
+
+class TestGroupPercentiles:
+    """Exact discrete percentiles (ops/text_analysis.py group_percentiles)."""
+
+    def test_matches_scalar_model(self, spark):
+        import math
+
+        from ocr_search_spark.ops.text_analysis import group_percentiles
+
+        vals = {"a": [5, 1, 9, 3, 7, 7, 2], "b": [10, 20]}
+        rows = [(g, v) for g, vs in vals.items() for v in vs]
+        df = spark.createDataFrame(rows, "lang string, n bigint")
+        got = {
+            (r.lang, r.p): r.value
+            for r in group_percentiles(df, "lang", "n", ps=[50, 90, 99]).collect()
+        }
+        exp = {}
+        for g, vs in vals.items():
+            s = sorted(vs)
+            for p in (50, 90, 99):
+                exp[(g, p)] = s[math.ceil(p * len(s) / 100) - 1]
+        assert got == exp
+
+    def test_tiny_group_hits_multiple_ps(self, spark):
+        from ocr_search_spark.ops.text_analysis import group_percentiles
+
+        df = spark.createDataFrame([("a", 42)], "g string, v bigint")
+        got = [
+            (r.p, r.value)
+            for r in group_percentiles(df, "g", "v", ps=[50, 99]).collect()
+        ]
+        assert got == [(50, 42), (99, 42)]
+
+    def test_nulls_excluded_and_validation(self, spark):
+        import pytest as _pytest
+
+        from ocr_search_spark.ops.text_analysis import group_percentiles
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", None), ("b", None)], "g string, v bigint"
+        )
+        got = group_percentiles(df, "g", "v", ps=[50]).collect()
+        assert [(r.g, r.value) for r in got] == [("a", 1)]  # b vanishes
+        with _pytest.raises(ValueError):
+            group_percentiles(df, "g", "v", ps=[0])
+        with _pytest.raises(ValueError):
+            group_percentiles(df, "g", "v", ps=[])
