@@ -2329,6 +2329,19 @@ def q_sessionize(spark, sf_dir):
     return sessionize_batch(_events(spark, sf_dir), gap_minutes=30)
 
 
+def q_fuzzy_source_pairs(spark, sf_dir):
+    """Character-level fuzzy duplicates among the distinct source names
+    (ops/dedup.py edit_distance_pairs): q-gram posting candidates +
+    length filter, exact JVM levenshtein verify ≤ 1 — the short-string
+    normalization pass (source/title/author strings) where token
+    shingles are useless. src1/src11-style near-collisions surface as
+    distance-1 pairs."""
+    from ocr_search_spark.ops.dedup import edit_distance_pairs
+
+    srcs = _docs(spark, sf_dir).select("source").distinct()
+    return edit_distance_pairs(srcs, "source", "source", max_dist=1, q=2)
+
+
 def q_length_percentiles(spark, sf_dir):
     """Exact discrete p50/p90/p99 of document length per language
     (ops/text_analysis.py group_percentiles) — the distribution row of a
@@ -3082,6 +3095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "length_percentiles": q_length_percentiles,
+        "fuzzy_source_pairs": q_fuzzy_source_pairs,
     }
 
 
@@ -6038,6 +6052,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mmr_rerank": _mmr_oracle_sql(),
         "ndcg_eval": _ndcg_oracle_sql(),
+        "fuzzy_source_pairs": """
+            WITH s AS (SELECT DISTINCT source FROM documents),
+            g AS (
+              SELECT source, length(source) AS len,
+                     unnest(list_distinct(list_transform(
+                       range(1, greatest(length(source) - 1, 0) + 1),
+                       i -> substring(source, i, 2)))) AS gram
+              FROM s
+            ), cand AS (
+              SELECT DISTINCT a.source AS a_id, b.source AS b_id,
+                     a.source AS ta, b.source AS tb
+              FROM g a JOIN g b ON a.gram = b.gram
+              WHERE a.source < b.source AND abs(a.len - b.len) <= 1
+            )
+            SELECT a_id, b_id, levenshtein(ta, tb) AS dist
+            FROM cand
+            WHERE levenshtein(ta, tb) <= 1
+        """,
         "length_percentiles": """
             WITH ranked AS (
               SELECT lang, n_chars,

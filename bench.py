@@ -217,6 +217,7 @@ def main() -> None:
         "funnel",
         "cohort_retention",
         "length_percentiles",
+        "fuzzy_source_pairs",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

@@ -1164,3 +1164,90 @@ def containment_pairs(
             ),
         )
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 1,
+    q: int = 2,
+) -> DataFrame:
+    """Character-level fuzzy duplicate pairs: all (a, b) with
+    ``levenshtein(a, b) <= max_dist`` — the short-string sibling of
+    :func:`jaccard_pairs_index` (titles, source names, author strings,
+    filenames), where token shingles are useless and EDIT distance is
+    the right metric.
+
+    Candidate generation is the classic q-gram filter (Gravano et al.,
+    VLDB 2001): k edits destroy at most ``k·q`` of a string's character
+    q-grams, so two strings within distance k MUST share a q-gram
+    whenever ``min_len >= q·(k+1)`` — the posting join on distinct
+    q-grams is recall-complete above that length (shorter strings have
+    so few grams the bound can't bite; callers matching very short keys
+    should drop to q=1, where the bound is ``min_len >= k+1``). A length
+    filter ``|len(a) - len(b)| <= k`` (a necessary condition — each edit
+    changes length by at most 1) prunes candidates before the exact
+    ``levenshtein`` verify. Identical strings under different ids emit
+    distance 0.
+
+    Returns ``(a_id, b_id, dist)`` with ``a_id < b_id``.
+
+    Scale: the same single-shuffle inverted-posting machinery as every
+    pair operator here — candidates are linear in posting-list mass,
+    never the n² grid; the verify runs only on candidates and
+    ``levenshtein`` is JVM codegen, not Python. Hot q-grams behave like
+    hot shingles: cap or drop top-df grams the same way jaccard's
+    posting join does at web scale.
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist!r}")
+    if q < 1:
+        raise ValueError(f"q must be >= 1, got {q!r}")
+    k = int(max_dist)
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        F.length(text_col).alias("__len"),
+    ).filter(F.col("__t").isNotNull())
+    grams = base.select(
+        "__id",
+        "__t",
+        "__len",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.col("__len") - q + 1, F.lit(0))
+                    ),
+                    lambda i: F.col("__t").substr(i, F.lit(q)),
+                )
+            )
+        ).alias("__g"),
+    )
+    a = grams.select(
+        F.col("__id").alias("a_id"),
+        F.col("__t").alias("__ta"),
+        F.col("__len").alias("__la"),
+        "__g",
+    )
+    b = grams.select(
+        F.col("__id").alias("b_id"),
+        F.col("__t").alias("__tb"),
+        F.col("__len").alias("__lb"),
+        "__g",
+    )
+    cand = (
+        a.join(b, "__g")
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("__la") - F.col("__lb")) <= k)
+        )
+        .select("a_id", "b_id", "__ta", "__tb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("__ta", "__tb"))
+        .filter(F.col("dist") <= k)
+        .select("a_id", "b_id", "dist")
+    )

@@ -5824,3 +5824,70 @@ class TestGroupPercentiles:
             group_percentiles(df, "g", "v", ps=[0])
         with _pytest.raises(ValueError):
             group_percentiles(df, "g", "v", ps=[])
+
+
+class TestEditDistancePairs:
+    """q-gram-blocked fuzzy pairs (ops/dedup.py edit_distance_pairs)."""
+
+    @staticmethod
+    def _lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    def _brute(self, names, k):
+        out = {}
+        ns = sorted(set(names))
+        for i, a in enumerate(ns):
+            for b in ns[i + 1:]:
+                d = self._lev(a, b)
+                if d <= k:
+                    out[(a, b)] = d
+        return out
+
+    def test_matches_brute_force(self, spark):
+        """Strings ≥ q(k+1) chars: the q-gram candidate filter is
+        recall-complete, so the operator must equal brute force."""
+        from ocr_search_spark.ops.dedup import edit_distance_pairs
+
+        names = [
+            "alpha", "alphb", "alpha1", "beta", "betta", "gamma",
+            "gamm", "delta", "alpha",  # dup text, deduped by distinct ids?
+        ]
+        rows = [(n, n) for n in sorted(set(names))]
+        df = spark.createDataFrame(rows, "id string, name string")
+        got = {
+            (r.a_id, r.b_id): r.dist
+            for r in edit_distance_pairs(df, "id", "name", max_dist=1).collect()
+        }
+        assert got == self._brute(set(names), 1)
+
+    def test_identical_text_different_id_is_distance_zero(self, spark):
+        from ocr_search_spark.ops.dedup import edit_distance_pairs
+
+        df = spark.createDataFrame(
+            [("x", "same-name"), ("y", "same-name")], "id string, t string"
+        )
+        got = edit_distance_pairs(df, "id", "t", max_dist=2).collect()
+        assert [(r.a_id, r.b_id, r.dist) for r in got] == [("x", "y", 0)]
+
+    def test_length_filter_and_validation(self, spark):
+        import pytest as _pytest
+
+        from ocr_search_spark.ops.dedup import edit_distance_pairs
+
+        # shares grams but length differs by 3 > k -> pruned before verify
+        df = spark.createDataFrame(
+            [("a", "abcdef"), ("b", "abcdefghi")], "id string, t string"
+        )
+        assert edit_distance_pairs(df, "id", "t", max_dist=1).count() == 0
+        with _pytest.raises(ValueError):
+            edit_distance_pairs(df, "id", "t", max_dist=-1)
+        with _pytest.raises(ValueError):
+            edit_distance_pairs(df, "id", "t", q=0)
