@@ -2329,6 +2329,71 @@ def q_sessionize(spark, sf_dir):
     return sessionize_batch(_events(spark, sf_dir), gap_minutes=30)
 
 
+def q_group_split(spark, sf_dir):
+    """Group-integrity train/val/test split: hash_split keyed on the
+    GROUP (source) instead of the doc id, so every document of a source
+    lands in the same split — the leakage-safe split for corpora with
+    near-duplicates inside a group (split_leakage MEASURES the problem;
+    this prevents it, sklearn's GroupShuffleSplit semantics,
+    deterministic). Output: per (split, source) doc counts — group
+    integrity is visible as each source appearing under exactly one
+    split."""
+    from ocr_search_spark.ops.sampling import hash_split
+
+    d = hash_split(
+        _docs(spark, sf_dir),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        id_col="source",
+    )
+    return (
+        d.groupBy("split", "source")
+        .agg(F.count("*").alias("docs"))
+        .orderBy("split", "source")
+    )
+
+
+def q_length_outliers(spark, sf_dir):
+    """IQR outlier gate per language: p25/p75 from the exact
+    group-percentile operator, Tukey fences computed in integers
+    (q1 - (15·iqr) DIV 10, q3 + (15·iqr) DIV 10), docs outside flagged —
+    the numeric-column hygiene gate beside the text-quality filters.
+    Output: per-lang fence values + outlier count."""
+    from ocr_search_spark.ops.text_analysis import group_percentiles
+
+    d = _docs(spark, sf_dir)
+    pcts = (
+        group_percentiles(d, "lang", "n_chars", ps=[25, 75])
+        .groupBy("lang")
+        .pivot("p", [25, 75])
+        .agg(F.first("value"))
+        .select(
+            "lang",
+            F.col("25").alias("q1"),
+            F.col("75").alias("q3"),
+        )
+        .withColumn(
+            "lo", F.expr("q1 - (15 * (q3 - q1)) div 10").cast("long")
+        )
+        .withColumn(
+            "hi", F.expr("q3 + (15 * (q3 - q1)) div 10").cast("long")
+        )
+    )
+    return (
+        d.join(F.broadcast(pcts), "lang")
+        .groupBy("lang", "q1", "q3", "lo", "hi")
+        .agg(
+            F.sum(
+                (
+                    (F.col("n_chars") < F.col("lo"))
+                    | (F.col("n_chars") > F.col("hi"))
+                ).cast("long")
+            ).alias("outliers"),
+            F.count("*").alias("docs"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_fuzzy_source_pairs(spark, sf_dir):
     """Character-level fuzzy duplicates among the distinct source names
     (ops/dedup.py edit_distance_pairs): q-gram posting candidates +
@@ -3096,6 +3161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "length_percentiles": q_length_percentiles,
         "fuzzy_source_pairs": q_fuzzy_source_pairs,
+        "group_split": q_group_split,
+        "length_outliers": q_length_outliers,
     }
 
 
@@ -6052,6 +6119,51 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mmr_rerank": _mmr_oracle_sql(),
         "ndcg_eval": _ndcg_oracle_sql(),
+        "group_split": """
+            WITH s AS (
+              SELECT source,
+                     CASE WHEN b < 8000 THEN 'train'
+                          WHEN b < 9000 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (
+                SELECT doc_id, source,
+                       ('0x' || substring(md5('split' || source), 1, 8))::BIGINT
+                         % 10000 AS b
+                FROM documents
+              )
+            )
+            SELECT split, source, count(*) AS docs
+            FROM s GROUP BY split, source
+            ORDER BY split, source
+        """,
+        "length_outliers": """
+            WITH ranked AS (
+              SELECT lang, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM documents WHERE n_chars IS NOT NULL
+            ), q AS (
+              SELECT lang,
+                     max(CASE WHEN rn = (25 * n + 99) // 100
+                              THEN n_chars END) AS q1,
+                     max(CASE WHEN rn = (75 * n + 99) // 100
+                              THEN n_chars END) AS q3
+              FROM ranked GROUP BY lang
+            ), fences AS (
+              SELECT lang, q1, q3,
+                     (q1 - (15 * (q3 - q1)) // 10)::BIGINT AS lo,
+                     (q3 + (15 * (q3 - q1)) // 10)::BIGINT AS hi
+              FROM q
+            )
+            SELECT d.lang, f.q1, f.q3, f.lo, f.hi,
+                   sum(CASE WHEN d.n_chars < f.lo OR d.n_chars > f.hi
+                            THEN 1 ELSE 0 END)::BIGINT AS outliers,
+                   count(*) AS docs
+            FROM documents d JOIN fences f USING (lang)
+            GROUP BY d.lang, f.q1, f.q3, f.lo, f.hi
+            ORDER BY d.lang
+        """,
         "fuzzy_source_pairs": """
             WITH s AS (SELECT DISTINCT source FROM documents),
             g AS (

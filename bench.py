@@ -218,6 +218,8 @@ def main() -> None:
         "cohort_retention",
         "length_percentiles",
         "fuzzy_source_pairs",
+        "group_split",
+        "length_outliers",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

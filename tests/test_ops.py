@@ -5891,3 +5891,55 @@ class TestEditDistancePairs:
             edit_distance_pairs(df, "id", "t", max_dist=-1)
         with _pytest.raises(ValueError):
             edit_distance_pairs(df, "id", "t", q=0)
+
+
+class TestGroupSplitAndOutliers:
+    """Leakage-safe group splits + IQR gates (round 5 close queries)."""
+
+    def test_group_split_integrity(self, spark):
+        """Every group lands in exactly one split, splits are exhaustive,
+        and the assignment is deterministic across invocations."""
+        from ocr_search_spark.ops.sampling import hash_split
+
+        df = spark.createDataFrame(
+            [(i, f"src{i % 7}") for i in range(100)],
+            "doc_id bigint, source string",
+        )
+        w = {"train": 0.8, "val": 0.1, "test": 0.1}
+        out = hash_split(df, w, id_col="source")
+        per_group = (
+            out.groupBy("source")
+            .agg(F.countDistinct("split").alias("k"))
+            .collect()
+        )
+        assert all(r.k == 1 for r in per_group)
+        assert out.count() == 100
+        again = {
+            (r.doc_id, r.split) for r in hash_split(df, w, id_col="source").collect()
+        }
+        assert again == {(r.doc_id, r.split) for r in out.collect()}
+
+    def test_iqr_fences_hand_case(self, spark):
+        """9 values, one planted far outlier: integer Tukey fences flag
+        exactly it."""
+        from ocr_search_spark.ops.text_analysis import group_percentiles
+
+        vals = [10, 12, 13, 14, 15, 16, 17, 18, 1000]
+        df = spark.createDataFrame(
+            [("en", v) for v in vals], "lang string, n_chars bigint"
+        )
+        pcts = {
+            r.p: r.value
+            for r in group_percentiles(df, "lang", "n_chars", ps=[25, 75]).collect()
+        }
+        import math
+
+        s = sorted(vals)
+        assert pcts == {
+            25: s[math.ceil(25 * 9 / 100) - 1],
+            75: s[math.ceil(75 * 9 / 100) - 1],
+        }
+        q1, q3 = pcts[25], pcts[75]
+        lo, hi = q1 - (15 * (q3 - q1)) // 10, q3 + (15 * (q3 - q1)) // 10
+        flagged = [v for v in vals if v < lo or v > hi]
+        assert flagged == [1000]
