@@ -2329,6 +2329,50 @@ def q_sessionize(spark, sf_dir):
     return sessionize_batch(_events(spark, sf_dir), gap_minutes=30)
 
 
+def q_mrr_eval(spark, sf_dir):
+    """MRR@10 of the cosine ranking for query vectors 0-4 with binary
+    same-label relevance (search/ranking.py mrr_at_k) — the
+    first-relevant-rank companion to ndcg_eval; rr_ppm = 1e6 DIV
+    first_rel_rank, exact integers."""
+    from ocr_search_spark.ops.similarity import cosine_topk
+    from ocr_search_spark.search.ranking import mrr_at_k
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qset = emb.filter(F.col("vec_id") < 5)
+    ranked = cosine_topk(emb, qset, k=10).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rnk").alias("rank"),
+    )
+    rels = (
+        emb.select(F.col("vec_id").alias("doc_id"), "label")
+        .crossJoin(
+            F.broadcast(
+                qset.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("__ql"),
+                )
+            )
+        )
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("label") == F.col("__ql")).cast("int").alias("rel"),
+        )
+    )
+    return mrr_at_k(ranked, rels, k=10).orderBy("query_id")
+
+
+def q_event_transitions(spark, sf_dir):
+    """Markov transition matrix over per-user event sequences
+    (ops/events.py event_transitions): one analytic-window pass, total
+    per-user order via the (ts, event_id) tiebreak, |types|² output."""
+    from ocr_search_spark.ops.events import event_transitions
+
+    return event_transitions(_events(spark, sf_dir))
+
+
 def q_group_split(spark, sf_dir):
     """Group-integrity train/val/test split: hash_split keyed on the
     GROUP (source) instead of the doc id, so every document of a source
@@ -3163,6 +3207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_source_pairs": q_fuzzy_source_pairs,
         "group_split": q_group_split,
         "length_outliers": q_length_outliers,
+        "mrr_eval": q_mrr_eval,
+        "event_transitions": q_event_transitions,
     }
 
 
@@ -6119,6 +6165,57 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mmr_rerank": _mmr_oracle_sql(),
         "ndcg_eval": _ndcg_oracle_sql(),
+        "mrr_eval": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+              FROM embeddings WHERE vec_id < 5
+            ),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS doc_id,
+                     round(
+                       list_sum(list_transform(range(1, 65),
+                         i -> e.embedding[i]::DOUBLE * q.qvec[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(range(1, 65),
+                            i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+                        * sqrt(list_sum(list_transform(range(1, 65),
+                            i -> q.qvec[i]::DOUBLE * q.qvec[i]::DOUBLE)))),
+                     6) AS cos
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id <> q.query_id
+            ),
+            ranked AS (
+              SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, doc_id) AS rnk
+              FROM scored QUALIFY rnk <= 10
+            ),
+            rels AS (
+              SELECT q.query_id, e.vec_id AS doc_id
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id <> q.query_id AND e.label = q.qlabel
+            ),
+            hits AS (
+              SELECT r.query_id, min(r.rnk)::BIGINT AS first_rel_rank
+              FROM ranked r JOIN rels USING (query_id, doc_id)
+              GROUP BY r.query_id
+            )
+            SELECT a.query_id, h.first_rel_rank,
+                   coalesce(1000000 // h.first_rel_rank, 0)::BIGINT AS rr_ppm
+            FROM (SELECT DISTINCT query_id FROM ranked) a
+            LEFT JOIN hits h USING (query_id)
+        """,
+        "event_transitions": """
+            WITH p AS (
+              SELECT lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                       AS from_type,
+                     event_type AS to_type
+              FROM events
+            )
+            SELECT from_type, to_type, count(*) AS transitions
+            FROM p WHERE from_type IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "group_split": """
             WITH s AS (
               SELECT source,

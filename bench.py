@@ -220,6 +220,8 @@ def main() -> None:
         "fuzzy_source_pairs",
         "group_split",
         "length_outliers",
+        "mrr_eval",
+        "event_transitions",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

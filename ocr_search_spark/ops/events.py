@@ -117,3 +117,37 @@ def cohort_retention(
         .agg(F.countDistinct(user_col).alias("users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Per-user consecutive event-type transition counts — the Markov
+    transition matrix of product analytics (view→click rates, error
+    loops). One analytic-window pass: events ordered by
+    ``(ts, order_tiebreak)`` within each user, LAG(1) pairs counted.
+
+    Returns ``(from_type, to_type, transitions)``. Deterministic: the
+    tiebreak column makes the per-user order total, so simultaneous
+    events produce the same pairs every run and engine.
+
+    Scale: one shuffle by user key + a per-user sort (bounded by the
+    busiest user's event count — salt pathological users upstream the
+    same way extraction salts giant docs); output is |types|² rows.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    pairs = events.select(
+        F.lag(type_col).over(w).alias("from_type"),
+        F.col(type_col).alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    return (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("transitions"))
+        .orderBy("from_type", "to_type")
+    )

@@ -712,3 +712,42 @@ def bm25_scores_terms_df(
             F.count("*").alias("n_terms_hit"),
         )
     )
+
+
+def mrr_at_k(
+    ranked: DataFrame,
+    rels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """MRR@k per query — reciprocal rank of the FIRST relevant result,
+    the companion scalar to :func:`ndcg_at_k` (same input contract:
+    1-based system ranks, integer relevance, absent pairs = 0).
+
+    Returns ``(query_col, first_rel_rank, rr_ppm)`` with
+    ``rr_ppm = 1e6 DIV first_rel_rank`` (exact integer; 0 and a null
+    ``first_rel_rank`` when no relevant doc appears in the top k).
+    Same scale shape as NDCG: only top-k rows per query move.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k!r}")
+    hits = (
+        ranked.filter(F.col(rank_col) <= int(k))
+        .join(rels.filter(F.col(rel_col) > 0), [query_col, doc_col])
+        .groupBy(query_col)
+        .agg(F.min(rank_col).cast("long").alias("first_rel_rank"))
+    )
+    all_q = ranked.select(query_col).distinct()
+    return (
+        all_q.join(hits, query_col, "left")
+        .select(
+            query_col,
+            "first_rel_rank",
+            F.coalesce(
+                F.expr("1000000 div first_rel_rank"), F.lit(0)
+            ).alias("rr_ppm"),
+        )
+    )

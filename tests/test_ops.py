@@ -5943,3 +5943,30 @@ class TestGroupSplitAndOutliers:
         lo, hi = q1 - (15 * (q3 - q1)) // 10, q3 + (15 * (q3 - q1)) // 10
         flagged = [v for v in vals if v < lo or v > hi]
         assert flagged == [1000]
+
+
+class TestEventTransitions:
+    def test_transition_counts_with_ties(self, spark):
+        from datetime import datetime as dt
+
+        from ocr_search_spark.ops.events import event_transitions
+
+        rows = [
+            (1, 1, dt(2024, 1, 1, 0), "view"),
+            (1, 2, dt(2024, 1, 1, 1), "click"),
+            (1, 3, dt(2024, 1, 1, 2), "view"),
+            # u2: two simultaneous events -> event_id tiebreak decides order
+            (2, 4, dt(2024, 1, 1, 0), "view"),
+            (2, 5, dt(2024, 1, 1, 0), "click"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id bigint, event_id bigint, ts timestamp, event_type string"
+        )
+        got = {
+            (r.from_type, r.to_type): r.transitions
+            for r in event_transitions(df).collect()
+        }
+        assert got == {
+            ("view", "click"): 2,  # u1 + u2 (tiebreak: id 4 before 5)
+            ("click", "view"): 1,
+        }

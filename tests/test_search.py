@@ -921,3 +921,41 @@ class TestBm25TermsDf:
         }
         assert set(static) == set(dyn)
         assert all(abs(static[d] - dyn[d]) <= 1 for d in static)
+
+
+class TestMrrAtK:
+    """MRR@k evaluation (ranking.mrr_at_k)."""
+
+    def test_first_relevant_rank(self, spark):
+        from ocr_search_spark.search.ranking import mrr_at_k
+
+        ranked = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1)],
+            "query_id bigint, doc_id bigint, rank int",
+        )
+        rels = spark.createDataFrame(
+            [(1, 11, 1), (1, 12, 1), (2, 99, 1)],
+            "query_id bigint, doc_id bigint, rel int",
+        )
+        got = {
+            r.query_id: (r.first_rel_rank, r.rr_ppm)
+            for r in mrr_at_k(ranked, rels, k=10).collect()
+        }
+        # q1: first relevant at rank 2 -> 500000; q2: none in top-k -> 0
+        assert got == {1: (2, 500_000), 2: (None, 0)}
+
+    def test_k_truncation_and_validation(self, spark):
+        import pytest as _pytest
+
+        from ocr_search_spark.search.ranking import mrr_at_k
+
+        ranked = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 5)], "query_id bigint, doc_id bigint, rank int"
+        )
+        rels = spark.createDataFrame(
+            [(1, 11, 1)], "query_id bigint, doc_id bigint, rel int"
+        )
+        got = mrr_at_k(ranked, rels, k=3).collect()[0]
+        assert (got.first_rel_rank, got.rr_ppm) == (None, 0)
+        with _pytest.raises(ValueError):
+            mrr_at_k(ranked, rels, k=0)
