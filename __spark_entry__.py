@@ -2329,6 +2329,18 @@ def q_sessionize(spark, sf_dir):
     return sessionize_batch(_events(spark, sf_dir), gap_minutes=30)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (ops/sampling.py weighted_sample, Efraimidis-Spirakis A-Res):
+    100 docs drawn ∝ n_chars via hash-derived lattice uniforms —
+    reproducible quality-weighted corpus draws, distributed top-n, no
+    RNG state. Output: sampled (doc_id, n_chars)."""
+    from ocr_search_spark.ops.sampling import weighted_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return weighted_sample(d, 100, "n_chars").orderBy("doc_id")
+
+
 def q_mrr_eval(spark, sf_dir):
     """MRR@10 of the cosine ranking for query vectors 0-4 with binary
     same-label relevance (search/ranking.py mrr_at_k) — the
@@ -3209,6 +3221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_outliers": q_length_outliers,
         "mrr_eval": q_mrr_eval,
         "event_transitions": q_event_transitions,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -6165,6 +6178,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mmr_rerank": _mmr_oracle_sql(),
         "ndcg_eval": _ndcg_oracle_sql(),
+        "weighted_sample": """
+            WITH pr AS (
+              SELECT doc_id, n_chars,
+                     round(
+                       ln((('0x' || substring(md5('wsample' || doc_id), 1, 8))::BIGINT
+                           % 10000 + 1)::DOUBLE / 10001.0)
+                       / n_chars::DOUBLE,
+                     6) AS priority
+              FROM documents
+              WHERE n_chars::DOUBLE > 0
+            )
+            SELECT doc_id, n_chars
+            FROM pr
+            ORDER BY priority DESC, doc_id LIMIT 100
+        """,
         "mrr_eval": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel

@@ -222,6 +222,7 @@ def main() -> None:
         "length_outliers",
         "mrr_eval",
         "event_transitions",
+        "weighted_sample",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then

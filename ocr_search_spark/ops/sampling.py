@@ -725,3 +725,46 @@ def length_buckets(
             F.expr(f"__ord DIV {int(batch_size)}").alias("batch_idx"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — n rows drawn
+    with probability proportional to ``weight_col`` (Efraimidis-Spirakis
+    A-Res): each row gets priority ``ln(u) / w`` with ``u`` a
+    deterministic uniform derived from ``md5(salt || id)``, and the n
+    LARGEST priorities win. Same ids + same salt → the same sample every
+    run and engine; a different salt draws an independent sample. The
+    quality-weighted corpus draw ("sample 1M docs ∝ quality score") that
+    plain deterministic_sample (uniform) can't express.
+
+    ``u`` is a half-open lattice uniform ``(bucket + 1) / 10001`` with
+    ``bucket = md5-hash % 10000`` — strictly inside (0, 1), so ``ln(u)``
+    is finite and the priority is well-defined. Priorities are rounded
+    to the 6-dp lattice; ties (possible through rounding) break on the
+    id. Rows with null, zero or negative weight are excluded — they have
+    zero selection probability in A-Res semantics.
+
+    Returns the sampled rows with their ``__priority`` dropped —
+    schema = input schema.
+
+    Scale: a per-row hash + one distributed top-n (TakeOrderedAndProject
+    heaps) — no sort of the full corpus, no RNG state, restart-safe.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n!r}")
+    w = F.col(weight_col).cast("double")
+    u = (hash_bucket(id_col, salt) + 1).cast("double") / F.lit(10001.0)
+    prio = F.round(F.log(u) / w, 6)
+    return (
+        df.filter(w > 0)
+        .withColumn("__priority", prio)
+        .orderBy(F.col("__priority").desc(), F.col(id_col))
+        .limit(int(n))
+        .drop("__priority")
+    )

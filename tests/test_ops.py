@@ -5970,3 +5970,59 @@ class TestEventTransitions:
             ("view", "click"): 2,  # u1 + u2 (tiebreak: id 4 before 5)
             ("click", "view"): 1,
         }
+
+
+class TestWeightedSample:
+    """Efraimidis-Spirakis deterministic weighted sampling."""
+
+    def test_matches_scalar_model_and_is_deterministic(self, spark):
+        import hashlib
+        import math
+
+        from ocr_search_spark.ops.sampling import weighted_sample
+
+        rows = [(f"d{i}", (i % 7) + 1) for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id string, w bigint")
+        got = sorted(
+            r.doc_id for r in weighted_sample(df, 10, "w").collect()
+        )
+
+        def prio(doc_id, w):
+            h = hashlib.md5(f"wsample{doc_id}".encode()).hexdigest()
+            b = int(h[:8], 16) % 10000
+            return round(math.log((b + 1) / 10001.0) / w, 6)
+
+        exp = sorted(
+            sorted(rows, key=lambda r: (-prio(*r), r[0]))[:10],
+        )
+        assert got == sorted(d for d, _ in exp)
+        # determinism
+        again = sorted(
+            r.doc_id for r in weighted_sample(df, 10, "w").collect()
+        )
+        assert again == got
+
+    def test_weights_bias_selection(self, spark):
+        """A handful of huge-weight rows must dominate the sample."""
+        from ocr_search_spark.ops.sampling import weighted_sample
+
+        rows = [(f"h{i}", 10_000) for i in range(5)] + [
+            (f"l{i}", 1) for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, w bigint")
+        got = {r.doc_id for r in weighted_sample(df, 5, "w").collect()}
+        assert sum(1 for d in got if d.startswith("h")) >= 4
+
+    def test_nonpositive_weights_excluded_and_validation(self, spark):
+        import pytest as _pytest
+
+        from ocr_search_spark.ops.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [("a", 1), ("b", 0), ("c", -3), ("d", None)],
+            "doc_id string, w bigint",
+        )
+        got = [r.doc_id for r in weighted_sample(df, 10, "w").collect()]
+        assert got == ["a"]
+        with _pytest.raises(ValueError):
+            weighted_sample(df, 0, "w")
