@@ -2329,6 +2329,41 @@ def q_sessionize(spark, sf_dir):
     return sessionize_batch(_events(spark, sf_dir), gap_minutes=30)
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for embedding training: per query vector
+    (vec_id < 5), the top-5 HIGHEST-cosine vectors with a DIFFERENT
+    label — the near-miss negatives contrastive training needs (easy
+    random negatives teach nothing). Brute-force arm here; at scale the
+    candidate tuples come from ivf_search unchanged, the margin_mine
+    pattern. Deterministic: lattice cosine + (cos DESC, id) tie-break."""
+    from pyspark.sql.window import Window
+
+    from ocr_search_spark.ops.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qset = emb.filter(F.col("vec_id") < 5)
+    # top-50 neighbors first (cheap arm), then drop same-label and keep 5
+    ranked = cosine_topk(emb, qset, k=50)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    qlabels = qset.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("__ql")
+    )
+    negs = (
+        ranked.join(labels, "neighbor_id")
+        .join(F.broadcast(qlabels), "query_id")
+        .filter(F.col("label") != F.col("__ql"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        negs.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 5)
+        .select("query_id", "neighbor_id", "cos", "neg_rank")
+        .orderBy("query_id", "neg_rank")
+    )
+
+
 def q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling without replacement
     (ops/sampling.py weighted_sample, Efraimidis-Spirakis A-Res):
@@ -3222,6 +3257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mrr_eval": q_mrr_eval,
         "event_transitions": q_event_transitions,
         "weighted_sample": q_weighted_sample,
+        "hard_negatives": q_hard_negatives,
     }
 
 
@@ -6178,6 +6214,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mmr_rerank": _mmr_oracle_sql(),
         "ndcg_eval": _ndcg_oracle_sql(),
+        "hard_negatives": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+              FROM embeddings WHERE vec_id < 5
+            ),
+            scored AS (
+              SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id, e.label,
+                     round(
+                       list_sum(list_transform(range(1, 65),
+                         i -> e.embedding[i]::DOUBLE * q.qvec[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(range(1, 65),
+                            i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+                        * sqrt(list_sum(list_transform(range(1, 65),
+                            i -> q.qvec[i]::DOUBLE * q.qvec[i]::DOUBLE)))),
+                     6) AS cos
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id <> q.query_id
+            ),
+            ranked AS (
+              SELECT query_id, qlabel, neighbor_id, label, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM scored QUALIFY rnk <= 50
+            ),
+            negs AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id)
+                       AS neg_rank
+              FROM ranked WHERE label <> qlabel
+            )
+            SELECT query_id, neighbor_id, cos, neg_rank
+            FROM negs WHERE neg_rank <= 5
+            ORDER BY query_id, neg_rank
+        """,
         "weighted_sample": """
             WITH pr AS (
               SELECT doc_id, n_chars,

@@ -223,6 +223,7 @@ def main() -> None:
         "mrr_eval",
         "event_transitions",
         "weighted_sample",
+        "hard_negatives",
     ]
     for name in secondary:
         # untimed warmup (codegen + python-worker/stage spin-up), then
