@@ -259,14 +259,58 @@ def perceptron_train(
     :func:`linear_scores`' left join, the module's standard convention.
 
     Scale shape: the feature stream materializes ONCE
-    (localCheckpoint) and each round costs one broadcast join of the
-    vocab-sized weight table onto it + two map-side-combinable keyed
-    aggregations (doc-keyed score, bucket-keyed delta) + two vocab-sized
-    full-join merges (current w, running sum). State is never
-    driver-collected; rounds early-stop when no document is
-    misclassified, crediting the converged w for the remaining rounds —
+    (localCheckpoint) and each round costs ONE job — the per-round
+    update Σ y·x over the currently-misclassified documents, computed
+    and localCheckpoint-ed with the doc-keyed scoring aggregation and
+    the misclassified semi-join fused into the same job (broadcast
+    model join + two map-side-combinable keyed aggregations). The
+    current model w_r = Σ_{j≤r} delta_j and the averaged model
+    acc = Σ_r w_r = Σ_j (n_iters − j + 1)·delta_j are pure integer
+    sums over the checkpointed deltas, so neither needs its own
+    materialization pass: w rebuilds lazily inside each round's
+    broadcast (vocab-sized union + one combinable aggregation) and acc
+    is assembled once at the end. State is never driver-collected;
+    rounds early-stop when no document is misclassified (an empty
+    delta), crediting the converged w for the remaining rounds —
     identical to the fixed-round unrolled oracle.
     """
+    feats, acc = _perceptron_train_feats(
+        df, label_col, pos_value, id_col, text_col, n_buckets, bigrams, n_iters
+    )
+    return acc
+
+
+def _sum_deltas(
+    spark, deltas: list[tuple[int, DataFrame]]
+) -> DataFrame:
+    """Σ factor·delta over vocab-sized (bucket, weight) frames — one
+    map-side-combinable aggregation, no join chain."""
+    if not deltas:
+        return spark.createDataFrame([], "bucket long, weight long")
+    scaled = [
+        d.select("bucket", (F.lit(int(f)) * F.col("weight")).alias("weight"))
+        for f, d in deltas
+    ]
+    out = scaled[0]
+    for s in scaled[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.sum("weight").alias("weight"))
+
+
+def _perceptron_train_feats(
+    df: DataFrame,
+    label_col: str,
+    pos_value: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1 << 18,
+    bigrams: bool = True,
+    n_iters: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`perceptron_train`'s loop, additionally returning the
+    materialized feature stream (id, bucket, cnt, y) so train-then-serve
+    compositions (:func:`perceptron_select`) score without re-tokenizing
+    the corpus."""
     if n_iters < 1:
         raise ValueError("n_iters must be >= 1")
     spark = df.sparkSession
@@ -289,23 +333,9 @@ def perceptron_train(
         .join(labels, "id")
         .localCheckpoint()
     )
-
-    def merge(a: DataFrame, b: DataFrame, factor: int = 1) -> DataFrame:
-        return (
-            a.alias("a")
-            .join(b.alias("b"), F.col("a.bucket") == F.col("b.bucket"), "full")
-            .select(
-                F.coalesce(F.col("a.bucket"), F.col("b.bucket")).alias("bucket"),
-                (
-                    F.coalesce(F.col("a.weight"), F.lit(0))
-                    + F.lit(int(factor)) * F.coalesce(F.col("b.weight"), F.lit(0))
-                ).alias("weight"),
-            )
-        )
-
-    empty = spark.createDataFrame([], "bucket long, weight long")
-    w, acc = empty, empty
+    deltas: list[tuple[int, DataFrame]] = []
     for r in range(1, n_iters + 1):
+        w = _sum_deltas(spark, [(1, d) for _, d in deltas])
         scores = (
             feats.join(F.broadcast(w), "bucket", "left")
             .groupBy("id", "y")
@@ -315,28 +345,23 @@ def perceptron_train(
                 )
             )
         )
-        # materialize the misclassified set ONCE: isEmpty() is an action,
-        # and without this the full feats-join-score aggregation would run
-        # twice per round (once for the convergence probe, once feeding
-        # the delta semi-join)
-        mis = (
-            scores.filter(F.col("y") * F.col("score") <= 0)
-            .select("id")
-            .localCheckpoint()
-        )
-        if mis.isEmpty():
-            # converged: w is a separator; every remaining round would
-            # add this same w to the running sum
-            acc = merge(acc, w, factor=n_iters - r + 1)
-            break
+        mis = scores.filter(F.col("y") * F.col("score") <= 0).select("id")
+        # ONE job per round: the scoring aggregation, the misclassified
+        # semi-join and the bucket-keyed update all materialize together
         delta = (
             feats.join(mis, "id", "left_semi")
             .groupBy("bucket")
             .agg(F.sum(F.col("y") * F.col("cnt")).alias("weight"))
+            .localCheckpoint()
         )
-        w = merge(w, delta).localCheckpoint()
-        acc = merge(acc, w).localCheckpoint()
-    return acc.filter(F.col("weight") != 0)
+        if delta.isEmpty():
+            # converged: w separates; every remaining round would add
+            # the same w — already credited by the (n_iters − j + 1)
+            # factors below
+            break
+        deltas.append((n_iters - r + 1, delta))
+    acc = _sum_deltas(spark, deltas).filter(F.col("weight") != 0)
+    return feats, acc
 
 
 def perceptron_scores(
@@ -383,13 +408,25 @@ def perceptron_select(
     rnk), score desc / id asc, the nb_select contract: data selection
     by rank, not by a sign threshold the averaged scale would have to
     be calibrated for. Serve held-out corpora by passing the trained
-    table to :func:`perceptron_scores` directly."""
+    table to :func:`perceptron_scores` directly.
+
+    Scoring reuses the trainer's materialized feature stream (same
+    (id, bucket, cnt) rows plus the bias bucket −1 the trainer saw),
+    so train-then-serve costs ONE corpus tokenize pass, not two."""
     from pyspark.sql.window import Window
 
-    w = perceptron_train(
+    feats, w = _perceptron_train_feats(
         df, label_col, pos_value, id_col, text_col, n_buckets, bigrams, n_iters
     )
-    scored = perceptron_scores(df, w, id_col, text_col, n_buckets, bigrams)
+    scored = (
+        feats.join(F.broadcast(w), "bucket", "left")
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.col("cnt") * F.coalesce(F.col("weight"), F.lit(0))
+            ).alias("score")
+        )
+    )
     order = [F.col("score").desc(), F.col("id").asc()]
     return (
         scored.orderBy(*order)

@@ -1829,12 +1829,14 @@ def mmr_select(
 
     Scale: MMR is a HEAD operator — the pool arrives pre-truncated to the
     arm's top-N (TakeOrderedAndProject upstream), so the pairwise-sim
-    crossJoin is N² over a few dozen rows and each greedy step is one
-    tiny job over ≤N rows, independent of corpus size. The k-step loop is
-    unrolled with an eager ``localCheckpoint`` per step (the bpe_train /
-    wordpiece_encode plan-depth convention) — plan stays flat, lineage
-    bounded. All heavy lifting (scoring the corpus, truncating to the
-    pool) stays in the distributed arms upstream.
+    crossJoin is N² over a few dozen rows, computed in ONE distributed
+    job on the e6 lattice. The greedy k-step selection then runs on the
+    collected (id, rel, sim) integers in the driver — ≤N² BIGINTs, the
+    same head-sized state every reranker holds, replacing the former
+    k-job unrolled loop (one join+checkpoint barrier per pick) with
+    exact integer comparisons that cost no cluster round-trips. All
+    heavy lifting (scoring the corpus, truncating to the pool) stays in
+    the distributed arms upstream.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k!r}")
@@ -1843,6 +1845,7 @@ def mmr_select(
             f"lambda_bp must be in [0, 10000] basis points, got {lambda_bp!r}"
         )
     lam = int(lambda_bp)
+    spark = cands.sparkSession
     pool = (
         _nonzero(cands, vec_col)
         .select(
@@ -1859,7 +1862,10 @@ def mmr_select(
         F.col("__n").alias("__bn"),
     )
     cos = _dot(F.col("__v"), F.col("__bv")) / (F.col("__n") * F.col("__bn"))
-    sims = (
+    # ONE job: every pairwise sim on the e6 lattice (Spark arithmetic, so
+    # the lattice values are bit-identical to the former per-step plans),
+    # plus each row's relevance riding along
+    sim_rows = (
         pool.crossJoin(F.broadcast(b))
         .filter(F.col(id_col) != F.col("__b"))
         .select(
@@ -1869,36 +1875,54 @@ def mmr_select(
             .cast("long")
             .alias("__sim_e6"),
         )
-        .localCheckpoint()
+        .collect()
     )
-    sel = (
-        pool.orderBy(F.col(rel_col).desc(), F.col(id_col))
-        .limit(1)
-        .select(id_col, F.lit(1).alias("pick_order"))
-        .localCheckpoint()
-    )
-    for step in range(2, int(k) + 1):
-        rem = pool.join(sel.select(id_col), id_col, "left_anti")
-        ms = (
-            rem.join(sims, rem[id_col] == sims["__a"])
-            .join(
-                sel.select(F.col(id_col).alias("__sel_b")),
-                F.col("__b") == F.col("__sel_b"),
-            )
-            .groupBy(rem[id_col].alias(id_col), rel_col)
-            .agg(F.max("__sim_e6").alias("__ms"))
+    rel_rows = pool.select(id_col, rel_col).collect()
+    rel = {r[0]: int(r[1]) for r in rel_rows}
+    sim: dict = {}
+    for r in sim_rows:
+        sim[(r[0], r[1])] = int(r[2])
+    picks: list = []
+    if rel:
+        # step 1: max relevance, ties min id — the orderBy(rel desc, id)
+        first = min(rel, key=lambda i: (-rel[i], i))
+        picks.append(first)
+        selected = {first}
+        while len(picks) < int(k) and len(selected) < len(rel):
+            # lam·rel − (10000−lam)·max_sim_to_selected, exact BIGINT;
+            # ties min id (the orderBy(score desc, id) contract)
+            best_id, best_key = None, None
+            for i in rel:
+                if i in selected:
+                    continue
+                ms = max(sim[(i, j)] for j in selected)
+                score = lam * rel[i] - (10000 - lam) * ms
+                key = (-score, i)
+                if best_key is None or key < best_key:
+                    best_id, best_key = i, key
+            picks.append(best_id)
+            selected.add(best_id)
+    id_type = pool.schema[id_col].dataType.simpleString()
+    out_rows = [(i, rel[i], order) for order, i in enumerate(picks, start=1)]
+    if not out_rows:
+        return spark.createDataFrame(
+            [],
+            f"`{id_col}` {id_type}, `{rel_col}` bigint, pick_order int",
         )
-        score = F.lit(lam) * F.col(rel_col) - F.lit(10000 - lam) * F.col(
-            "__ms"
+    if id_type in ("string", "int", "bigint"):
+        # literal local relation — no Python-RDD scan downstream
+        def _lit(v, t):
+            if t == "string":
+                return "'" + str(v).replace("\\", "\\\\").replace("'", "''") + "'"
+            return f"{int(v)}L" if t == "bigint" else str(int(v))
+
+        vals = ", ".join(
+            f"({_lit(i, id_type)}, {int(r)}L, {int(o)})" for i, r, o in out_rows
         )
-        pick = (
-            ms.orderBy(score.desc(), F.col(id_col))
-            .limit(1)
-            .select(id_col, F.lit(step).alias("pick_order"))
+        return spark.sql(
+            f"SELECT * FROM VALUES {vals} AS t(`{id_col}`, `{rel_col}`, "
+            "pick_order)"
         )
-        sel = sel.unionByName(pick).localCheckpoint()
-    return (
-        sel.join(pool.select(id_col, rel_col), id_col)
-        .select(id_col, rel_col, "pick_order")
-        .orderBy("pick_order")
+    return spark.createDataFrame(
+        out_rows, f"`{id_col}` {id_type}, `{rel_col}` bigint, pick_order int"
     )

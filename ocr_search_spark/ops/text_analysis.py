@@ -823,20 +823,74 @@ def bpe_train(
         "pair_count BIGINT"
     )
     _, steps = _bpe_loop(df, text_col, n_merges)
-    if not steps:
-        return spark.createDataFrame([], out_schema)
-    out = steps[0]
-    for s in steps[1:]:
-        out = out.unionByName(s)
-    return out.orderBy("step")
+    return _values_steps_df(
+        spark, steps, "step, l, r, merged, pair_count", out_schema
+    ).orderBy("step")
+
+
+#: re-checkpoint cadence for the tokenizer training loops: the 1-row
+#: winner is collected per round and re-applied as a LITERAL codegen'd
+#: fold, so the vocab only needs a localCheckpoint every few rounds to
+#: bound plan depth — per-round job count drops from 2 (winner
+#: checkpoint + vocab checkpoint) to 1 (the winner collect), which is
+#: the dominant cost of the loop at any scale (each job is a full
+#: cluster barrier; the un-checkpointed folds are vocab-sized string
+#: projections, far cheaper than a materialization pass).
+_MERGE_CKPT_EVERY = 4
+
+
+def _sql_str(v: str) -> str:
+    """SQL string literal of a tokenizer symbol (tokens are word chars by
+    the shared TOKEN_PATTERN; quotes/backslashes escaped defensively)."""
+    return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _values_steps_df(spark, rows, cols_sql: str, empty_schema: str) -> DataFrame:
+    """A JVM-local (LocalRelation) steps table from driver-collected
+    winner rows — collect/union of these is plan-time work, no Python-RDD
+    scan and no per-row job (createDataFrame would be RDD-backed)."""
+    if not rows:
+        return spark.createDataFrame([], empty_schema)
+    vals = ", ".join(
+        "(" + ", ".join(
+            _sql_str(v) if isinstance(v, str) else f"{int(v)}L"
+            if i in (4, 5, 6, 7) else str(int(v))
+            for i, v in enumerate(r)
+        ) + ")"
+        for r in rows
+    )
+    return spark.sql(f"SELECT * FROM VALUES {vals} AS t({cols_sql})")
+
+
+def _apply_merge_literal(vocab: DataFrame, l: str, r: str) -> DataFrame:
+    """Re-segment a (wc, s) vocab state with ONE merge (l, r) bound as
+    SQL literals — the :func:`bpe_apply` fold, shared by the training
+    loops so the 1-row winner never needs a crossJoin/broadcast."""
+    ln, rn = l.replace("'", "''"), r.replace("'", "''")
+    fold = (
+        _BPE_APPLY_EXPR.replace("__syms", "__s_arr")
+        .replace("__l", f"'{ln}'")
+        .replace("__r", f"'{rn}'")
+    )
+    return vocab.select("wc", F.split("s", " ").alias("__s_arr")).select(
+        "wc", F.expr(fold).alias("s")
+    )
 
 
 def _bpe_loop(
     df: DataFrame, text_col: str, n_merges: int
-) -> tuple[DataFrame, list[DataFrame]]:
+) -> tuple[DataFrame, list[tuple]]:
     """The shared BPE driver loop: returns the final re-segmented vocab
-    (wc, s) and the per-step 1-row merge DataFrames (both
-    localCheckpoint-ed — materialized, lineage-free)."""
+    (wc, s) and the per-step winner rows (step, l, r, merged,
+    pair_count) as plain driver tuples — exactly the artifact a BPE
+    trainer ships; consumers embed them as literal local relations
+    (:func:`_values_steps_df`) or use them directly, for free.
+
+    Per round this costs ONE job (the winner TakeOrdered collect); the
+    winner is re-applied as a literal codegen'd fold and the vocab is
+    localCheckpoint-ed every :data:`_MERGE_CKPT_EVERY` rounds to bound
+    plan depth (the bpe_apply convention)."""
+    spark = df.sparkSession
     words = (
         df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
         .groupBy("w")
@@ -849,7 +903,8 @@ def _bpe_loop(
             "i -> substring(w, i, 1)), ' ')"
         ).alias("s"),
     ).localCheckpoint()
-    steps: list[DataFrame] = []
+    steps: list[tuple] = []
+    pending = 0
     for step in range(1, int(n_merges) + 1):
         counts = (
             vocab.select("wc", F.split("s", " ").alias("__syms"))
@@ -857,33 +912,22 @@ def _bpe_loop(
             .groupBy(F.col("p.l").alias("__l"), F.col("p.r").alias("__r"))
             .agg(F.sum("wc").alias("__cnt"))
         )
-        best = (
+        rows = (
             counts.orderBy(F.col("__cnt").desc(), "__l", "__r")
             .limit(1)
-            .localCheckpoint()
+            .collect()
         )
-        if best.isEmpty():
+        if not rows:
             break
+        b = rows[0]
         steps.append(
-            best.select(
-                F.lit(step).alias("step"),
-                F.col("__l").alias("l"),
-                F.col("__r").alias("r"),
-                F.concat("__l", "__r").alias("merged"),
-                F.col("__cnt").alias("pair_count"),
-            )
+            (step, b["__l"], b["__r"], b["__l"] + b["__r"], int(b["__cnt"]))
         )
-        vocab = (
-            vocab.crossJoin(F.broadcast(best))
-            .select(
-                "wc",
-                F.split("s", " ").alias("__syms"),
-                "__l",
-                "__r",
-            )
-            .select("wc", F.expr(_BPE_APPLY_EXPR).alias("s"))
-            .localCheckpoint()
-        )
+        vocab = _apply_merge_literal(vocab, b["__l"], b["__r"])
+        pending += 1
+        if pending >= _MERGE_CKPT_EVERY:
+            vocab = vocab.localCheckpoint()
+            pending = 0
     return vocab, steps
 
 
@@ -1042,9 +1086,10 @@ def bpe_encode(
     )
     id_map = alpha
     if steps:
-        merges = steps[0]
-        for s in steps[1:]:
-            merges = merges.unionByName(s)
+        merges = _values_steps_df(
+            df.sparkSession, steps, "step, l, r, merged, pair_count",
+            "step int, l string, r string, merged string, pair_count bigint",
+        )
         n_alpha = alpha.agg(F.count("*").alias("__na"))
         merge_ids = merges.crossJoin(F.broadcast(n_alpha)).select(
             F.col("merged").alias("symbol"),
@@ -1166,14 +1211,9 @@ def bpe_artifacts(
     artifact itself (|alphabet| + K entries), never corpus-sized: the
     alphabet collects from the vocab-sized distinct-word table."""
     vocab, steps = _bpe_loop(df, text_col, n_merges)
-    merges: list[tuple[str, str]] = []
-    if steps:
-        out = steps[0]
-        for s in steps[1:]:
-            out = out.unionByName(s)
-        merges = [
-            (r.l, r.r) for r in out.orderBy("step").collect()
-        ]
+    # steps are driver rows already ordered by step — the artifact needs
+    # no Spark job at all
+    merges: list[tuple[str, str]] = [(l, r) for (_s, l, r, _m, _c) in steps]
     alpha_rows = (
         _seg_map(vocab)
         .select(
@@ -1323,21 +1363,24 @@ def wordpiece_train(
         "score_q40 BIGINT"
     )
     _, steps = _wordpiece_loop(df, text_col, n_merges)
-    if not steps:
-        return spark.createDataFrame([], out_schema)
-    out = steps[0]
-    for s in steps[1:]:
-        out = out.unionByName(s)
-    return out.orderBy("step")
+    return _values_steps_df(
+        spark, steps,
+        "step, l, r, merged, pair_count, l_count, r_count, score_q40",
+        out_schema,
+    ).orderBy("step")
 
 
 def _wordpiece_loop(
     df: DataFrame, text_col: str, n_merges: int
-) -> tuple[DataFrame, list[DataFrame]]:
+) -> tuple[DataFrame, list[tuple]]:
     """The shared WordPiece driver loop (the ``_bpe_loop`` twin):
     returns the final re-segmented vocab (wc, s) and the per-step 1-row
-    merge DataFrames, both localCheckpoint-ed. The final vocab state is
+    merge DataFrames (literal local relations — the winner row is
+    driver state). One job per round (the winner collect); the winner
+    applies as a literal fold and the vocab localCheckpoints every
+    :data:`_MERGE_CKPT_EVERY` rounds. The final vocab state is
     what :func:`unigram_artifacts` reads piece probabilities off."""
+    spark = df.sparkSession
     words = (
         df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
         .groupBy("w")
@@ -1350,7 +1393,8 @@ def _wordpiece_loop(
             "i -> substring(w, i, 1)), ' ')"
         ).alias("s"),
     ).localCheckpoint()
-    steps: list[DataFrame] = []
+    steps: list[tuple] = []
+    pending = 0
     for step in range(1, int(n_merges) + 1):
         seg = vocab.select("wc", F.split("s", " ").alias("__syms"))
         sym_counts = (
@@ -1411,28 +1455,28 @@ def _wordpiece_loop(
             )
             .orderBy(F.col("__score").desc(), "__l", "__r")
             .limit(1)
-            .localCheckpoint()
+            .collect()
         )
-        if best.isEmpty():
+        if not best:
             break
+        b = best[0]
         steps.append(
-            best.select(
-                F.lit(step).alias("step"),
-                F.col("__l").alias("l"),
-                F.col("__r").alias("r"),
-                F.concat("__l", "__r").alias("merged"),
-                F.col("__cnt").alias("pair_count"),
-                F.col("__lc").alias("l_count"),
-                F.col("__rc").alias("r_count"),
-                F.col("__score").alias("score_q40"),
+            (
+                step,
+                b["__l"],
+                b["__r"],
+                b["__l"] + b["__r"],
+                int(b["__cnt"]),
+                int(b["__lc"]),
+                int(b["__rc"]),
+                int(b["__score"]),
             )
         )
-        vocab = (
-            vocab.crossJoin(F.broadcast(best.select("__l", "__r")))
-            .select("wc", F.split("s", " ").alias("__syms"), "__l", "__r")
-            .select("wc", F.expr(_BPE_APPLY_EXPR).alias("s"))
-            .localCheckpoint()
-        )
+        vocab = _apply_merge_literal(vocab, b["__l"], b["__r"])
+        pending += 1
+        if pending >= _MERGE_CKPT_EVERY:
+            vocab = vocab.localCheckpoint()
+            pending = 0
     return vocab, steps
 
 
@@ -1448,9 +1492,8 @@ def wordpiece_artifacts(
     families are drop-in comparable downstream. Greedy WordPiece
     matching needs only the piece SET (no merge order), so the dict is
     the whole artifact."""
-    merges = [
-        r.merged for r in wordpiece_train(df, text_col, n_merges).collect()
-    ]
+    _, steps = _wordpiece_loop(df, text_col, n_merges)
+    merges = [m for (_s, _l, _r, m, *_rest) in steps]
     alpha_rows = (
         df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
         .distinct()
