@@ -2933,14 +2933,11 @@ def q_nb_select(spark, sf_dir):
     integer logit are selected (logit_fp desc, id asc) — the CCNet /
     LLaMA seed-classifier data-selection loop end-to-end in two
     aggregation passes."""
-    from ocr_search_spark.ops.classify import linear_scores, nb_train
+    from ocr_search_spark.ops.classify import nb_select
 
-    docs = _docs(spark, sf_dir)
-    w = nb_train(docs, "lang", "en", n_buckets=1 << 18)
-    scored = linear_scores(docs, "doc_id", "text", w, n_buckets=1 << 18)
-    order = [F.col("logit_fp").desc(), F.col("id").asc()]
-    top = scored.orderBy(*order).limit(100)
-    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
+    return nb_select(
+        _docs(spark, sf_dir), "lang", "en", n_buckets=1 << 18, k=100
+    )
 
 
 def q_perceptron_train(spark, sf_dir):

@@ -177,11 +177,47 @@ def dsir_weights(
     target-like). That is the mathematically honest DSIR ordering, but
     if empty/junk documents shouldn't win selection slots, gate them out
     upstream (the ``selected_corpus`` composition runs quality gates
-    first for exactly this reason)."""
-    weights, totals = dsir_weight_table(target, raw, text_col, n_buckets)
-    grams = raw.select(
-        F.col(id_col), F.explode(_grams_expr(text_col)).alias("g")
-    ).select(id_col, _bucket_expr(F.col("g"), n_buckets).alias("bucket"))
+    first for exactly this reason).
+
+    Scale shape: the raw pool's (id, bucket) gram stream materializes
+    ONCE (localCheckpoint) and feeds both the raw-side bucket counts of
+    the weight fit and the per-document scoring join — one tokenize +
+    md5 pass over the pool instead of two (the hashing dominates; the
+    materialized stream is two integers per gram, far smaller than the
+    text it came from). The target slice keeps its own counting pass
+    (it is an arbitrary DataFrame, usually a small seed corpus)."""
+    grams = (
+        raw.select(F.col(id_col), F.explode(_grams_expr(text_col)).alias("g"))
+        .select(id_col, _bucket_expr(F.col("g"), n_buckets).alias("bucket"))
+        .localCheckpoint()
+    )
+    ct = dsir_bucket_counts(target, text_col, n_buckets).withColumnRenamed(
+        "c", "ct"
+    )
+    cr = grams.groupBy("bucket").agg(F.count("*").alias("cr"))
+    weights = (
+        ct.join(cr, "bucket", "full_outer")
+        .select(
+            "bucket",
+            (
+                _hb(F.coalesce("ct", F.lit(0)) + 1)
+                - _hb(F.coalesce("cr", F.lit(0)) + 1)
+            ).alias("lambda_hb"),
+        )
+    )
+    tt = ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+    tr = cr.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("tr"))
+    totals = (
+        tt.crossJoin(tr)
+        .select(
+            "tt",
+            "tr",
+            (
+                _hb(F.col("tr") + F.lit(n_buckets))
+                - _hb(F.col("tt") + F.lit(n_buckets))
+            ).alias("delta_hb"),
+        )
+    )
     per_doc = (
         grams.join(F.broadcast(weights), "bucket", "left")
         .groupBy(id_col)
