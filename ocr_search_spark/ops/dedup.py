@@ -1214,15 +1214,21 @@ def edit_distance_pairs(
         "__id",
         "__t",
         "__len",
+        # strings shorter than q have NO q-grams: sequence(1, 0) would
+        # yield the DESCENDING [1, 0] and emit bogus sub-q grams (the
+        # trigrams_of_lc guard, mirrored here; ADVICE r5). The DuckDB
+        # oracle's range() emits none, so the guard keeps both engines
+        # agreeing on sub-q inputs.
         F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.greatest(F.col("__len") - q + 1, F.lit(0))
-                    ),
-                    lambda i: F.col("__t").substr(i, F.lit(q)),
-                )
-            )
+            F.when(
+                F.col("__len") >= q,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("__len") - q + 1),
+                        lambda i: F.col("__t").substr(i, F.lit(q)),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("__g"),
     )
     a = grams.select(

@@ -5892,6 +5892,25 @@ class TestEditDistancePairs:
         with _pytest.raises(ValueError):
             edit_distance_pairs(df, "id", "t", q=0)
 
+    def test_sub_q_strings_emit_no_grams(self, spark):
+        """Strings shorter than q have no q-grams: sequence(1, len-q+1)
+        would otherwise run DESCENDING and fabricate sub-q grams, making
+        two identical 1-char strings a dist-0 pair that the DuckDB
+        oracle (range-based, emits nothing) never sees (ADVICE r5)."""
+        from ocr_search_spark.ops.dedup import edit_distance_pairs
+
+        df = spark.createDataFrame(
+            [("a", "x"), ("b", "x"), ("c", "xy")], "id string, t string"
+        )
+        # default q=2: "x" has no 2-grams -> no candidates at all for it
+        assert edit_distance_pairs(df, "id", "t", max_dist=2).count() == 0
+        # q=1 keeps matching 1-char strings (bound min_len >= k+1)
+        got = {
+            (r.a_id, r.b_id): r.dist
+            for r in edit_distance_pairs(df, "id", "t", max_dist=1, q=1).collect()
+        }
+        assert got == {("a", "b"): 0, ("a", "c"): 1, ("b", "c"): 1}
+
 
 class TestGroupSplitAndOutliers:
     """Leakage-safe group splits + IQR gates (round 5 close queries)."""
