@@ -718,6 +718,19 @@ def connected_components_labels(
     localCheckpoint cannot be recomputed — the job restarts; for
     multi-hour cluster runs swap in reliable ``checkpoint()`` with a
     checkpoint dir.)
+
+    JOB-COUNT SHAPE (this loop is per-job-overhead-bound at small edge
+    counts — r6): round 1 is UNROLLED — initial labels are identities, so
+    the neighbour-offer join collapses to a column swap of the edge list
+    (no init-labels materialization, no join), and its convergence count
+    is skipped because any edge (a < b) forces b's label to change, so
+    round 1 can only converge when there are no edges at all — a case the
+    next round's count detects for the same price. Rounds ≥ 2 carry the
+    previous label through the min-aggregation as a tagged ``__own``
+    column instead of joining the old labels back in, so each round is
+    one offer join + one aggregation + one halving join. Net: 3 jobs for
+    the shallow clusters that dominate near-dup graphs (round-1
+    checkpoint, round-2 checkpoint, one count), down from 5.
     """
     # no .distinct() on edges: callers hand over already-distinct pairs
     # (verified_near_dup_pairs ends in a distinct candidate set), and the
@@ -730,35 +743,54 @@ def connected_components_labels(
         )
         .persist()
     )
+    id_type = edges.schema["src"].dataType
+    # round 1, unrolled: labels start as identities, so offers are just the
+    # swapped edge list and prop = min(id, min neighbour id) per node; the
+    # pointer-halving join then works exactly as in the general round.
+    prop = (
+        edges.select(F.col("src").alias("id"), F.col("src").alias("label"))
+        .unionByName(
+            edges.select(F.col("dst").alias("id"), F.col("src").alias("label"))
+        )
+        .groupBy("id")
+        .agg(F.min("label").alias("label"))
+    )
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("label"))
+        prop.join(
+            prop.select(F.col("id").alias("label"), F.col("label").alias("__l2")),
+            "label",
+        )
+        .select("id", F.col("__l2").alias("label"))
         .localCheckpoint()
     )
     converged = False
     try:
-        for _ in range(max_iters):
+        for _ in range(1, max_iters):
             # each node offers its label to every neighbour; keep the min of
-            # (own label, offered labels)
+            # (own label, offered labels). The own label rides through the
+            # aggregation as ``__own`` (offers carry NULL, min ignores it),
+            # so no join against the previous labels is needed to compute
+            # the convergence flag.
             offered = edges.join(
                 labels.select(F.col("id").alias("src"), "label"), "src"
-            ).select(F.col("dst").alias("id"), "label")
+            ).select(
+                F.col("dst").alias("id"),
+                "label",
+                F.lit(None).cast(id_type).alias("__own"),
+            )
             prop = (
-                labels.unionByName(offered)
+                labels.select("id", "label", F.col("label").alias("__own"))
+                .unionByName(offered)
                 .groupBy("id")
-                .agg(F.min("label").alias("label"))
+                .agg(F.min("label").alias("label"), F.min("__own").alias("__old"))
             )
             # pointer halving: every label is itself a node id present in
             # prop, so label(label) exists and is ≤ label — follow it. The
             # inner join is total by construction; the extra hop is one
             # keyed join per round and buys geometric depth reduction.
-            # The convergence flag rides along in the SAME materialization
-            # (old label joined back in before the checkpoint), so each
-            # round is ONE heavy job; the changed-count then only scans
-            # the checkpointed partitions instead of re-running a join —
-            # per-round job overhead is what dominates this loop at small
-            # edge counts, and this halves it.
+            # The convergence flag rides along in the SAME materialization,
+            # so each round is ONE heavy job; the changed-count then only
+            # scans the checkpointed partitions.
             staged = (
                 prop.join(
                     prop.select(
@@ -766,12 +798,10 @@ def connected_components_labels(
                     ),
                     "label",
                 )
-                .select("id", F.col("__l2").alias("label"))
-                .join(labels.select("id", F.col("label").alias("__old")), "id")
                 .select(
                     "id",
-                    "label",
-                    (F.col("label") < F.col("__old")).alias("__changed"),
+                    F.col("__l2").alias("label"),
+                    (F.col("__l2") < F.col("__old")).alias("__changed"),
                 )
                 .localCheckpoint()
             )

@@ -1320,32 +1320,7 @@ def semdedup_pairs(
     — 3× less per-pair arithmetic than dot/(|a|·|b|), and the pair side
     of the shuffle carries unit vectors it would carry anyway.
     """
-    asg = ivf_assign(df, centroids, id_col, vec_col, method=method).select(
-        F.col("id"),
-        "centroid_id",
-        F.col("cos").alias("ccos"),  # already rounded to 6 by ivf_assign
-    )
-    v = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .withColumn("__n", _norm(F.col("v")))
-        # zero-norm rows are already absent from asg (ivf_assign drops
-        # them), but the normalization division below runs in a
-        # projection BEFORE the join would prune — filter first or ANSI
-        # sessions throw on the division
-        .filter(F.col("__n") > 0)
-        .select(
-            "id",
-            F.transform("v", lambda e: e.cast("double") / F.col("__n")).alias(
-                "vn"
-            ),
-        )
-        .join(asg, "id")
-        # materialize ONCE before the self-join: both join sides would
-        # otherwise re-run (and re-codegen) the assignment+normalization
-        # subtree — with literal centroid expressions that is the
-        # dominant compile cost of the whole operator
-        .localCheckpoint()
-    )
+    v = _semdedup_member_table(df, centroids, id_col, vec_col, method)
     a, b = v.alias("a"), v.alias("b")
     pairs = a.join(
         b,
@@ -1361,6 +1336,43 @@ def semdedup_pairs(
         F.col("a.ccos").alias("a_ccos"),
         F.col("b.ccos").alias("b_ccos"),
     ).filter(F.col("cos") >= threshold)
+
+
+def _semdedup_member_table(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+    method: str,
+) -> DataFrame:
+    """Checkpointed (id, vn, centroid_id, ccos) member table behind the
+    SemDeDup family: nearest-cell assignment + L2 normalization,
+    materialized ONCE before the within-cell self-join — both join sides
+    would otherwise re-run (and re-codegen) the assignment+normalization
+    subtree; with literal centroid expressions that is the dominant
+    compile cost of the whole operator."""
+    asg = ivf_assign(df, centroids, id_col, vec_col, method=method).select(
+        F.col("id"),
+        "centroid_id",
+        F.col("cos").alias("ccos"),  # already rounded to 6 by ivf_assign
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("__n", _norm(F.col("v")))
+        # zero-norm rows are already absent from asg (ivf_assign drops
+        # them), but the normalization division below runs in a
+        # projection BEFORE the join would prune — filter first or ANSI
+        # sessions throw on the division
+        .filter(F.col("__n") > 0)
+        .select(
+            "id",
+            F.transform("v", lambda e: e.cast("double") / F.col("__n")).alias(
+                "vn"
+            ),
+        )
+        .join(asg, "id")
+        .localCheckpoint()
+    )
 
 
 def semdedup(
@@ -1394,25 +1406,34 @@ def semdedup(
     """
     from .dedup import connected_components_labels
 
-    pairs = semdedup_pairs(
-        df, centroids, threshold, id_col, vec_col, method=method
-    ).persist()
+    # inline pairs over the shared member table: the checkpointed
+    # (id, ccos) side serves BOTH the self-join and the keeper rule, so
+    # the old pairs-union → groupBy(any_value) re-derivation of member
+    # ccos (one extra aggregation job) disappears (r6)
+    v = _semdedup_member_table(df, centroids, id_col, vec_col, method)
+    a, b = v.alias("a"), v.alias("b")
+    cos = _dot(F.col("a.vn"), F.col("b.vn"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.round(cos, 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
     labels = connected_components_labels(
         pairs.select("a_id", "b_id"), max_iters=max_iters
     )
-    # ccos per member, from either side of the pair table (members appear
-    # in >=1 pair by construction; any_value is safe — ccos is functionally
-    # determined by the id)
-    member_ccos = (
-        pairs.select(F.col("a_id").alias("id"), F.col("a_ccos").alias("ccos"))
-        .unionByName(
-            pairs.select(F.col("b_id").alias("id"), F.col("b_ccos").alias("ccos"))
-        )
-        .groupBy("id")
-        .agg(F.any_value("ccos").alias("ccos"))
-    )
+    # ccos per member straight off the checkpointed member table (inner
+    # join restricts to labeled members; ccos is functionally determined
+    # by the id)
     keepers = (
-        labels.join(member_ccos, "id")
+        labels.join(v.select("id", "ccos"), "id")
         .groupBy("label")
         .agg(F.min(F.struct(F.col("ccos"), F.col("id"))).alias("k"))
         .select(F.col("k.id").alias("__keeper"))
@@ -1421,9 +1442,7 @@ def semdedup(
     losers = members.join(
         keepers, members["id"] == keepers["__keeper"], "left_anti"
     ).select(F.col("id").alias("__loser"))
-    out = df.join(losers, F.col(id_col) == F.col("__loser"), "left_anti")
-    pairs.unpersist()
-    return out
+    return df.join(losers, F.col(id_col) == F.col("__loser"), "left_anti")
 
 
 def ann_recall(
