@@ -887,6 +887,49 @@ def pq_train(
     the driver state every PQ trainer holds). Never a per-subspace job
     fan-out, never vectors on the driver.
     """
+    cents, assign, spark = _pq_train_lattice(
+        df, m, k, dim, n_iters, id_col, vec_col, scale_bits
+    )
+    stats = (
+        assign()
+        .groupBy("s", F.col("b.code").alias("code"))
+        .agg(F.count("*").alias("size"), F.sum("b.d2").alias("inertia"))
+    )
+    out_cents = _values_rel(
+        spark,
+        [
+            f"({s}, {c}, "
+            f"array({', '.join(f'{int(v)}L' for v in cents[(s, c)])}))"
+            for (s, c) in sorted(cents)
+        ],
+        "s, code, centroid",
+    )
+    return out_cents.join(stats, ["s", "code"], "left").select(
+        "s",
+        "code",
+        F.coalesce("size", F.lit(0)).alias("size"),
+        F.coalesce("inertia", F.lit(0)).alias("inertia"),
+        "centroid",
+    )
+
+
+def _pq_train_lattice(
+    df: DataFrame,
+    m: int,
+    k: int,
+    dim: int,
+    n_iters: int,
+    id_col: str,
+    vec_col: str,
+    scale_bits: int,
+):
+    """The Lloyd training loop behind :func:`pq_train`: returns the
+    trained ``{(s, code): [lattice components]}`` dict (driver state —
+    exactly the codebook every PQ trainer holds), plus the final
+    ``assign()`` closure for callers that also need per-code stats.
+    Split out so :func:`pq_train_codebooks` can read the codewords
+    straight off the driver dict without paying the extra full
+    assignment pass that only the (size, inertia) stats need (r6)."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     if n_iters < 0:
@@ -964,27 +1007,7 @@ def pq_train(
             sums.setdefault((r.s, r.code), {})[r.pos] = (int(r.sm), int(r.cnt))
         for key, dims in sums.items():
             cents[key] = [dims[p][0] // dims[p][1] for p in range(dsub)]
-    stats = (
-        assign()
-        .groupBy("s", F.col("b.code").alias("code"))
-        .agg(F.count("*").alias("size"), F.sum("b.d2").alias("inertia"))
-    )
-    out_cents = _values_rel(
-        spark,
-        [
-            f"({s}, {c}, "
-            f"array({', '.join(f'{int(v)}L' for v in cents[(s, c)])}))"
-            for (s, c) in sorted(cents)
-        ],
-        "s, code, centroid",
-    )
-    return out_cents.join(stats, ["s", "code"], "left").select(
-        "s",
-        "code",
-        F.coalesce("size", F.lit(0)).alias("size"),
-        F.coalesce("inertia", F.lit(0)).alias("inertia"),
-        "centroid",
-    )
+    return cents, assign, spark
 
 
 def pq_train_codebooks(
@@ -1007,13 +1030,15 @@ def pq_train_codebooks(
     engine. This is the train→serve seam: train once at corpus scale,
     collect the m·k codebook, broadcast it into the serve joins."""
     scale = float(1 << scale_bits)
-    rows = pq_train(
-        df, m=m, k=k, dim=dim, n_iters=n_iters,
-        id_col=id_col, vec_col=vec_col, scale_bits=scale_bits,
-    ).collect()
+    # codewords come straight off the training loop's driver dict — the
+    # (size, inertia) stats pass that pq_train's table output pays is a
+    # full extra assignment job the serve seam never looks at (r6)
+    cents, _, _ = _pq_train_lattice(
+        df, m, k, dim, n_iters, id_col, vec_col, scale_bits
+    )
     return [
-        (int(r.s), int(r.code), [v / scale for v in r.centroid])
-        for r in sorted(rows, key=lambda r: (r.s, r.code))
+        (int(s), int(c), [v / scale for v in cents[(s, c)]])
+        for (s, c) in sorted(cents)
     ]
 
 
