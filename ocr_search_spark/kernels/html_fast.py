@@ -126,7 +126,8 @@ def html_to_text_fast(html: str) -> str:
         restart = False
         for m in it:
             start = m.start()
-            if m.end() <= pos:
+            mend = m.end()
+            if mend <= pos:
                 continue  # fully inside a consumed region (CDATA/EOF flush)
             if start < pos:
                 # token STRADDLES a consumed-region boundary (e.g. a
@@ -138,22 +139,29 @@ def html_to_text_fast(html: str) -> str:
                 restart = True
                 break
             if start > pos and drop_depth == 0:
-                seg = _clean(html[pos:start])
+                # _clean inlined on the hot data path (no '&' fast case)
+                seg = html[pos:start].strip()
                 if seg:
-                    out(seg)
-            pos = m.end()
+                    if "&" in seg:
+                        seg = unescape(seg).strip()
+                        if seg:
+                            out(seg)
+                    else:
+                        out(seg)
+            pos = mend
 
-            if m.group(0) == "<":
+            # lone '<' is the only 1-char token: span test avoids building
+            # the group(0) string for every tag/comment
+            if mend - start == 1:
                 chunk, pos = _lone_lt(html, start, n)
                 if drop_depth == 0:
                     seg = _clean(chunk)
                     if seg:
                         out(seg)
                 continue
-            end_name, start_name = m.group(1), m.group(2)
+            end_name, start_name, selfclose = m.group(1, 2, 3)
             if start_name is not None:
                 tag = start_name.lower()
-                selfclose = m.group(3)
                 if tag in _CDATA_TAGS and not selfclose:
                     # CDATA container: skip to its REAL close tag
                     if lower is None:
@@ -223,7 +231,8 @@ def html_main_text_fast(
         restart = False
         for m in it:
             start = m.start()
-            if m.end() <= pos:
+            mend = m.end()
+            if mend <= pos:
                 continue
             if start < pos:
                 # straddling token — re-tokenize from the resume position
@@ -233,17 +242,16 @@ def html_main_text_fast(
                 break
             if start > pos and drop_depth == 0:
                 emit(html[pos:start])
-            pos = m.end()
+            pos = mend
 
-            if m.group(0) == "<":
+            if mend - start == 1:  # lone '<' (see html_to_text_fast)
                 chunk, pos = _lone_lt(html, start, n)
                 if drop_depth == 0:
                     emit(chunk)
                 continue
-            end_name, start_name = m.group(1), m.group(2)
+            end_name, start_name, selfclose = m.group(1, 2, 3)
             if start_name is not None:
                 tag = start_name.lower()
-                selfclose = m.group(3)
                 if tag in _CDATA_TAGS and not selfclose:
                     if lower is None:
                         lower = html.lower()

@@ -54,13 +54,24 @@ def preprocess_text_layer(text: str) -> str:
 # Python-re semantics translated to RE2 (no lookarounds, ASCII \w/\s):
 #   \w        -> [\p{L}\p{N}_]          (letters+digits+underscore, same set)
 #   \s        -> [\t-\r \x1c-\x1f\x85\p{Z}]   (Python's isspace() set)
-#   (?<!\n)\n(?!\n) -> sentinel decomposition: \n{3,}->\x03, \n\n->\x02,
-#       \n->' ', then restore \x03->'\n', \x02->'\n\n'. Equivalent because
+#   (?<!\n)\n(?!\n) -> sentinel decomposition: \n{3,}->SENT3, \n\n->SENT2,
+#       \n->' ', then restore SENT3->'\n', SENT2->'\n\n'. Equivalent because
 #       newline-run resolution commutes with the [ \t ]-only collapse
 #       (which can neither create nor merge newline runs), and runs map
 #       k=1->' ', k=2->'\n\n', k>=3->'\n' in both formulations.
-# Rows whose INPUT already contains \x02/\x03 would collide with the
-# sentinels — those (vanishingly rare) rows take the exact scalar path.
+# Sentinels are PRIVATE-USE codepoints (U+E000/U+E001), not control
+# bytes: \x02/\x03 appear in ~18% of corpus spans (the ctrl-char fixture
+# content that rule 6 strips), and a colliding row must take the exact
+# scalar path — with ctrl-byte sentinels that fallback was the COMMON
+# case (r6; ~3 s of the 39 s single-core kernel, plus a whole-batch
+# to_pylist). PUA chars are absent from any realistic input; rows that
+# do contain them still fall back correctly, and the fallback now
+# rewrites only the colliding rows instead of round-tripping the whole
+# batch through Python lists. The sentinels only need to survive the
+# space-collapse between insertion and restoration, which PUA chars do
+# (they are none of space/tab/NBSP/newline).
+_SENT3 = "\ue000"  # stands for \n{3,}, restored to '\n'
+_SENT2 = "\ue001"  # stands for \n\n,   restored to '\n\n'
 _HYPHEN_RE2 = r"([\p{L}\p{N}_])-[\t-\r \x1c-\x1f\x85\p{Z}]*\n([\p{L}\p{N}_])"
 _CTRL_RE2 = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
 
@@ -77,7 +88,7 @@ def normalize_arrow(arr: pa.Array) -> pa.Array:
     if arr.null_count:
         arr = pc.fill_null(arr, "")
     has_sentinel = pc.or_(
-        pc.match_substring(arr, "\x02"), pc.match_substring(arr, "\x03")
+        pc.match_substring(arr, _SENT2), pc.match_substring(arr, _SENT3)
     )
     def masked(x, mask, fn):
         # apply fn only to triggered rows, scatter back — exact, since each
@@ -96,8 +107,8 @@ def normalize_arrow(arr: pa.Array) -> pa.Array:
 
     def newline_rules(v):
         v = pc.replace_substring_regex(v, _HYPHEN_RE2, "\\1\\2")
-        v = pc.replace_substring_regex(v, "\\n{3,}", "\x03")
-        v = pc.replace_substring(v, "\n\n", "\x02")
+        v = pc.replace_substring_regex(v, "\\n{3,}", _SENT3)
+        v = pc.replace_substring(v, "\n\n", _SENT2)
         return pc.replace_substring(v, "\n", " ")
 
     x = masked(x, pc.match_substring(x, "\n"), newline_rules)
@@ -106,8 +117,8 @@ def normalize_arrow(arr: pa.Array) -> pa.Array:
         pc.match_substring_regex(x, "[\t\u00a0]|  "),
         lambda v: pc.replace_substring_regex(v, "[ \t\u00a0]+", " "),
     )
-    x = pc.replace_substring(x, "\x03", "\n")
-    x = pc.replace_substring(x, "\x02", "\n\n")
+    x = pc.replace_substring(x, _SENT3, "\n")
+    x = pc.replace_substring(x, _SENT2, "\n\n")
     x = masked(
         x,
         pc.match_substring_regex(x, _CTRL_RE2),
@@ -117,11 +128,16 @@ def normalize_arrow(arr: pa.Array) -> pa.Array:
     # White_Space (the \x1c-\x1f difference was just removed)
     x = pc.utf8_trim_whitespace(x)
     if pc.any(has_sentinel).as_py():
-        vals = x.to_pylist()
-        src = arr.to_pylist()
-        for i in np.nonzero(has_sentinel.to_numpy(zero_copy_only=False))[0]:
-            vals[i] = preprocess_text_layer(src[i])
-        return pa.array(vals, pa.string())
+        # row-limited fallback: re-run the exact scalar chain only on the
+        # colliding rows and scatter back (no whole-batch to_pylist)
+        fixed = pa.array(
+            [
+                preprocess_text_layer(v)
+                for v in pc.filter(arr, has_sentinel).to_pylist()
+            ],
+            pa.string(),
+        )
+        return pc.replace_with_mask(x, has_sentinel, fixed)
     return x
 
 

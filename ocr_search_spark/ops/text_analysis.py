@@ -1512,11 +1512,13 @@ def wordpiece_artifacts(
     families are drop-in comparable downstream. Greedy WordPiece
     matching needs only the piece SET (no merge order), so the dict is
     the whole artifact."""
-    _, steps = _wordpiece_loop(df, text_col, n_merges)
+    vocab, steps = _wordpiece_loop(df, text_col, n_merges)
     merges = [m for (_s, _l, _r, m, *_rest) in steps]
+    # alphabet off the vocab-sized seg map (the bpe_artifacts convention:
+    # the space-free concat of a segmentation IS the word, so its distinct
+    # chars equal the corpus alphabet) — not a second corpus tokenize pass
     alpha_rows = (
-        df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
-        .distinct()
+        _seg_map(vocab)
         .select(
             F.explode(
                 F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
