@@ -1878,10 +1878,12 @@ def q_dsir_select(spark, sf_dir):
     from ocr_search_spark.ops.dsir import dsir_select
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    target = docs.filter(F.col("lang") == "en")
-    return dsir_select(docs, target, n=50).select(
-        "doc_id", "n_grams", "w_hb", "rnk"
-    )
+    # target is a SLICE of the pool: pass it as a flag column so the fit
+    # reads both multinomials off one materialized gram stream instead of
+    # re-tokenizing the slice (dsir_weights target_flag path, r6)
+    return dsir_select(
+        docs, None, n=50, target_flag=F.col("lang") == "en"
+    ).select("doc_id", "n_grams", "w_hb", "rnk")
 
 
 def q_revenue_by_nation(spark, sf_dir):
@@ -2082,11 +2084,21 @@ def q_selected_corpus(spark, sf_dir):
         gated, "doc_id", "text", threshold=0.3, n_hashes=8, band_size=2
     )
     # the gate projects (doc_id, text); recover lang for the target slice
-    en_ids = _docs(spark, sf_dir).filter(F.col("lang") == "en").select("doc_id")
-    target = pool.join(en_ids, "doc_id", "left_semi")
-    return dsir_select(pool, target, n=100).select(
-        "doc_id", "n_grams", "w_hb", "rnk"
+    en_ids = (
+        _docs(spark, sf_dir)
+        .filter(F.col("lang") == "en")
+        .select("doc_id", F.lit(True).alias("__is_en"))
     )
+    # target = the English slice OF THE POOL: attach the membership flag
+    # and let the fit read both multinomials off one gram stream
+    # (dsir_weights target_flag path, r6)
+    pool_flagged = pool.join(F.broadcast(en_ids), "doc_id", "left")
+    return dsir_select(
+        pool_flagged,
+        None,
+        n=100,
+        target_flag=F.coalesce(F.col("__is_en"), F.lit(False)),
+    ).select("doc_id", "n_grams", "w_hb", "rnk")
 
 
 def q_bm25(spark, sf_dir):

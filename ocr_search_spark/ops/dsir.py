@@ -52,7 +52,7 @@ guard raises rather than silently overflowing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ocr_search_spark.search.analysis import tokens_expr
@@ -164,10 +164,11 @@ def dsir_weight_table(
 
 def dsir_weights(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = DSIR_BUCKETS,
+    target_flag: Column | None = None,
 ) -> DataFrame:
     """Per-document DSIR importance score over the raw pool:
     (id_col, n_grams, w_hb) where ``w_hb`` is the half-bit log importance
@@ -185,15 +186,40 @@ def dsir_weights(
     md5 pass over the pool instead of two (the hashing dominates; the
     materialized stream is two integers per gram, far smaller than the
     text it came from). The target slice keeps its own counting pass
-    (it is an arbitrary DataFrame, usually a small seed corpus)."""
+    (it is an arbitrary DataFrame, usually a small seed corpus) —
+    UNLESS the caller passes ``target_flag``, a boolean Column over
+    ``raw`` marking the target slice: the flag then rides the
+    materialized gram stream and the target fit is a filter of it, so
+    the slice is never re-tokenized (the common
+    target-is-a-slice-of-the-pool shape; measured 2.97 → 2.26 s on the
+    dsir_select query at sf0.1, r6). Exactly one of ``target`` /
+    ``target_flag`` must be provided; results are identical (same
+    _grams_expr over the same slice texts)."""
+    if (target is None) == (target_flag is None):
+        raise ValueError("provide exactly one of target / target_flag")
+    flagged = target_flag is not None
+    gram_cols = [F.col(id_col)]
+    if flagged:
+        gram_cols.append(target_flag.cast("boolean").alias("__t"))
     grams = (
-        raw.select(F.col(id_col), F.explode(_grams_expr(text_col)).alias("g"))
-        .select(id_col, _bucket_expr(F.col("g"), n_buckets).alias("bucket"))
+        raw.select(*gram_cols, F.explode(_grams_expr(text_col)).alias("g"))
+        .select(
+            id_col,
+            *(["__t"] if flagged else []),
+            _bucket_expr(F.col("g"), n_buckets).alias("bucket"),
+        )
         .localCheckpoint()
     )
-    ct = dsir_bucket_counts(target, text_col, n_buckets).withColumnRenamed(
-        "c", "ct"
-    )
+    if flagged:
+        ct = (
+            grams.filter(F.col("__t"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("ct"))
+        )
+    else:
+        ct = dsir_bucket_counts(target, text_col, n_buckets).withColumnRenamed(
+            "c", "ct"
+        )
     cr = grams.groupBy("bucket").agg(F.count("*").alias("cr"))
     weights = (
         ct.join(cr, "bucket", "full_outer")
@@ -243,11 +269,12 @@ def dsir_weights(
 
 def dsir_select(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     n: int,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = DSIR_BUCKETS,
+    target_flag: Column | None = None,
 ) -> DataFrame:
     """The selected slice: top ``n`` raw documents by importance weight
     (w_hb desc, id asc — deterministic). Returns (id_col, n_grams, w_hb,
@@ -256,7 +283,9 @@ def dsir_select(
     single-partition ranking window."""
     from pyspark.sql import Window
 
-    scored = dsir_weights(raw, target, id_col, text_col, n_buckets)
+    scored = dsir_weights(
+        raw, target, id_col, text_col, n_buckets, target_flag=target_flag
+    )
     order = [F.col("w_hb").desc(), F.col(id_col).asc()]
     top = scored.orderBy(*order).limit(int(n))
     return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
