@@ -89,7 +89,11 @@ def q_fts_count_postings(spark, sf_dir):
     from ocr_search_spark.search.engine import build_postings
 
     p = build_postings(_docs(spark, sf_dir), id_col="doc_id", text_col="text")
-    terms = spark.createDataFrame([(t,) for t in set(FTS_TERMS)], "term string")
+    from ocr_search_spark.localrel import strings_df
+
+    # JVM-local VALUES relation: a createDataFrame terms table is
+    # Python-RDD-backed and adds a Python-worker scan stage per pass (r6)
+    terms = strings_df(spark, sorted(set(FTS_TERMS)), "term")
     matched = (
         p.join(F.broadcast(terms), "term")
         .groupBy("doc_id")
@@ -2185,7 +2189,9 @@ def q_prf_search(spark, sf_dir):
     exp = prf_expansion_terms(d, FTS_TERMS, fb_docs=10, fb_terms=5).select(
         "term"
     )
-    orig = spark.createDataFrame([(t,) for t in FTS_TERMS], "term string")
+    from ocr_search_spark.localrel import strings_df
+
+    orig = strings_df(spark, FTS_TERMS, "term")  # JVM-local, no RDD scan (r6)
     terms = exp.unionByName(orig)
     return (
         bm25_scores_terms_df(d, terms)

@@ -132,9 +132,10 @@ def domain_blocklist_filter(
     """
     if not blocked:
         return df
-    bl = F.broadcast(
-        df.sparkSession.createDataFrame([(b,) for b in blocked], "entry string")
-    )
+    from ocr_search_spark.localrel import strings_df
+
+    # JVM-local VALUES relation (no Python-RDD scan stage, r6)
+    bl = F.broadcast(strings_df(df.sparkSession, list(blocked), "entry"))
     doms = url_domains(df, id_col, text_col).select("id", "domain")
     parts = F.split(F.col("domain"), "\\.")
     suffixes = F.transform(
@@ -193,8 +194,10 @@ def badwords_filter(
             f"match: {bad_entries!r} — tokenize phrases yourself or use "
             f"dedup.decontaminate (k-token shingle overlap) for phrase lists"
         )
+    from ocr_search_spark.localrel import strings_df
+
     bl = F.broadcast(
-        df.sparkSession.createDataFrame([(b.lower(),) for b in badwords], "w string")
+        strings_df(df.sparkSession, [b.lower() for b in badwords], "w")
     )
     offenders = (
         df.select(F.col(id_col).alias("id"), F.explode_outer(tokens_expr(F.col(text_col))).alias("w"))
