@@ -497,7 +497,15 @@ def substring_dedup(
     pair aggregate, and the drop-list aggregate; reconstruction is pure
     column work. No quadratic stage.
     """
-    wp = winnow_fingerprint_positions(df, id_col, text_col, shingle_k, window)
+    # wp feeds BOTH the posting join and the final reconstruction join,
+    # and shared_occ feeds both the verify aggregate and the drop list —
+    # materialize each once (the plan otherwise re-runs the winnowing
+    # ~3x and the posting join 2x; measured 2.26 -> 1.92 s at sf0.1, r6).
+    # At cluster scale this is the standard compute-once-vs-recompute
+    # trade for a twice-consumed intermediate.
+    wp = winnow_fingerprint_positions(
+        df, id_col, text_col, shingle_k, window
+    ).localCheckpoint()
     flat = wp.select("id", F.explode("fps").alias("f")).select(
         "id", F.col("f.fp").alias("fp"), F.col("f.pos").alias("pos")
     )
@@ -511,7 +519,9 @@ def substring_dedup(
     b = flat.select(
         F.col("id").alias("b_id"), F.col("fp").alias("fp"), F.col("pos").alias("b_pos")
     )
-    shared_occ = a.join(b, ["fp"]).filter(F.col("a_id") < F.col("b_id"))
+    shared_occ = (
+        a.join(b, ["fp"]).filter(F.col("a_id") < F.col("b_id")).localCheckpoint()
+    )
     verified = (
         shared_occ.groupBy("a_id", "b_id")
         .agg(F.count_distinct("fp").alias("shared"))
