@@ -16,6 +16,14 @@ machine covering the constructs our corpus and tests emit:
 
 from __future__ import annotations
 
+import re
+
+#: next structurally-significant character: group braces, control-word
+#: backslash, or the raw CR/LF the format ignores — everything between
+#: two of these is a plain-text run emitted in one slice (the per-char
+#: emit loop this replaces was the function's hot path, r6)
+_SPECIAL_RE = re.compile(r"[{}\\\r\n]")
+
 #: destination groups whose content is invisible
 _DROP_DESTINATIONS = {
     "fonttbl", "colortbl", "stylesheet", "info", "header", "footer",
@@ -99,8 +107,13 @@ def rtf_to_text(rtf: str) -> str:
                 elif word == "tab":
                     emit("\t")
                 i = m
-        else:
-            if c not in "\r\n":
-                emit(c)
+        elif c in "\r\n":
             i += 1
+        else:
+            # plain-text run: jump to the next special char in one scan
+            m = _SPECIAL_RE.search(rtf, i + 1)
+            end = m.start() if m else n
+            if not dropping:
+                out.append(rtf[i:end])
+            i = end
     return "".join(out).strip()

@@ -45,21 +45,31 @@ def funnel(
     so the join is keyed and shrinks monotonically. No windows over the
     raw event stream, no per-user event sorting; at 10^12 events the
     only big shuffles are |steps| keyed aggregations.
+
+    LAZY (r6, ADVICE r5): this returns one composable plan — per-step
+    counts come from a step-tagged union of the frontier chain
+    aggregated in one pass, with the frontier prefixes shared at
+    runtime through exchange reuse (ReusedExchange plan-verified), and
+    the step-1 denominator attached via a window over the ≤ |steps|
+    count rows (row-bound: the window input is one row per step, never
+    event-scaled). No job runs at construction time, no per-step
+    checkpoint/count round-trips, and re-invoking or composing the
+    result costs nothing until an action — the old eager form ran
+    2·|steps| jobs inside the constructor.
     """
     if len(steps) < 1:
         raise ValueError("funnel needs at least one step")
     if len(set(steps)) != len(steps):
         raise ValueError(f"funnel steps must be distinct, got {steps!r}")
-    # each frontier (one row per surviving user) is localCheckpoint-ed so
-    # its count and the next step's join read ONE materialization — the
-    # per-step disk spill a production funnel engine does anyway
+    from pyspark.sql import Window
+
+    spark = events.sparkSession
     frontier = (
         events.filter(F.col(type_col) == steps[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("__t"))
-        .localCheckpoint()
     )
-    counts = [frontier.count()]
+    fronts = [frontier]
     for step in steps[1:]:
         frontier = (
             events.filter(F.col(type_col) == step)
@@ -67,17 +77,45 @@ def funnel(
             .filter(F.col(ts_col) > F.col("__t"))
             .groupBy(user_col)
             .agg(F.min(ts_col).alias("__t"))
-            .localCheckpoint()
         )
-        counts.append(frontier.count())
-    spark = events.sparkSession
-    n1 = counts[0]
-    rows = [
-        (i + 1, s, int(c), (int(c) * 10000 // n1) if n1 else 0)
-        for i, (s, c) in enumerate(zip(steps, counts))
-    ]
-    return spark.createDataFrame(
-        rows, "step int, event_type string, users bigint, conversion_bp bigint"
+        fronts.append(frontier)
+    tagged = None
+    for i, f in enumerate(fronts, start=1):
+        leg = f.select(F.lit(i).alias("step"), F.col(user_col))
+        tagged = leg if tagged is None else tagged.unionByName(leg)
+    counts = tagged.groupBy("step").agg(F.count("*").alias("__c"))
+    # explicit (step, name) VALUES pairs — a JVM-local relation with the
+    # step index as data (never derived from row order/partitioning)
+    def _lit(s: str) -> str:
+        return "'" + str(s).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    rows = ", ".join(f"({i + 1}, {_lit(s)})" for i, s in enumerate(steps))
+    steps_rel = spark.sql(f"SELECT * FROM VALUES {rows} AS t(step, event_type)")
+    w = Window.orderBy("step").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        steps_rel.join(counts, "step", "left")
+        .select(
+            "step",
+            "event_type",
+            F.coalesce("__c", F.lit(0)).cast("bigint").alias("users"),
+        )
+        .withColumn(
+            "__n1",
+            F.first(
+                F.when(F.col("step") == 1, F.col("users")), ignorenulls=True
+            ).over(w),
+        )
+        .select(
+            "step",
+            "event_type",
+            "users",
+            F.when(F.col("__n1") > 0, F.expr("users * 10000 DIV __n1"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("conversion_bp"),
+        )
     )
 
 
