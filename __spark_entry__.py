@@ -378,6 +378,7 @@ def q_vocab_drift(spark, sf_dir):
     return (
         out.orderBy(*order)
         .limit(50)
+        # row-bound: post-limit slice (<= 50 rows)
         .withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
     )
 
@@ -394,6 +395,7 @@ def q_collocations(spark, sf_dir):
     return (
         out.orderBy(*order)
         .limit(50)
+        # row-bound: post-limit slice (<= 50 rows)
         .withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
     )
 
@@ -2138,6 +2140,7 @@ def q_hybrid_search(spark, sf_dir):
         .limit(50)
         .withColumn(
             "rank",
+            # row-bound: the post-limit feedback set (<= fb_docs rows)
             F.row_number().over(
                 Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
             ),
@@ -2943,6 +2946,7 @@ def q_nb_train_weights(spark, sf_dir):
     w = nb_train(_docs(spark, sf_dir), "lang", "en", n_buckets=1 << 18)
     order = [F.col("weight_fp").desc(), F.col("bucket").asc()]
     top = w.orderBy(*order).limit(100)
+    # row-bound: `top` is the post-limit slice (<= k rows)
     return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
 
 
@@ -2975,6 +2979,7 @@ def q_perceptron_train(spark, sf_dir):
     )
     order = [F.col("weight").desc(), F.col("bucket").asc()]
     top = w.orderBy(*order).limit(100)
+    # row-bound: `top` is the post-limit slice (<= k rows)
     return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
 
 

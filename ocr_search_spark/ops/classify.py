@@ -267,6 +267,7 @@ def nb_select(
     )
     order = [F.col("logit_fp").desc(), F.col("id").asc()]
     top = full.orderBy(*order).limit(int(k))
+    # row-bound: `top` is the already-truncated top-n slice (<= n rows)
     return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
 
 
@@ -510,5 +511,6 @@ def perceptron_select(
     return (
         scored.orderBy(*order)
         .limit(k)
+        # row-bound: `top` is the already-truncated top-n slice (<= n rows)
         .withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
     )

@@ -288,4 +288,5 @@ def dsir_select(
     )
     order = [F.col("w_hb").desc(), F.col(id_col).asc()]
     top = scored.orderBy(*order).limit(int(n))
+    # row-bound: `top` is the already-truncated top-n slice (<= n rows)
     return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))

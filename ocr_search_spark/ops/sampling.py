@@ -289,6 +289,7 @@ def unimax_rates(
     from pyspark.sql import Window
 
     counts = df.groupBy(group_col).agg(F.count("*").alias("__c"))
+    # row-bound: input is one row per GROUP (O(groups), never corpus-scaled)
     w = Window.orderBy(F.col("__c").asc(), F.col(group_col).asc())
     wall = Window.partitionBy()
     ranked = counts.select(
@@ -665,6 +666,7 @@ def global_shuffle(
         F.substring(h, 1, prefix_hex).alias("__b"),
     )
     counts = base.groupBy("__b").agg(F.count("*").alias("__n"))
+    # row-bound: one row per length bucket (O(buckets), never corpus-scaled)
     w_off = Window.orderBy("__b").rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -231,6 +231,7 @@ def heaps_law(
     )
     from pyspark.sql.window import Window
 
+    # row-bound: one row per half-bit tier (<= 64 rows by construction)
     w = Window.orderBy("__tier").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

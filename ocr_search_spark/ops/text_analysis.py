@@ -788,6 +788,7 @@ def bpe_pair_stats(
     top = counts.orderBy(*order).limit(int(top_k))
     from pyspark.sql import Window
 
+    # row-bound: `top` is the already-truncated top-k slice (<= top_k rows)
     return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
 
 
@@ -1009,6 +1010,7 @@ def bpe_vocab_stats(
     top = counts.orderBy(*order).limit(int(top_k))
     from pyspark.sql import Window
 
+    # row-bound: `top` is the already-truncated top-n slice (<= n rows)
     return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
 
 
@@ -1111,6 +1113,7 @@ def bpe_encode(
         .distinct()
         .withColumn(
             "token_id",
+            # row-bound: the alphabet+merges symbol table (vocab-sized)
             (F.row_number().over(Window.orderBy("symbol")) - 1).cast("int"),
         )
     )
