@@ -5739,6 +5739,31 @@ class TestFunnelAndCohort:
         with _pytest.raises(ValueError):
             funnel(self._events(spark, rows), ["view", "view"])
 
+    def test_funnel_is_lazy(self, spark):
+        """funnel must return a plan, not run jobs at construction (the
+        eager form re-ran every step job per composition — ADVICE r5):
+        building it over an input that ERRORS on evaluation must succeed;
+        only an action may raise."""
+        from datetime import datetime as dt
+
+        import pytest as _pytest
+        from py4j.protocol import Py4JJavaError
+        from pyspark.sql import functions as F
+
+        from ocr_search_spark.ops.events import funnel
+
+        ev = self._events(spark, [(1, dt(2024, 1, 1), "view")]).select(
+            "user_id",
+            "ts",
+            F.when(
+                F.length("event_type") >= 0,
+                F.raise_error(F.lit("evaluated during construction")),
+            ).alias("event_type"),
+        )
+        out = funnel(ev, ["view", "click"])  # must NOT raise
+        with _pytest.raises(Py4JJavaError):
+            out.collect()
+
     def test_cohort_matrix(self, spark):
         from datetime import datetime as dt
 
