@@ -5741,28 +5741,26 @@ class TestFunnelAndCohort:
 
     def test_funnel_is_lazy(self, spark):
         """funnel must return a plan, not run jobs at construction (the
-        eager form re-ran every step job per composition — ADVICE r5):
-        building it over an input that ERRORS on evaluation must succeed;
-        only an action may raise."""
+        eager form ran 2·|steps| jobs inside the constructor and re-ran
+        them per composition — ADVICE r5): no Spark job may belong to
+        the construction-scoped job group."""
         from datetime import datetime as dt
-
-        import pytest as _pytest
-        from py4j.protocol import Py4JJavaError
-        from pyspark.sql import functions as F
 
         from ocr_search_spark.ops.events import funnel
 
-        ev = self._events(spark, [(1, dt(2024, 1, 1), "view")]).select(
-            "user_id",
-            "ts",
-            F.when(
-                F.length("event_type") >= 0,
-                F.raise_error(F.lit("evaluated during construction")),
-            ).alias("event_type"),
-        )
-        out = funnel(ev, ["view", "click"])  # must NOT raise
-        with _pytest.raises(Py4JJavaError):
-            out.collect()
+        sc = spark.sparkContext
+        rows = [(1, dt(2024, 1, 1), "view"), (1, dt(2024, 1, 2), "click")]
+        ev = self._events(spark, rows)
+        sc.setJobGroup("funnel-lazy-probe", "construction must run no jobs")
+        try:
+            out = funnel(ev, ["view", "click"])
+            jobs = sc.statusTracker().getJobIdsForGroup("funnel-lazy-probe")
+        finally:
+            sc.setJobGroup(None, None)
+        assert jobs == [], f"funnel ran {len(jobs)} job(s) at construction"
+        # and the returned plan still computes the right answer
+        got = [(r.step, r.users) for r in out.orderBy("step").collect()]
+        assert got == [(1, 1), (2, 1)]
 
     def test_cohort_matrix(self, spark):
         from datetime import datetime as dt
