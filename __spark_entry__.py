@@ -1489,13 +1489,17 @@ def q_wordpiece_encode(spark, sf_dir):
     oracle) — (id, pos, sym_pos, token_id, symbol)
     (ops/text_analysis.py wordpiece_artifacts + wordpiece_encode)."""
     from ocr_search_spark.ops.text_analysis import (
-        wordpiece_artifacts,
+        wordpiece_artifacts_with_words,
         wordpiece_encode,
     )
 
     docs = _docs(spark, sf_dir)
-    vocab = wordpiece_artifacts(docs, "text", n_merges=6)
-    return wordpiece_encode(docs, vocab, "doc_id", "text", max_word_len=6)
+    # trainer's distinct-word table rides along: the serve-side matcher
+    # does not re-tokenize its own training corpus (r6)
+    vocab, words = wordpiece_artifacts_with_words(docs, "text", n_merges=6)
+    return wordpiece_encode(
+        docs, vocab, "doc_id", "text", max_word_len=6, words=words
+    )
 
 
 def q_unigram_segment(spark, sf_dir):
@@ -1506,13 +1510,17 @@ def q_unigram_segment(spark, sf_dir):
     (id, pos, sym_pos, symbol, cost_hb)
     (ops/text_analysis.py unigram_artifacts + unigram_segment)."""
     from ocr_search_spark.ops.text_analysis import (
-        unigram_artifacts,
+        unigram_artifacts_with_words,
         unigram_segment,
     )
 
     docs = _docs(spark, sf_dir)
-    costs = unigram_artifacts(docs, "text", n_merges=6)
-    return unigram_segment(docs, costs, "doc_id", "text", max_word_len=8)
+    # the trainer's distinct-word table rides along so the lattice does
+    # not re-tokenize the corpus to rebuild the same set (r6)
+    costs, words = unigram_artifacts_with_words(docs, "text", n_merges=6)
+    return unigram_segment(
+        docs, costs, "doc_id", "text", max_word_len=8, words=words
+    )
 
 
 def q_bpe_apply(spark, sf_dir):

@@ -24,8 +24,20 @@ def strings_df(spark, values, col: str = "value") -> DataFrame:
     if not vals:
         raise ValueError("strings_df needs at least one value")
 
-    def lit(s: str) -> str:
-        return "'" + str(s).replace("\\", "\\\\").replace("'", "\\'") + "'"
-
-    rows = ", ".join(f"({lit(v)})" for v in vals)
+    rows = ", ".join(f"({_lit(v)})" for v in vals)
     return spark.sql(f"SELECT * FROM VALUES {rows} AS t({col})")
+
+
+def _lit(s: str) -> str:
+    return "'" + str(s).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def string_int_df(spark, pairs, cols: str = "k, v") -> DataFrame:
+    """(string, int) pair table as a JVM-local VALUES relation — the
+    two-column sibling of :func:`strings_df` (tokenizer piece→id maps,
+    term→weight tables). ``pairs`` must be non-empty."""
+    rows_list = list(pairs)
+    if not rows_list:
+        raise ValueError("string_int_df needs at least one pair")
+    rows = ", ".join(f"({_lit(k)}, {int(v)})" for k, v in rows_list)
+    return spark.sql(f"SELECT * FROM VALUES {rows} AS t({cols})")

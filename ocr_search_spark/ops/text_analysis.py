@@ -1525,6 +1525,20 @@ def wordpiece_artifacts(
     families are drop-in comparable downstream. Greedy WordPiece
     matching needs only the piece SET (no merge order), so the dict is
     the whole artifact."""
+    ids, _ = wordpiece_artifacts_with_words(df, text_col, n_merges)
+    return ids
+
+
+def wordpiece_artifacts_with_words(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> tuple[dict[str, int], DataFrame]:
+    """:func:`wordpiece_artifacts` plus the trainer's distinct-word
+    table (one column ``w``), read off the vocab state the loop already
+    materialized — a train-then-serve composition passes it to
+    :func:`wordpiece_encode` so the serve side's greedy matcher does not
+    re-tokenize the corpus to rebuild the same word set (r6)."""
     vocab, steps = _wordpiece_loop(df, text_col, n_merges)
     merges = [m for (_s, _l, _r, m, *_rest) in steps]
     # alphabet off the vocab-sized seg map (the bpe_artifacts convention:
@@ -1544,7 +1558,7 @@ def wordpiece_artifacts(
     ids = {ch: i for i, ch in enumerate(alpha)}
     for k, m in enumerate(merges, start=1):
         ids.setdefault(m, len(alpha) + k - 1)
-    return ids
+    return ids, _seg_map(vocab).select("w")
 
 
 def wordpiece_encode(
@@ -1557,6 +1571,7 @@ def wordpiece_encode(
     max_word_len: int = 100,
     checkpoint_every: int = 4,
     engine: str = "arrow",
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy longest-match-first WordPiece tokenization (the BERT
     runtime algorithm — a DIFFERENT algorithm from BPE merge
@@ -1597,14 +1612,25 @@ def wordpiece_encode(
         raise ValueError("engine must be 'arrow' or 'sql'")
     spark = df.sparkSession
     max_piece = max(len(p) for p in vocab_ids)
-    pieces = spark.createDataFrame(
+    from ocr_search_spark.localrel import string_int_df
+
+    # JVM-local VALUES relation (a createDataFrame piece map is
+    # Python-RDD-backed and adds a Python-worker scan per pass, r6)
+    pieces = string_int_df(
+        spark,
         sorted((p, int(i)) for p, i in vocab_ids.items()),
-        "piece string, token_id int",
+        "piece, token_id",
     )
-    words = (
-        df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
-        .distinct()
-    )
+    if words is None:
+        # ``words``: a train-then-serve composition passes the trainer's
+        # distinct-word table (wordpiece_artifacts_with_words) so the
+        # corpus is not re-tokenized just to rebuild the same set (r6)
+        words = (
+            df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
+            .distinct()
+        )
+    else:
+        words = words.select("w")
     if engine == "arrow":
         piece_set = frozenset(vocab_ids)
         bc = spark.sparkContext.broadcast((piece_set, max_piece))
@@ -1739,6 +1765,19 @@ def unigram_artifacts(
     family established. Pieces all occur (they come from the
     segmentation), so no smoothing term. The dict is the shipped
     artifact :func:`unigram_segment` consumes."""
+    costs, _ = unigram_artifacts_with_words(df, text_col, n_merges)
+    return costs
+
+
+def unigram_artifacts_with_words(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> tuple[dict[str, int], DataFrame]:
+    """:func:`unigram_artifacts` plus the trainer's distinct-word table
+    (one column ``w``) read off the loop's vocab state — pass it to
+    :func:`unigram_segment` so the serve side's lattice does not
+    re-tokenize the corpus to rebuild the same word set (r6)."""
     from .sketch import _hb_wide
 
     vocab, _ = _wordpiece_loop(df, text_col, n_merges)
@@ -1757,7 +1796,7 @@ def unigram_artifacts(
         )
         .collect()
     )
-    return {r.sym: int(r.cost_hb) for r in rows}
+    return {r.sym: int(r.cost_hb) for r in rows}, _seg_map(vocab).select("w")
 
 
 #: unreachable-position sentinel for the Viterbi lattice — far above any
@@ -1777,6 +1816,7 @@ def unigram_segment(
     unk_id_cost: int = -1,
     unk_symbol: str = "[UNK]",
     max_word_len: int = 16,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Viterbi-optimal segmentation under a shipped unigram piece-cost
     table — the SentencePiece RUNTIME (Kudo 2018): each word takes the
@@ -1821,15 +1861,19 @@ def unigram_segment(
     # references the column instead of inlining |vocab| literals per
     # candidate — the inlined form OOMs a default-heap driver on
     # expression-tree size alone
-    d = (
-        df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
-        .distinct()
-        .select(
-            "w",
-            F.length("w").alias("__n"),
-            F.lit(0).alias("__dp_0"),
-            cm.alias("__cm"),
-        )
+    if words is None:
+        words = df.select(
+            F.explode(tokens_expr(F.col(text_col))).alias("w")
+        ).distinct()
+    else:
+        # the trainer's word table (unigram_artifacts_with_words): same
+        # distinct set, no corpus re-tokenize (r6)
+        words = words.select("w")
+    d = words.select(
+        "w",
+        F.length("w").alias("__n"),
+        F.lit(0).alias("__dp_0"),
+        cm.alias("__cm"),
     )
 
     def cand(j: int, i: int):
