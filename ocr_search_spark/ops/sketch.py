@@ -225,9 +225,14 @@ def heaps_law(
         .groupBy("__tier")
         .agg(F.count("*").alias("__words"))
     )
-    base = df.sparkSession.createDataFrame(
-        [(i, int(round(f * 1_000_000))) for i, f in enumerate(fr)],
-        "__tier int, frac_ppm bigint",
+    # JVM-local VALUES relation — no Python-RDD scan per pass (r6)
+    base = df.sparkSession.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(
+            f"({i}, CAST({int(round(f * 1_000_000))} AS BIGINT))"
+            for i, f in enumerate(fr)
+        )
+        + " AS t(__tier, frac_ppm)"
     )
     from pyspark.sql.window import Window
 

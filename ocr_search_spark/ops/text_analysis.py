@@ -1323,9 +1323,13 @@ def bpe_apply(
         if (i + 1) % checkpoint_every == 0:
             seg = seg.localCheckpoint()
     seg = seg.select("w", F.split("s", " ").alias("__syms"))
-    id_map = spark.createDataFrame(
+    from ocr_search_spark.localrel import string_int_df
+
+    # JVM-local VALUES relation — no Python-RDD scan per pass (r6)
+    id_map = string_int_df(
+        spark,
         sorted((s, int(i)) for s, i in vocab_ids.items()),
-        "symbol string, token_id int",
+        "symbol, token_id",
     )
     toks = df.select(
         F.col(id_col).alias("id"),

@@ -242,8 +242,11 @@ def search_documents(
         if postings is not None and is_plain_and(parsed):
             # scale path (plain AND of terms): semi-join matching doc ids
             terms_set = {it.words[0] for it in parsed[0]}
-            term_df = postings.sparkSession.createDataFrame(
-                [(t,) for t in terms_set], "term string"
+            from ocr_search_spark.localrel import strings_df
+
+            # JVM-local VALUES relation — no Python-RDD scan per query (r6)
+            term_df = strings_df(
+                postings.sparkSession, sorted(terms_set), "term"
             )
             matched = (
                 postings.join(F.broadcast(term_df), "term", "inner")
