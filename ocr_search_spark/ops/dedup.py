@@ -991,15 +991,22 @@ def simhash_near_dup_pairs(
         .select(
             F.col("a.id").alias("a_id"),
             F.col("b.id").alias("b_id"),
-            F.col("a.simhash").alias("sa"),
-            F.col("b.simhash").alias("sb"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
         )
+        # verify BEFORE deduplicating: a pair matches in up to n_bands
+        # bands (≤ n_bands duplicate rows), and the xor+bit_count verify
+        # is one integer op per row, so filtering first shrinks the
+        # dedup shuffle from the full candidate stream (quadratic in
+        # bucket population) to just the matching pairs — identical
+        # result, orders of magnitude fewer shuffled bytes at dense
+        # bucket loads (guide §2.3; r6: the dropDuplicates previously
+        # shuffled every candidate WITH both 8-byte fingerprints)
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["a_id", "b_id"])
     )
-    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return cand.select(
-        "a_id", "b_id", hamming.alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
+    return cand.select("a_id", "b_id", "hamming")
 
 
 def simhash_near_dedup(
